@@ -1,0 +1,179 @@
+"""Convolution / transposed convolution with Caffe-exact geometry.
+
+Reference semantics (for parity, NOT implementation):
+- conv output size: ``(H + 2*pad - (dilation*(k-1)+1)) // stride + 1``
+  (reference: src/caffe/util/im2col.cpp:25-28, base_conv_layer.cpp:95-107).
+- deconv output size: ``stride*(H-1) + dilation*(k-1)+1 - 2*pad``
+  (reference: deconv_layer.cpp — deconv forward == conv backward-data).
+- groups supported on both.
+
+The reference lowers conv to im2col+GEMM (base_conv_layer.cpp:257-281). Here
+we hand the convolution directly to XLA's `conv_general_dilated`, which tiles
+it onto the MXU; there is no materialised im2col buffer. Layout is NHWC with
+HWIO kernels so channels ride the 128-wide lane dimension.
+
+All ops take an optional ``compute_dtype`` (default bfloat16) — inputs/weights
+are cast for the MXU while accumulation stays float32 via
+``preferred_element_type``; outputs are returned in float32 unless the input
+was lower precision already.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DIMS_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def conv_output_size(size: int, kernel: int, stride: int, pad: int, dilation: int = 1) -> int:
+    """Caffe conv spatial output size (floor semantics)."""
+    k_eff = dilation * (kernel - 1) + 1
+    return (size + 2 * pad - k_eff) // stride + 1
+
+
+def deconv_output_size(size: int, kernel: int, stride: int, pad: int, dilation: int = 1) -> int:
+    """Caffe deconv spatial output size."""
+    k_eff = dilation * (kernel - 1) + 1
+    return stride * (size - 1) + k_eff - 2 * pad
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        if len(v) == 1:
+            return (int(v[0]), int(v[0]))
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+def _cast_pair(x: jax.Array, w: jax.Array, compute_dtype):
+    if compute_dtype is None:
+        return x, w
+    return x.astype(compute_dtype), w.astype(compute_dtype)
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride=1,
+    pad=0,
+    dilation=1,
+    groups: int = 1,
+    compute_dtype=jnp.bfloat16,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """2-D convolution, Caffe geometry, NHWC/HWIO.
+
+    Args:
+      x: (N, H, W, Cin)
+      w: (kh, kw, Cin // groups, Cout)
+      b: (Cout,) or None
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(pad)
+    dh, dw = _pair(dilation)
+    out_dtype = x.dtype
+    xc, wc = _cast_pair(x, w, compute_dtype)
+    y = lax.conv_general_dilated(
+        xc,
+        wc,
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=DIMS_NHWC,
+        feature_group_count=groups,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(out_dtype)
+
+
+def deconv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride=1,
+    pad=0,
+    dilation=1,
+    groups: int = 1,
+    compute_dtype=jnp.bfloat16,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Transposed 2-D convolution (Caffe "Deconvolution" forward).
+
+    Equals the data-gradient of `conv2d`: insert (stride-1) zeros between
+    input pixels (lhs_dilation), then run a stride-1 convolution with the
+    spatially flipped kernel and padding ``k_eff - 1 - pad``.
+
+    Args:
+      x: (N, H, W, Cin)
+      w: (kh, kw, Cin, Cout // groups) — the native deconv layout: I = deconv
+         input channels, O = deconv output channels (matches Caffe's
+         (Cin, Cout/g, kh, kw) after transpose).
+      b: (Cout,) or None
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(pad)
+    dh, dw = _pair(dilation)
+    kh, kw = int(w.shape[0]), int(w.shape[1])
+    kh_eff = dh * (kh - 1) + 1
+    kw_eff = dw * (kw - 1) + 1
+    out_dtype = x.dtype
+    xc, wc = _cast_pair(x, w, compute_dtype)
+    # The transposed conv scatters x[i,h,w]*w[ky,kx,i,o] to out[o, h*s-p+ky*d, ...].
+    # As a stride-1 conv over the zero-dilated input this needs only a spatial
+    # flip of the kernel — the (i, o) mixing is already in conv orientation.
+    if groups == 1:
+        wt = jnp.flip(wc, axis=(0, 1))
+    else:
+        # w: (kh, kw, Cin, Cout//g) with Cin = g*cin_g. Grouped conv wants
+        # (kh, kw, cin_g, g*cout_g) with output block o//cout_g reading its
+        # own input group.
+        cin = int(x.shape[-1])
+        cout_g = int(w.shape[3])
+        wt = wc.reshape(kh, kw, groups, cin // groups, cout_g)
+        wt = jnp.flip(wt, axis=(0, 1))
+        wt = wt.transpose(0, 1, 3, 2, 4).reshape(kh, kw, cin // groups, groups * cout_g)
+    y = lax.conv_general_dilated(
+        xc,
+        wt,
+        window_strides=(1, 1),
+        padding=((kh_eff - 1 - ph, kh_eff - 1 - ph), (kw_eff - 1 - pw, kw_eff - 1 - pw)),
+        lhs_dilation=(sh, sw),
+        rhs_dilation=(dh, dw),
+        dimension_numbers=DIMS_NHWC,
+        feature_group_count=groups,
+        preferred_element_type=accum_dtype,
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(out_dtype)
+
+
+def bilinear_filler(kh: int, kw: int, cin: int, cout: int, dtype=jnp.float32) -> jax.Array:
+    """Bilinear upsampling kernel (reference: include/caffe/filler.hpp:219-290).
+
+    Returns a deconv weight (kh, kw, cin, cout) wiring channel i -> i with a
+    bilinear interpolation stencil — the standard init for upsampling heads.
+    """
+    fh = (kh + 1) // 2
+    fw = (kw + 1) // 2
+    ch = (2 * fh - 1 - fh % 2) / (2.0 * fh)
+    cw = (2 * fw - 1 - fw % 2) / (2.0 * fw)
+    ih = jnp.arange(kh, dtype=dtype)
+    iw = jnp.arange(kw, dtype=dtype)
+    fy = 1 - jnp.abs(ih / fh - ch)
+    fx = 1 - jnp.abs(iw / fw - cw)
+    k2d = fy[:, None] * fx[None, :]
+    w = jnp.zeros((kh, kw, cin, cout), dtype=dtype)
+    n = min(cin, cout)
+    idx = jnp.arange(n)
+    return w.at[:, :, idx, idx].set(k2d[:, :, None])

@@ -1,0 +1,97 @@
+"""Pooling with Caffe-exact (ceil-mode) geometry.
+
+Reference semantics (src/caffe/layers/pooling_layer.cpp):
+- output size: ``ceil((H + 2*pad - k) / stride) + 1``, then if pad > 0 and the
+  last window would start beyond ``H + pad``, shrink by one. This CEIL mode is
+  the classic bit-fidelity trap vs. floor-mode frameworks: e.g. the DeeperCut
+  stem pool1 (k=3, s=2) maps 344 -> 172, not 171.
+- MAX pooling ignores padding (pad cells can never win): implemented by
+  padding with -inf before `lax.reduce_window`.
+- AVE pooling divides by the window area clipped to the *padded* extent
+  (``hend = min(hstart + k, H + pad)``) while summing only real pixels —
+  padded zeros inside that extent count in the denominator.
+
+Layout NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def pool_output_size(size: int, kernel: int, stride: int, pad: int) -> int:
+    out = -(-(size + 2 * pad - kernel) // stride) + 1  # ceil division
+    if pad > 0 and (out - 1) * stride >= size + pad:
+        out -= 1
+    return out
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[-1]))
+    return (int(v), int(v))
+
+
+def _geometry(h, w, kernel, stride, pad):
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    ph, pw = _pair(pad)
+    oh = pool_output_size(h, kh, sh, ph)
+    ow = pool_output_size(w, kw, sw, pw)
+    # Total padded extent each window may touch; ceil mode can read one
+    # stride past H + 2*pad, so pad the bottom/right to full coverage.
+    pad_h = (ph, max((oh - 1) * sh + kh - h - ph, 0))
+    pad_w = (pw, max((ow - 1) * sw + kw - w - pw, 0))
+    return (kh, kw), (sh, sw), (ph, pw), pad_h, pad_w, (oh, ow)
+
+
+def max_pool2d(x: jax.Array, *, kernel, stride=1, pad=0) -> jax.Array:
+    """MAX pooling, Caffe ceil-mode. x: (N, H, W, C)."""
+    (kh, kw), (sh, sw), _, pad_h, pad_w, _ = _geometry(
+        x.shape[1], x.shape[2], kernel, stride, pad
+    )
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+
+
+def avg_pool2d(x: jax.Array, *, kernel, stride=1, pad=0) -> jax.Array:
+    """AVE pooling, Caffe semantics (padded-extent denominator). x: NHWC."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    (kh, kw), (sh, sw), (ph, pw), pad_h, pad_w, (oh, ow) = _geometry(
+        h, w, kernel, stride, pad
+    )
+    sums = lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        lax.add,
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+    # Per-position divisor: window clipped to the Caffe padded extent [0, H+pad).
+    hstart = jnp.arange(oh) * sh - ph
+    wstart = jnp.arange(ow) * sw - pw
+    hlen = jnp.minimum(hstart + kh, h + ph) - hstart
+    wlen = jnp.minimum(wstart + kw, w + pw) - wstart
+    divisor = (hlen[:, None] * wlen[None, :]).astype(jnp.float32)
+    return (sums / divisor[None, :, :, None]).astype(x.dtype)
+
+
+def global_avg_pool2d(x: jax.Array) -> jax.Array:
+    """Global average pooling (Caffe global_pooling: true)."""
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
+def global_max_pool2d(x: jax.Array) -> jax.Array:
+    return jnp.max(x, axis=(1, 2), keepdims=True)
