@@ -1,3 +1,291 @@
-"""Graph engine placeholder (filled in below)."""
-class Net:  # pragma: no cover - replaced shortly
-    pass
+"""Graph engine: a parsed prototxt DAG compiled into one jitted XLA function.
+
+The reference's Net (src/caffe/net.cpp:40-284) builds a static topology of
+C++ layer objects and loops over them per forward call. Here the prototxt is
+interpreted ONCE into an execution plan (a list of pure-function steps); at
+call time the plan is traced through jit, so the whole 680-layer DeeperCut
+graph becomes a single fused XLA program. Consequences:
+
+- Split-layer insertion (src/caffe/util/insert_splits.cpp) is unnecessary:
+  functional fan-out is free and gradients of shared blobs sum automatically.
+- Shape inference runs during tracing; per-shape compiled variants are cached
+  (Caffe's per-image Blob::Reshape becomes a jit-cache keyed on input shape).
+- Phase/stage/level filtering (net.cpp:286-380) happens at plan-build time.
+
+Blob layout: the public API speaks Caffe NCHW; internally all 4-D tensors are
+NHWC so channels ride the TPU lane dimension. Transposition happens only at
+the graph boundary.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.proto.text_format import PbNode
+from deepcut_tpu.core import layers as L
+from deepcut_tpu.core import fillers
+
+
+def _to_nhwc_shape(shape: Sequence[int]) -> Tuple[int, ...]:
+    shape = tuple(int(s) for s in shape)
+    if len(shape) == 4:
+        return (shape[0], shape[2], shape[3], shape[1])
+    return shape
+
+
+# --------------------------------------------------------------------------
+# Plan construction
+# --------------------------------------------------------------------------
+
+
+class LayerSpec:
+    """Static description of one layer: type, wiring, config node."""
+
+    __slots__ = ("name", "type", "bottoms", "tops", "node", "phase")
+
+    def __init__(self, node: PbNode):
+        self.node = node
+        self.name = node.get_str("name", "")
+        self.type = node.get_str("type", "")
+        self.bottoms = [str(b) for b in node.get_list("bottom")]
+        self.tops = [str(t) for t in node.get_list("top")]
+        self.phase = None
+        for rule in node.get_list("include"):
+            if rule.has("phase"):
+                self.phase = rule.get_str("phase")
+
+    def param(self, key: str) -> PbNode:
+        return self.node.get(key, PbNode())
+
+
+def _rule_matches(rule: PbNode, phase: str, stages: Sequence[str], level: int) -> bool:
+    if rule.has("phase") and rule.get_str("phase") != phase:
+        return False
+    if rule.has("min_level") and level < rule.get_int("min_level"):
+        return False
+    if rule.has("max_level") and level > rule.get_int("max_level"):
+        return False
+    for st in rule.get_list("stage"):
+        if st not in stages:
+            return False
+    for st in rule.get_list("not_stage"):
+        if st in stages:
+            return False
+    return True
+
+
+def filter_layers(
+    specs: List[LayerSpec], phase: str, stages: Sequence[str] = (), level: int = 0
+) -> List[LayerSpec]:
+    """NetStateRule filtering (reference: Net::FilterNet, net.cpp:286-314)."""
+    out = []
+    for spec in specs:
+        includes = spec.node.get_list("include")
+        excludes = spec.node.get_list("exclude")
+        keep = not includes  # no include rule -> in, unless excluded
+        for rule in excludes:
+            if _rule_matches(rule, phase, stages, level):
+                keep = False
+        for rule in includes:
+            if _rule_matches(rule, phase, stages, level):
+                keep = True
+        if keep:
+            out.append(spec)
+    return out
+
+
+class Net:
+    """Prototxt-defined network, executed as a jitted functional graph.
+
+    Usage (mirrors pycaffe, python/caffe/pycaffe.py):
+
+        net = Net("ResNet-152.prototxt", weights="ResNet-152.caffemodel")
+        outs = net.forward(data=np_nchw_image)      # dict of NCHW outputs
+        prob = net.blobs["prob"]                     # last forward's blobs
+    """
+
+    def __init__(
+        self,
+        model_def: Union[str, PbNode],
+        weights: Union[str, Dict[str, Dict[str, np.ndarray]], None] = None,
+        phase: str = "TEST",
+        *,
+        stages: Sequence[str] = (),
+        level: int = 0,
+        compute_dtype: Any = jnp.bfloat16,
+        rng: Optional[jax.Array] = None,
+    ):
+        if isinstance(model_def, str):
+            self.proto = text_format.parse_file(model_def)
+        else:
+            self.proto = model_def
+        self.name = self.proto.get_str("name", "")
+        self.phase = phase
+        self.compute_dtype = compute_dtype
+
+        all_specs = [LayerSpec(n) for n in self.proto.get_list("layer")]
+        if not all_specs:  # legacy "layers" field
+            all_specs = [LayerSpec(n) for n in self.proto.get_list("layers")]
+        self.layer_specs = filter_layers(all_specs, phase, stages, level)
+
+        # net-level inputs (deploy-style): input/input_shape/input_dim.
+        self.input_names: List[str] = [str(s) for s in self.proto.get_list("input")]
+        self.input_shapes: Dict[str, Tuple[int, ...]] = {}
+        dims = [int(d) for d in self.proto.get_list("input_dim")]
+        shapes = self.proto.get_list("input_shape")
+        for i, nm in enumerate(self.input_names):
+            if shapes:
+                self.input_shapes[nm] = tuple(int(d) for d in shapes[i].get_list("dim"))
+            elif dims:
+                self.input_shapes[nm] = tuple(dims[4 * i: 4 * i + 4])
+        for spec in self.layer_specs:
+            if spec.type == "Input":
+                ip = spec.param("input_param")
+                in_shapes = ip.get_list("shape")
+                for i, top in enumerate(spec.tops):
+                    self.input_names.append(top)
+                    if in_shapes:
+                        self.input_shapes[top] = tuple(
+                            int(d) for d in in_shapes[min(i, len(in_shapes) - 1)].get_list("dim")
+                        )
+
+        # Execution plan: (fn, name, bottoms, tops) per non-input layer.
+        self._plan: List[Tuple[Callable, LayerSpec]] = []
+        for spec in self.layer_specs:
+            if spec.type in ("Input", "Silence"):
+                continue
+            fn = L.build(spec, phase=phase, compute_dtype=compute_dtype)
+            if fn is not None:
+                self._plan.append((fn, spec))
+
+        self.params: Dict[str, Any] = {}
+        self._rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._pending_weights = None
+        if weights is not None:
+            self._pending_weights = weights
+        if self.input_shapes:
+            self._ensure_params(
+                {nm: _to_nhwc_shape(sh) for nm, sh in self.input_shapes.items()}
+            )
+
+        self.blobs: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._jitted: Dict[Any, Callable] = {}
+
+    # -- weights ----------------------------------------------------------
+    def layer_types(self) -> Dict[str, str]:
+        return {s.name: s.type for s in self.layer_specs}
+
+    def load_weights(self, weights) -> None:
+        from deepcut_tpu.proto.caffemodel import load_caffemodel, blobs_to_params
+
+        if isinstance(weights, str):
+            blobs = load_caffemodel(weights)
+            deconvs = [s.name for s in self.layer_specs if s.type == "Deconvolution"]
+            converted = blobs_to_params(blobs, deconv_names=deconvs)
+        else:
+            converted = weights
+        # Match by name (reference: Net::CopyTrainedLayersFrom semantics) on
+        # top of existing params so missing layers keep their init.
+        for name, entry in converted.items():
+            if name in self.params or not self.params:
+                self.params[name] = {
+                    k: jnp.asarray(v) for k, v in entry.items()
+                } if isinstance(entry, dict) else entry
+
+    def _ensure_params(self, input_shapes_nhwc: Dict[str, Tuple[int, ...]]) -> None:
+        """Materialise parameters via a shape-propagation pass.
+
+        Replaces the reference's Layer::SetUp + Filler calls (net.cpp:40-284):
+        the plan is traced once under jax.eval_shape with zero params created
+        on the fly; the recorded (key, shape, filler) specs are then realised
+        with the prototxt fillers, and any pending .caffemodel weights are
+        copied over by name (Net::CopyTrainedLayersFrom semantics).
+        """
+        if self.params:
+            return
+        collected: "OrderedDict[str, List]" = OrderedDict()
+
+        def shape_pass(inputs):
+            blobs = dict(inputs)
+            for fn, spec in self._plan:
+                bottoms = [blobs[b] for b in spec.bottoms]
+                pspec = L.param_spec(spec, [tuple(b.shape) for b in bottoms])
+                if pspec:
+                    collected[spec.name] = pspec
+                pentry = {k: jnp.zeros(s, jnp.float32) for k, s, _ in pspec} or None
+                outs = fn(pentry, bottoms)
+                if not isinstance(outs, (list, tuple)):
+                    outs = [outs]
+                for top, val in zip(spec.tops, outs):
+                    blobs[top] = val
+            return jnp.zeros(())
+
+        structs = {
+            nm: jax.ShapeDtypeStruct(sh, jnp.float32)
+            for nm, sh in input_shapes_nhwc.items()
+        }
+        jax.eval_shape(shape_pass, structs)
+
+        rng = self._rng
+        params: Dict[str, Dict[str, jax.Array]] = {}
+        for name, pspec in collected.items():
+            entry = {}
+            for key, shape, filler in pspec:
+                rng, sub = jax.random.split(rng)
+                entry[key] = fillers.fill(filler, sub, shape)
+            params[name] = entry
+        self.params = params
+        if self._pending_weights is not None:
+            self.load_weights(self._pending_weights)
+            self._pending_weights = None
+
+    # -- execution --------------------------------------------------------
+    def _execute(self, params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        blobs: Dict[str, jax.Array] = dict(inputs)
+        consumed: Dict[str, int] = {}
+        for fn, spec in self._plan:
+            bottoms = [blobs[b] for b in spec.bottoms]
+            outs = fn(params.get(spec.name), bottoms)
+            if not isinstance(outs, (list, tuple)):
+                outs = [outs]
+            for top, val in zip(spec.tops, outs):
+                blobs[top] = val
+        return blobs
+
+    def forward(self, **inputs) -> Dict[str, np.ndarray]:
+        """Run the net. Inputs/outputs are NCHW numpy (pycaffe convention)."""
+        dev_inputs = {}
+        for nm, arr in inputs.items():
+            a = jnp.asarray(arr)
+            if a.ndim == 4:
+                a = jnp.transpose(a, (0, 2, 3, 1))
+            dev_inputs[nm] = a
+        if not self.params:
+            self._ensure_params({nm: tuple(v.shape) for nm, v in dev_inputs.items()})
+        key = tuple(sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self._execute)
+        out = self._jitted[key](self.params, dev_inputs)
+        result: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        for nm, v in out.items():
+            arr = np.asarray(v)
+            if arr.ndim == 4:
+                arr = arr.transpose(0, 3, 1, 2)
+            result[nm] = arr
+        self.blobs = result
+        return result
+
+    def output_names(self) -> List[str]:
+        """Blobs produced but never consumed (reference: net.cpp:267-274)."""
+        produced, consumed = [], set()
+        for _, spec in self._plan:
+            consumed.update(spec.bottoms)
+            produced.extend(t for t in spec.tops if t not in spec.bottoms)
+        return [t for t in produced if t not in consumed]

@@ -1,0 +1,285 @@
+"""DeeperCut part-detector models: dilated fully-convolutional ResNets.
+
+Native TPU-first reimplementation of the reference's 680-layer prototxt
+(models/deepercut/ResNet-152.prototxt): conv1 7x7/2 -> BN/Scale/ReLU ->
+maxpool 3x3/2 (ceil) -> res2 (3 blocks) -> res3 (8) /2 -> res4 (36) /2 ->
+res5 (3, stride removed, 3x3 convs dilation 2) -> three deconv heads off
+res5c fused with 1x1 skip convs off res3b7 via top-left crop + sum:
+part scoremaps (J ch, sigmoid "prob"), location refinement (2J ch,
+"loc_pred"), pairwise regression (J*(J-1)*2 ch, "next_pred"). Output stride 8.
+
+Differences from the reference engine (by design, not omission):
+- parameters are a pytree keyed by the *same Caffe layer names* as the
+  prototxt, so `.caffemodel` conversion is a 1:1 rename;
+- compute is NHWC bfloat16 with float32 accumulation (MXU-native) instead of
+  NCHW float32 im2col+GEMM;
+- inference uses BN/Scale folded into conv weights (`fold_bn`) — what the
+  reference pays per-layer kernel launches for, XLA gets as a single fused
+  conv epilogue;
+- the whole forward is one jit-compiled function; there is no per-layer
+  dispatch loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcut_tpu.ops.conv import conv2d, deconv2d
+from deepcut_tpu.ops.norm import batch_norm_inference, scale as scale_op
+from deepcut_tpu.ops.pool import max_pool2d
+from deepcut_tpu.ops.activations import relu, sigmoid
+from deepcut_tpu.ops.eltwise import crop_like
+
+Params = Dict[str, Dict[str, jax.Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeeperCutConfig:
+    """Model family config. Defaults = the reference ResNet-152 part detector."""
+
+    depths: Tuple[int, ...] = (3, 8, 36, 3)
+    stage_widths: Tuple[int, ...] = (64, 128, 256, 512)
+    # Per-stage (stride, dilation). DeeperCut removes res5's stride and
+    # dilates its 3x3 convs by 2 (prototxt line ~6767 "stride: 1 #2").
+    stage_strides: Tuple[int, ...] = (1, 2, 2, 1)
+    stage_dilations: Tuple[int, ...] = (1, 1, 1, 2)
+    num_joints: int = 14
+    location_refinement: bool = True
+    pairwise: bool = True
+    # "letters" (res3b, res3c...) for ResNet-50, "numbered" (res3b1...) for 101/152.
+    naming: str = "numbered"
+    bn_eps: float = 1e-5
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def stride(self) -> int:
+        return 8
+
+    @property
+    def locref_channels(self) -> int:
+        return 2 * self.num_joints
+
+    @property
+    def pairwise_channels(self) -> int:
+        return self.num_joints * (self.num_joints - 1) * 2
+
+
+RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def deepercut_config(resnet_depth: int = 152, **kw) -> DeeperCutConfig:
+    naming = "letters" if resnet_depth == 50 else "numbered"
+    return DeeperCutConfig(depths=RESNET_DEPTHS[resnet_depth], naming=naming, **kw)
+
+
+def _block_names(cfg: DeeperCutConfig, stage: int) -> List[str]:
+    """Caffe/MSRA block names for stage index (0-based; stage label = idx+2)."""
+    n = cfg.depths[stage]
+    label = stage + 2
+    if cfg.naming == "letters" or n <= 3:
+        return [f"{label}{chr(ord('a') + i)}" for i in range(n)]
+    return [f"{label}a"] + [f"{label}b{i}" for i in range(1, n)]
+
+
+def _skip_block(cfg: DeeperCutConfig) -> str:
+    """The stride-8 skip tap: last block of stage 3 (res3b7 in ResNet-152)."""
+    return _block_names(cfg, 1)[-1]
+
+
+# --------------------------------------------------------------------------
+# Parameter initialisation (fillers: include/caffe/filler.hpp semantics)
+# --------------------------------------------------------------------------
+
+
+def _msra(rng, kh, kw, cin, cout, dtype=jnp.float32):
+    fan_in = kh * kw * cin
+    std = math.sqrt(2.0 / fan_in)
+    return std * jax.random.normal(rng, (kh, kw, cin, cout), dtype)
+
+
+def init_params(rng: jax.Array, cfg: DeeperCutConfig = DeeperCutConfig()) -> Params:
+    """Random init mirroring the reference's filler choices (MSRA conv,
+    zero-bias, BN identity stats). Returns Caffe-named param pytree."""
+    params: Params = {}
+    keys = iter(jax.random.split(rng, 4096))
+
+    def add_conv(name, kh, kw, cin, cout, bias=False):
+        params[name] = {"w": _msra(next(keys), kh, kw, cin, cout)}
+        if bias:
+            params[name]["b"] = jnp.zeros((cout,), jnp.float32)
+
+    def add_bn_scale(suffix, c):
+        params[f"bn{suffix}"] = {
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32),
+            "scale_factor": jnp.ones((1,), jnp.float32),
+        }
+        params[f"scale{suffix}"] = {
+            "gamma": jnp.ones((c,), jnp.float32),
+            "beta": jnp.zeros((c,), jnp.float32),
+        }
+
+    add_conv("conv1", 7, 7, 3, 64)
+    add_bn_scale("_conv1", 64)
+
+    cin = 64
+    for stage in range(4):
+        width = cfg.stage_widths[stage]
+        cout = 4 * width
+        for bi, block in enumerate(_block_names(cfg, stage)):
+            if bi == 0:
+                add_conv(f"res{block}_branch1", 1, 1, cin, cout)
+                add_bn_scale(f"{block}_branch1", cout)
+            add_conv(f"res{block}_branch2a", 1, 1, cin if bi == 0 else cout, width)
+            add_bn_scale(f"{block}_branch2a", width)
+            add_conv(f"res{block}_branch2b", 3, 3, width, width)
+            add_bn_scale(f"{block}_branch2b", width)
+            add_conv(f"res{block}_branch2c", 1, 1, width, cout)
+            add_bn_scale(f"{block}_branch2c", cout)
+        cin = cout
+
+    skip_c = 4 * cfg.stage_widths[1]  # stride-8 tap channels (512)
+    top_c = 4 * cfg.stage_widths[3]   # res5 output channels (2048)
+    heads = [("pose", cfg.num_joints)]
+    if cfg.location_refinement:
+        heads.append(("locref", cfg.locref_channels))
+    if cfg.pairwise:
+        heads.append(("next", cfg.pairwise_channels))
+    for head, ch in heads:
+        # Deconv weight layout (kh, kw, Cin, Cout): see ops/conv.py deconv2d.
+        std = math.sqrt(2.0 / (3 * 3 * top_c))
+        params[f"res5c_up_{head}"] = {
+            "w": std * jax.random.normal(next(keys), (3, 3, top_c, ch), jnp.float32),
+            "b": jnp.zeros((ch,), jnp.float32),
+        }
+        add_conv(f"res3d_{head}", 1, 1, skip_c, ch, bias=True)
+    return params
+
+
+# --------------------------------------------------------------------------
+# BN/Scale folding — the inference fast path
+# --------------------------------------------------------------------------
+
+
+def fold_bn(params: Params, cfg: DeeperCutConfig = DeeperCutConfig()) -> Params:
+    """Fold each conv's trailing BatchNorm+Scale into (w, b).
+
+    y = gamma * (conv(x, w) - mean/s) * rsqrt(var/s + eps) + beta
+      = conv(x, w * g) + (beta - mean/s * g),   g = gamma * rsqrt(var/s + eps)
+    """
+    folded: Params = {}
+    for name, p in params.items():
+        if name.startswith("bn") or name.startswith("scale"):
+            continue
+        bn_key = "_conv1" if name == "conv1" else name[len("res"):] if name.startswith("res") and f"bn{name[len('res'):]}" in params else None
+        if bn_key is None or f"bn{bn_key}" not in params:
+            folded[name] = dict(p)
+            continue
+        bn = params[f"bn{bn_key}"]
+        sc = params[f"scale{bn_key}"]
+        s = bn.get("scale_factor", jnp.ones((1,), jnp.float32)).reshape(())
+        inv = jnp.where(s == 0, 0.0, 1.0 / jnp.where(s == 0, 1.0, s))
+        mean = bn["mean"] * inv
+        var = bn["var"] * inv
+        g = sc["gamma"] * jax.lax.rsqrt(var + cfg.bn_eps)
+        folded[name] = {
+            "w": p["w"] * g[None, None, None, :],
+            "b": p.get("b", 0.0) + sc["beta"] - mean * g,
+        }
+    return folded
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    x: jax.Array,
+    cfg: DeeperCutConfig = DeeperCutConfig(),
+    *,
+    folded: bool = False,
+) -> Dict[str, jax.Array]:
+    """Run the part detector. x: (N, H, W, 3), mean-subtracted BGR, H,W % 8 == 0
+    preferred (matches reference canvas padding, estimate_pose.py:85-103).
+
+    Returns dict with 'prob' (N,h,w,J), 'fc_pose' (pre-sigmoid), and when
+    enabled 'loc_pred' (N,h,w,2J), 'next_pred'; h = H/8 + 1 off-by-ceil grid
+    identical to the reference.
+    """
+    cdt = cfg.compute_dtype if folded else None
+
+    def cbr(x, name, *, stride=1, pad=0, dilation=1, act=True):
+        p = params[name]
+        if folded:
+            y = conv2d(x, p["w"], p.get("b"), stride=stride, pad=pad,
+                       dilation=dilation, compute_dtype=cdt)
+        else:
+            y = conv2d(x, p["w"], p.get("b"), stride=stride, pad=pad,
+                       dilation=dilation, compute_dtype=None)
+            bn_key = "_conv1" if name == "conv1" else name[len("res"):]
+            bn = params[f"bn{bn_key}"]
+            sc = params[f"scale{bn_key}"]
+            y = batch_norm_inference(y, bn["mean"], bn["var"],
+                                     bn.get("scale_factor"), eps=cfg.bn_eps)
+            y = scale_op(y, sc["gamma"], sc["beta"])
+        return relu(y) if act else y
+
+    x = x.astype(cfg.compute_dtype) if folded else x.astype(jnp.float32)
+    y = cbr(x, "conv1", stride=2, pad=3)
+    y = max_pool2d(y, kernel=3, stride=2)
+
+    taps: Dict[str, jax.Array] = {}
+    skip_name = _skip_block(cfg)
+    for stage in range(4):
+        s = cfg.stage_strides[stage]
+        d = cfg.stage_dilations[stage]
+        for bi, block in enumerate(_block_names(cfg, stage)):
+            bs = s if bi == 0 else 1
+            if bi == 0:
+                shortcut = cbr(y, f"res{block}_branch1", stride=bs, act=False)
+            else:
+                shortcut = y
+            z = cbr(y, f"res{block}_branch2a", stride=bs)
+            z = cbr(z, f"res{block}_branch2b", pad=d, dilation=d)
+            z = cbr(z, f"res{block}_branch2c", act=False)
+            y = relu(shortcut + z)
+            if block == skip_name:
+                taps["skip"] = y
+    res5c = y
+    skip = taps["skip"]
+
+    outs: Dict[str, jax.Array] = {}
+
+    def head(name: str, out_name: str):
+        p = params[f"res5c_up_{name}"]
+        up = deconv2d(res5c, p["w"], p["b"], stride=2, compute_dtype=cdt)
+        sp = params[f"res3d_{name}"]
+        sk = conv2d(skip, sp["w"], sp.get("b"), compute_dtype=cdt)
+        up = crop_like(up, sk.shape, axis=1)
+        return up + sk
+
+    fc_pose = head("pose", "fc_pose")
+    outs["fc_pose"] = fc_pose
+    outs["prob"] = sigmoid(fc_pose.astype(jnp.float32))
+    if cfg.location_refinement:
+        outs["loc_pred"] = head("locref", "loc_pred").astype(jnp.float32)
+    if cfg.pairwise:
+        outs["next_pred"] = head("next", "next_pred").astype(jnp.float32)
+    return outs
+
+
+def make_forward(cfg: DeeperCutConfig = DeeperCutConfig(), *, folded: bool = True):
+    """Return a jittable forward fn (params, x) -> outputs."""
+
+    def fn(params, x):
+        return forward(params, x, cfg, folded=folded)
+
+    return fn

@@ -1,0 +1,260 @@
+"""Loss ops with Caffe-exact forward AND backward semantics.
+
+The fork's losses have idiosyncratic normalisers (forward divides by the raw
+count, backward clamps it at 100: softmax_loss_vec_layer.cpp:145-147,225-230,
+smooth_L1_loss_layer.cu:47-55,86) and, for SmoothL1, a backward that does NOT
+re-apply the weight factor (Fast R-CNN heritage, where weights are 0/1
+masks). We replicate both exactly via custom_vjp so training matches the
+reference step-for-step.
+
+All losses here take NHWC tensors (channel last); channel-indexed semantics
+from the reference (NCHW channel axis 1) map to axis -1.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_VALUE = 1000.0  # softmax_loss_vec_layer.cpp:12
+
+
+def _smooth_l1(d: jax.Array) -> jax.Array:
+    ad = jnp.abs(d)
+    return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+
+
+def _smooth_l1_grad(d: jax.Array) -> jax.Array:
+    return jnp.where(jnp.abs(d) < 1.0, d, jnp.sign(d))
+
+
+@jax.custom_vjp
+def smooth_l1_loss(pred: jax.Array, target: jax.Array, weights: Optional[jax.Array] = None) -> jax.Array:
+    """Huber loss, fork semantics (smooth_L1_loss_layer.cu).
+
+    forward: d = w*(pred-target); loss = sum f(d) / sum(|w|)  (0 if sum w == 0)
+    backward: dpred = f'(d) / max(sum w, 100)   — note: no extra w factor.
+    """
+    return _smooth_l1_fwd(pred, target, weights)[0]
+
+
+def _smooth_l1_fwd(pred, target, weights):
+    d = pred - target
+    if weights is not None:
+        d = d * weights
+        wsum = jnp.sum(jnp.abs(weights))
+    else:
+        wsum = jnp.asarray(float(pred.size), jnp.float32)
+    err = jnp.sum(_smooth_l1(d))
+    loss = jnp.where(wsum != 0, err / jnp.where(wsum == 0, 1.0, wsum), 0.0)
+    return loss, (d, wsum)
+
+
+def _smooth_l1_bwd(res, g):
+    d, wsum = res
+    norm = jnp.maximum(wsum, 100.0)
+    grad = g * _smooth_l1_grad(d) / norm
+    return grad, -grad, None
+
+
+smooth_l1_loss.defvjp(_smooth_l1_fwd, _smooth_l1_bwd)
+
+
+def _sigmoid_ce_elem(x: jax.Array, t: jax.Array) -> jax.Array:
+    """Per-element sigmoid cross-entropy, the overflow-safe Caffe form:
+    -(x*(t - (x>=0)) - log(1 + exp(x - 2x*(x>=0))))."""
+    pos = (x >= 0).astype(x.dtype)
+    return -(x * (t - pos) - jnp.log1p(jnp.exp(x - 2.0 * x * pos)))
+
+
+@jax.custom_vjp
+def softmax_loss_vec(
+    scores: jax.Array,
+    labels: jax.Array,
+    weights: Optional[jax.Array] = None,
+    *,
+    cross_entropy: bool = True,
+    no_softmax: bool = False,
+    normalize: bool = True,
+) -> jax.Array:
+    """The fork's SoftmaxWithLossVec (dense score-map labels), NHWC.
+
+    cross_entropy=True: per-channel sigmoid CE; elements with label ==
+    IGNORE_VALUE are skipped; `count` = positions with >=1 live channel.
+    cross_entropy=False: softmax over channels, target class = argmax of the
+    label vector; position ignored when label channel 0 == IGNORE_VALUE.
+    Forward normaliser: count (unclamped) if normalize else N;
+    backward normaliser: max(weight_sum or count, 100).
+    """
+    return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
+                    no_softmax=no_softmax, normalize=normalize)[0]
+
+
+def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize):
+    x = scores.astype(jnp.float32)
+    t = labels.astype(jnp.float32)
+    n = x.shape[0]
+    if cross_entropy:
+        live = t != IGNORE_VALUE
+        w = weights if weights is not None else jnp.ones_like(x)
+        elem = _sigmoid_ce_elem(x, jnp.where(live, t, 0.0)) * w
+        loss_sum = jnp.sum(jnp.where(live, elem, 0.0))
+        count = jnp.sum(jnp.any(live, axis=-1))
+        prob = jax.nn.sigmoid(x)
+    else:
+        if no_softmax:
+            prob = x
+        else:
+            prob = jax.nn.softmax(x, axis=-1)
+        label_value = jnp.argmax(t, axis=-1)
+        picked = jnp.take_along_axis(prob, label_value[..., None], axis=-1)[..., 0]
+        live_pos = t[..., 0] != IGNORE_VALUE
+        tiny = jnp.float32(1.175494e-38)  # FLT_MIN, matching the reference clamp
+        loss_sum = -jnp.sum(jnp.where(live_pos, jnp.log(jnp.maximum(picked, tiny)), 0.0))
+        count = jnp.sum(live_pos)
+        live = jnp.broadcast_to(live_pos[..., None], x.shape)
+    denom = jnp.maximum(count.astype(jnp.float32), 1.0) if normalize else jnp.float32(n)
+    loss = loss_sum / denom
+    res = (prob, t, weights, live, count, cross_entropy, normalize, n)
+    return loss, res
+
+
+def _slv_bwd(cross_entropy, no_softmax, normalize, res, g):
+    prob, t, weights, live, count, _, _, n = res
+    diff = prob - jnp.where(live, t, prob)  # zero where ignored
+    if weights is not None:
+        diff = diff * weights
+        # weight_sum counts channel 0 only (softmax_loss_vec_layer.cpp:185-189)
+        norm = jnp.sum(weights[..., 0])
+    else:
+        norm = count.astype(jnp.float32)
+    denom = jnp.maximum(norm, 100.0) if normalize else jnp.float32(n)
+    return (g * diff / denom, None, None)
+
+
+# custom_vjp over keyword-static args: wrap per-config.
+def make_softmax_loss_vec(*, cross_entropy=True, no_softmax=False, normalize=True):
+    @jax.custom_vjp
+    def fn(scores, labels, weights=None):
+        return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
+                        no_softmax=no_softmax, normalize=normalize)[0]
+
+    def fwd(scores, labels, weights=None):
+        return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
+                        no_softmax=no_softmax, normalize=normalize)
+
+    def bwd(res, g):
+        return _slv_bwd(cross_entropy, no_softmax, normalize, res, g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+# -- upstream Caffe losses --------------------------------------------------
+
+
+def softmax_with_loss(
+    scores: jax.Array,
+    labels: jax.Array,
+    *,
+    ignore_label: Optional[int] = None,
+    normalization: str = "VALID",
+) -> jax.Array:
+    """SoftmaxWithLoss (softmax_loss_layer.cpp): integer labels over axis -1.
+
+    scores: (..., C); labels: (...) int. normalization: VALID (count of
+    non-ignored), BATCH_SIZE, FULL, NONE.
+    """
+    x = scores.astype(jnp.float32)
+    logp = jax.nn.log_softmax(x, axis=-1)
+    lab = labels.astype(jnp.int32)
+    picked = jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    if ignore_label is not None:
+        live = lab != ignore_label
+        loss_sum = -jnp.sum(jnp.where(live, picked, 0.0))
+        valid = jnp.sum(live)
+    else:
+        loss_sum = -jnp.sum(picked)
+        valid = jnp.asarray(lab.size)
+    outer = scores.shape[0]
+    inner = lab.size // max(outer, 1)
+    if normalization == "VALID":
+        denom = jnp.maximum(valid.astype(jnp.float32), 1.0)
+    elif normalization == "BATCH_SIZE":
+        denom = jnp.float32(outer)
+    elif normalization == "FULL":
+        denom = jnp.float32(outer * inner)
+    else:
+        denom = jnp.float32(1.0)
+    return loss_sum / denom
+
+
+def sigmoid_cross_entropy_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
+    """SigmoidCrossEntropyLoss (sigmoid_cross_entropy_loss_layer.cpp):
+    sum over all elements / batch size."""
+    x = scores.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    return jnp.sum(_sigmoid_ce_elem(x, t)) / x.shape[0]
+
+
+def euclidean_loss(a: jax.Array, b: jax.Array) -> jax.Array:
+    """EuclideanLoss: 0.5 * sum((a-b)^2) / N."""
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return 0.5 * jnp.sum(d * d) / a.shape[0]
+
+
+def hinge_loss(scores: jax.Array, labels: jax.Array, *, norm: str = "L1") -> jax.Array:
+    """HingeLoss (hinge_loss_layer.cpp): one-vs-all margin on (N, C) scores."""
+    x = scores.astype(jnp.float32).reshape(scores.shape[0], -1)
+    n, c = x.shape
+    lab = labels.astype(jnp.int32).reshape(-1)
+    sign = jnp.where(jax.nn.one_hot(lab, c, dtype=jnp.float32) > 0, -1.0, 1.0)
+    margins = jnp.maximum(0.0, 1.0 + sign * x)
+    if norm == "L2":
+        return jnp.sum(margins * margins) / n
+    return jnp.sum(margins) / n
+
+
+def contrastive_loss(
+    a: jax.Array, b: jax.Array, y: jax.Array, *, margin: float = 1.0,
+    legacy_version: bool = False,
+) -> jax.Array:
+    """ContrastiveLoss (contrastive_loss_layer.cpp). a,b: (N, D); y: (N,)."""
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    dist_sq = jnp.sum(d * d, axis=1)
+    yf = y.astype(jnp.float32).reshape(-1)
+    if legacy_version:
+        neg = jnp.maximum(margin - dist_sq, 0.0)
+    else:
+        neg = jnp.square(jnp.maximum(margin - jnp.sqrt(dist_sq + 1e-12), 0.0))
+    return jnp.sum(yf * dist_sq + (1 - yf) * neg) / (2.0 * a.shape[0])
+
+
+def infogain_loss(scores: jax.Array, labels: jax.Array, H: jax.Array) -> jax.Array:
+    """InfogainLoss: -sum_k H[label, k] log(prob_k) / N."""
+    prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    tiny = jnp.float32(1.175494e-38)
+    logp = jnp.log(jnp.maximum(prob, tiny))
+    rows = jnp.take(H.astype(jnp.float32), labels.astype(jnp.int32), axis=0)
+    return -jnp.sum(rows * logp) / scores.shape[0]
+
+
+def multinomial_logistic_loss(prob: jax.Array, labels: jax.Array) -> jax.Array:
+    tiny = jnp.float32(1.175494e-38)
+    picked = jnp.take_along_axis(prob.astype(jnp.float32),
+                                 labels.astype(jnp.int32)[..., None], axis=-1)
+    return -jnp.sum(jnp.log(jnp.maximum(picked, tiny))) / prob.shape[0]
+
+
+def accuracy(scores: jax.Array, labels: jax.Array, *, top_k: int = 1,
+             ignore_label: Optional[int] = None) -> jax.Array:
+    """Accuracy layer: top-k over axis -1."""
+    lab = labels.astype(jnp.int32)
+    topk = jax.lax.top_k(scores, top_k)[1]
+    hit = jnp.any(topk == lab[..., None], axis=-1)
+    if ignore_label is not None:
+        live = lab != ignore_label
+        return jnp.sum(jnp.where(live, hit, 0)) / jnp.maximum(jnp.sum(live), 1)
+    return jnp.mean(hit.astype(jnp.float32))

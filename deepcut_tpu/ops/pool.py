@@ -54,7 +54,9 @@ def max_pool2d(x: jax.Array, *, kernel, stride=1, pad=0) -> jax.Array:
     (kh, kw), (sh, sw), _, pad_h, pad_w, _ = _geometry(
         x.shape[1], x.shape[2], kernel, stride, pad
     )
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so XLA recognises this as reduce-window-max, which
+    # has a select-and-scatter transpose rule for autodiff.
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,62 @@
+"""Device-mesh parallelism: the TPU-native replacement for P2PSync.
+
+The reference's entire distributed layer (src/caffe/parallel.cpp: per-GPU
+solver threads, flat gradient buffers, a hand-built CUDA-P2P tree reduction)
+collapses here into sharding declarations over a `jax.sharding.Mesh`:
+
+- data parallelism  = batch dim sharded over the 'data' axis; XLA emits the
+  gradient all-reduce over ICI (what DevicePair::compute hand-planned).
+- spatial parallelism (the CNN analog of sequence parallelism) = H dim
+  sharded over the 'spatial' axis; XLA inserts halo exchanges for convs.
+- parameters/optimizer state are replicated (same model as the reference,
+  where every GPU holds a full copy: parallel.cpp:77-115).
+
+Multi-host would extend the same mesh over DCN via jax.distributed — no
+framework code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    data: Optional[int] = None,
+    spatial: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'spatial') mesh over the available devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if data is None:
+        assert n % spatial == 0, f"{n} devices not divisible by spatial={spatial}"
+        data = n // spatial
+    grid = np.asarray(devs).reshape(data, spatial)
+    return Mesh(grid, axis_names=("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch: N over 'data', H over 'spatial'."""
+    return NamedSharding(mesh, P("data", "spatial", None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.device_put(v, sh if getattr(v, "ndim", 0) == 4 else replicated(mesh))
+        for k, v in batch.items()
+    }

@@ -1,0 +1,96 @@
+"""Sharded train/eval step factories.
+
+One jitted function = the whole reference hot loop (Net::ForwardBackward +
+P2PSync reduce + SGDSolver::ApplyUpdate, solver.cpp:193-275): forward, loss,
+backward, cross-device gradient reduction (implicit in sharding), and the
+Caffe-exact update rule — all fused by XLA over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepcut_tpu.models.resnet import DeeperCutConfig
+from deepcut_tpu.models.train import loss_fn
+from deepcut_tpu.solver import update_rules
+from deepcut_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def make_train_step(
+    model_cfg: DeeperCutConfig,
+    solver_cfg: update_rules.SolverConfig,
+    mesh: Optional[Mesh] = None,
+    *,
+    donate: bool = True,
+):
+    """Returns jitted (params, state, batch) -> (params, state, metrics).
+
+    With a mesh: batch sharded (N over 'data', H over 'spatial'), params and
+    optimizer state replicated; XLA inserts the gradient reductions over ICI.
+    """
+
+    def train_step(params, state, batch):
+        (total, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, model_cfg), has_aux=True
+        )(params)
+        params2, state2 = update_rules.step(solver_cfg, params, grads, state)
+        metrics = dict(metrics)
+        metrics["lr"] = update_rules.learning_rate(solver_cfg, state["iter"])
+        return params2, state2, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
+
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    batch_shardings = {
+        # every target is an NHWC map sharded like the image
+        "image": bsh, "part_score_targets": bsh, "part_score_weights": bsh,
+        "locref_targets": bsh, "locref_weights": bsh,
+        "pairwise_targets": bsh, "pairwise_weights": bsh,
+    }
+
+    def in_shardings(params, state, batch):
+        return (
+            jax.tree_util.tree_map(lambda _: rep, params),
+            jax.tree_util.tree_map(lambda _: rep, state),
+            {k: batch_shardings.get(k, bsh) for k in batch},
+        )
+
+    def jitted(params, state, batch):
+        shardings = in_shardings(params, state, batch)
+        fn = jax.jit(
+            train_step,
+            in_shardings=shardings,
+            out_shardings=(shardings[0], shardings[1], None),
+            donate_argnums=(0, 1) if donate else (),
+        )
+        return fn(params, state, batch)
+
+    return jitted
+
+
+def make_eval_step(model_cfg: DeeperCutConfig, mesh: Optional[Mesh] = None, *, folded: bool = True):
+    """Sharded inference step: (params, images NHWC) -> outputs dict."""
+    from deepcut_tpu.models.resnet import forward
+
+    def eval_step(params, images):
+        return forward(params, images, model_cfg, folded=folded)
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    def jitted(params, images):
+        fn = jax.jit(
+            eval_step,
+            in_shardings=(jax.tree_util.tree_map(lambda _: rep, params), bsh),
+        )
+        return fn(params, images)
+
+    return jitted

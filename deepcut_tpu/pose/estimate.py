@@ -1,0 +1,256 @@
+"""Full-image pose estimation pipeline (drop-in for python/pose/estimate_pose.py).
+
+The reference flow per scale (estimate_pose.py:81-128): pad 64px bottom/right
+edge-replicate, bilinear-resize by the scale factor, subtract BGR mean
+[104,117,123], paste into a stride-aligned zero canvas, run the CNN (tiled
+when > 700px, 224px receptive-field overlap), then argmax+offset decode on
+host; the best scale by max-min-joint-confidence wins.
+
+TPU-native redesign:
+- preprocessing (pad/resize/mean/canvas) runs on device inside the jit;
+- decode is fused on device (pose/decode.py) so only a 5x14 array returns;
+- static-shape bucketing: canvas sizes are rounded up to a bucket grid so a
+  handful of compiled programs cover arbitrary image sizes, with the argmax
+  masked to the true canvas (replaces Caffe's per-image Blob::Reshape);
+- the tiling fallback for huge inputs keeps the reference's exact overlap /
+  seam-trim arithmetic (rf=224, cut_off=rf/stride) but feeds tiles as one
+  batched tensor where shapes allow.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcut_tpu.models.resnet import DeeperCutConfig, deepercut_config, fold_bn, forward
+from deepcut_tpu.pose.decode import decode_pose, STRIDE, LOCREF_SCALE
+
+MEAN_BGR = (104.0, 117.0, 123.0)  # estimate_pose.py:25
+PAD_SIZE = 64                     # estimate_pose.py:89
+MAX_SIZE = 700                    # _MAX_SIZE, estimate_pose.py:29
+RF = 224                          # receptive field, estimate_pose.py:162
+
+
+def canvas_size(dim: int, scale: float) -> int:
+    """ceil(dim*scale/8)*8 (estimate_pose.py:85-88)."""
+    return int(math.ceil(dim * scale / STRIDE) * STRIDE)
+
+
+def _bucket(v: int, step: int = 64) -> int:
+    return int(math.ceil(v / step) * step)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "canvas_h", "canvas_w"))
+def preprocess_on_device(image_u8: jax.Array, out_h: int, out_w: int,
+                         canvas_h: int, canvas_w: int) -> jax.Array:
+    """uint8 BGR HxWx3 -> float canvas (1, canvas_h, canvas_w, 3).
+
+    Edge-replicate 64px pad (bottom/right), bilinear resize to (out_h, out_w),
+    mean subtraction, top-left paste into a zero canvas (crop on overflow).
+    """
+    img = image_u8.astype(jnp.float32)
+    img = jnp.pad(img, ((0, PAD_SIZE), (0, PAD_SIZE), (0, 0)), mode="edge")
+    img = jax.image.resize(img, (out_h, out_w, 3), method="linear")
+    # The reference resizes via PIL on uint8 (scipy.misc.imresize), which
+    # rounds to integers; replicate so scale != 1 stays close to reference.
+    img = jnp.clip(jnp.round(img), 0.0, 255.0)
+    img = img - jnp.asarray(MEAN_BGR, jnp.float32)
+    ch = min(canvas_h, out_h)
+    cw = min(canvas_w, out_w)
+    canvas = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
+    canvas = canvas.at[:ch, :cw].set(img[:ch, :cw])
+    return canvas[None]
+
+
+class PoseEstimator:
+    """Compiled DeeperCut pose estimator with per-bucket program cache."""
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: Optional[DeeperCutConfig] = None,
+        *,
+        folded: bool = True,
+        bucket_step: int = 64,
+        max_size: int = MAX_SIZE,
+    ):
+        self.cfg = cfg or deepercut_config(152)
+        self.params = fold_bn(params, self.cfg) if folded and _has_bn(params) else params
+        self.folded = folded
+        self.bucket_step = bucket_step
+        self.max_size = max_size
+        self._fwd_cache: Dict = {}
+
+    # -- compiled pieces ---------------------------------------------------
+    def _forward_decode(self, canvas_h: int, canvas_w: int):
+        key = ("fd", canvas_h, canvas_w)
+        if key not in self._fwd_cache:
+            cfg, folded = self.cfg, self.folded
+
+            @jax.jit
+            def fn(params, canvas, valid_h, valid_w, scale):
+                outs = forward(params, canvas.astype(cfg.compute_dtype if folded else jnp.float32),
+                               cfg, folded=folded)
+                sm = outs["prob"][0]
+                loc = outs["loc_pred"][0]
+                vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                vw = (valid_w + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                pose = decode_pose(sm, loc, scale=1.0, valid_hw=(vh, vw))
+                # rescale to original image coordinates
+                pose = pose.at[0].divide(scale).at[1].divide(scale)
+                pose = pose.at[3].divide(scale).at[4].divide(scale)
+                return pose, sm, loc
+            self._fwd_cache[key] = fn
+        return self._fwd_cache[key]
+
+    def _forward_maps(self, h: int, w: int):
+        key = ("fm", h, w)
+        if key not in self._fwd_cache:
+            cfg, folded = self.cfg, self.folded
+
+            @jax.jit
+            def fn(params, canvas):
+                x = canvas.astype(cfg.compute_dtype if folded else jnp.float32)
+                outs = forward(params, x, cfg, folded=folded)
+                return outs["prob"], outs["loc_pred"]
+            self._fwd_cache[key] = fn
+        return self._fwd_cache[key]
+
+    # -- public API --------------------------------------------------------
+    def estimate_pose(self, image: np.ndarray, scales: Optional[Sequence[float]] = None) -> np.ndarray:
+        """image: HxWx3 BGR uint8 (or float). Returns the reference's 5x14
+        pose [x, y, conf, off_x, off_y], best scale by min-confidence."""
+        if scales is None:
+            scales = [1.0]
+        best_pose, best_conf = None, 0.0
+        for s in scales:
+            pose = self._estimate_single_scale(image, s)
+            minconf = float(np.min(pose[2]))
+            if minconf > best_conf:
+                best_conf, best_pose = minconf, pose
+        return best_pose
+
+    def _estimate_single_scale(self, image: np.ndarray, scale: float) -> np.ndarray:
+        h, w = image.shape[:2]
+        ch, cw = canvas_size(h, scale), canvas_size(w, scale)
+        if max(ch, cw) > self.max_size:
+            sm, loc = self._scoremaps_tiled(image, scale)
+            pose = decode_pose(jnp.asarray(sm), jnp.asarray(loc), scale=scale)
+            return np.asarray(pose)
+        bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)
+        out_h = int(round((h + PAD_SIZE) * scale))
+        out_w = int(round((w + PAD_SIZE) * scale))
+        canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, bh, bw)
+        fn = self._forward_decode(bh, bw)
+        pose, _, _ = fn(self.params, canvas, jnp.int32(ch), jnp.int32(cw),
+                        jnp.float32(scale))
+        return np.asarray(pose)
+
+    def scoremaps(self, image: np.ndarray, scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+        """Full scoremaps + locref for an image (HD path tiles as needed)."""
+        h, w = image.shape[:2]
+        ch, cw = canvas_size(h, scale), canvas_size(w, scale)
+        if max(ch, cw) > self.max_size:
+            return self._scoremaps_tiled(image, scale)
+        out_h = int(round((h + PAD_SIZE) * scale))
+        out_w = int(round((w + PAD_SIZE) * scale))
+        canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)
+        sm, loc = self._forward_maps(ch, cw)(self.params, canvas)
+        return np.asarray(sm[0], np.float32), np.asarray(loc[0], np.float32)
+
+    # -- tiling (reference arithmetic: estimate_pose.py:146-221) ----------
+    def _scoremaps_tiled(self, image: np.ndarray, scale: float) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = image.shape[:2]
+        ch, cw = canvas_size(h, scale), canvas_size(w, scale)
+        out_h = int(round((h + PAD_SIZE) * scale))
+        out_w = int(round((w + PAD_SIZE) * scale))
+        canvas = np.asarray(
+            preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)[0]
+        )
+        cut_off = int(RF // STRIDE)
+        nty = _num_tiles(ch, self.max_size, RF)
+        ntx = _num_tiles(cw, self.max_size, RF)
+        rows_sm, rows_loc = [], []
+        for j in range(nty):
+            sy = j * (self.max_size - 2 * RF)
+            ey = min(sy + self.max_size, ch)
+            row_sm, row_loc = [], []
+            for i in range(ntx):
+                sx = i * (self.max_size - 2 * RF)
+                ex = min(sx + self.max_size, cw)
+                tile = canvas[sy:ey, sx:ex]
+                th = int(math.ceil(tile.shape[0] / STRIDE) * STRIDE)
+                tw = int(math.ceil(tile.shape[1] / STRIDE) * STRIDE)
+                buf = np.zeros((th, tw, 3), np.float32)
+                buf[:tile.shape[0], :tile.shape[1]] = tile
+                sm, loc = self._forward_maps(th, tw)(self.params, jnp.asarray(buf)[None])
+                gh = -(-(ey - sy) // int(STRIDE))
+                gw = -(-(ex - sx) // int(STRIDE))
+                sm = np.asarray(sm[0], np.float32)[:gh, :gw]
+                loc = np.asarray(loc[0], np.float32)[:gh, :gw]
+                sm, loc = _cutoff(sm, ntx, i, cut_off, axis=1), _cutoff(loc, ntx, i, cut_off, axis=1)
+                sm, loc = _cutoff(sm, nty, j, cut_off, axis=0), _cutoff(loc, nty, j, cut_off, axis=0)
+                row_sm.append(sm)
+                row_loc.append(loc)
+            rows_sm.append(np.concatenate(row_sm, axis=1))
+            rows_loc.append(np.concatenate(row_loc, axis=1))
+        return np.concatenate(rows_sm, axis=0), np.concatenate(rows_loc, axis=0)
+
+
+def _has_bn(params: Dict) -> bool:
+    return any(k.startswith("bn") for k in params)
+
+
+def _num_tiles(length: int, max_size: int, rf: int) -> int:
+    """estimate_pose.py:146-156."""
+    if length <= max_size:
+        return 1
+    k = 0
+    while True:
+        new_size = (max_size - rf) * 2 + (max_size - 2 * rf) * k
+        if new_size > length:
+            break
+        k += 1
+    return 2 + k
+
+
+def _cutoff(arr: np.ndarray, num_tiles: int, idx: int, cut: int, axis: int) -> np.ndarray:
+    """Seam trimming (estimate_pose.py:245-259): first tile keeps its leading
+    edge, last keeps its trailing edge, middles lose both."""
+    if num_tiles == 1:
+        return arr
+    sl = [slice(None)] * arr.ndim
+    if idx == 0:
+        sl[axis] = slice(None, -cut)
+    elif idx == num_tiles - 1:
+        sl[axis] = slice(cut, None)
+    else:
+        sl[axis] = slice(cut, -cut)
+    return arr[tuple(sl)]
+
+
+_MODEL_CACHE: Dict = {}
+
+
+def estimate_pose(image: np.ndarray, model_def: str = "", model_bin: str = "",
+                  scales: Optional[Sequence[float]] = None) -> np.ndarray:
+    """Reference-compatible convenience wrapper (estimate_pose.py:37).
+
+    model_bin may be a .caffemodel path; the model is cached module-globally
+    like the reference's _MODEL."""
+    key = (model_def, model_bin)
+    if key not in _MODEL_CACHE:
+        if model_bin:
+            from deepcut_tpu.proto.caffemodel import load_deepercut_params
+            params = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                      for k, v in load_deepercut_params(model_bin).items()}
+        else:
+            from deepcut_tpu.models.resnet import init_params
+            params = init_params(jax.random.PRNGKey(0), deepercut_config(152))
+        _MODEL_CACHE[key] = PoseEstimator(params)
+    return _MODEL_CACHE[key].estimate_pose(image, scales)

@@ -1,0 +1,216 @@
+"""`.caffemodel` (binary NetParameter) reader/writer + pytree converter.
+
+Mirrors the reference's weight-loading semantics
+(Net::CopyTrainedLayersFrom, src/caffe/net.cpp:805-846): layers are matched
+**by name**; each contributes an ordered list of blobs. Legacy V1
+(`NetParameter.layers`, field 2) and V0 (nested `layer`, blobs at field 50)
+containers are handled the way upgrade_proto.cpp does — by lifting
+name + blobs out of the old container.
+
+Field numbers follow the caffe.proto interface:
+  NetParameter:   name=1, layers(V1)=2, layer=100
+  LayerParameter: name=1, type=2, blobs=7
+  V1LayerParameter: layer(V0)=1, name=4, type(enum)=5, blobs=6
+  BlobProto: num=1, channels=2, height=3, width=4, data=5, diff=6,
+             shape=7 (BlobShape.dim=1), double_data=8
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from deepcut_tpu.proto import wire
+
+
+class Blob:
+    __slots__ = ("shape", "data")
+
+    def __init__(self, shape: Tuple[int, ...], data: np.ndarray):
+        self.shape = tuple(int(s) for s in shape)
+        self.data = np.asarray(data, np.float32).reshape(self.shape)
+
+
+def _decode_blob(buf: bytes) -> Blob:
+    fields = wire.decode(buf)
+    if 7 in fields:  # BlobShape
+        shape_fields = wire.decode(fields[7][0][1])
+        shape = tuple(wire.read_ints(shape_fields.get(1, [])))
+    else:  # legacy 4-D num/channels/height/width
+        dims = []
+        for f in (1, 2, 3, 4):
+            if f in fields:
+                dims.append(fields[f][0][1])
+        shape = tuple(dims) if dims else ()
+    if 5 in fields:
+        data = wire.read_floats(fields[5])
+    elif 8 in fields:
+        data = wire.read_doubles(fields[8]).astype(np.float32)
+    else:
+        data = np.zeros((0,), np.float32)
+    if not shape:
+        shape = (len(data),)
+    return Blob(shape, data)
+
+
+def _decode_layer(buf: bytes) -> Tuple[str, str, List[Blob]]:
+    fields = wire.decode(buf)
+    name = wire.read_string(fields[1][0]) if 1 in fields else ""
+    ltype = wire.read_string(fields[2][0]) if 2 in fields else ""
+    blobs = [_decode_blob(v) for _, v in fields.get(7, [])]
+    return name, ltype, blobs
+
+
+def _decode_v1_layer(buf: bytes) -> Tuple[str, str, List[Blob]]:
+    fields = wire.decode(buf)
+    if 1 in fields:  # nested V0LayerParameter
+        v0 = wire.decode(fields[1][0][1])
+        name = wire.read_string(v0[1][0]) if 1 in v0 else ""
+        ltype = wire.read_string(v0[2][0]) if 2 in v0 else ""
+        blobs = [_decode_blob(v) for _, v in v0.get(50, [])]
+        return name, ltype, blobs
+    name = wire.read_string(fields[4][0]) if 4 in fields else ""
+    ltype = str(fields[5][0][1]) if 5 in fields else ""  # numeric V1 enum
+    blobs = [_decode_blob(v) for _, v in fields.get(6, [])]
+    return name, ltype, blobs
+
+
+def load_caffemodel(path: str) -> "OrderedDict[str, List[Blob]]":
+    """Read a .caffemodel into {layer_name: [Blob, ...]} (upgraded as needed)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    return decode_netparameter(buf)
+
+
+def decode_netparameter(buf: bytes) -> "OrderedDict[str, List[Blob]]":
+    fields = wire.decode(buf)
+    out: "OrderedDict[str, List[Blob]]" = OrderedDict()
+    for _, v in fields.get(100, []):  # new-style layer
+        name, _, blobs = _decode_layer(v)
+        if blobs:
+            out[name] = blobs
+    for _, v in fields.get(2, []):  # legacy V1 layers
+        name, _, blobs = _decode_v1_layer(v)
+        if blobs and name not in out:
+            out[name] = blobs
+    return out
+
+
+# --------------------------------------------------------------------------
+# Conversion into the native param pytree (Caffe layout -> NHWC/HWIO)
+# --------------------------------------------------------------------------
+
+
+def conv_blob_to_hwio(blob: Blob, groups: int = 1) -> np.ndarray:
+    """Caffe conv weight (Cout, Cin/g, kh, kw) -> HWIO (kh, kw, Cin/g, Cout)."""
+    return blob.data.transpose(2, 3, 1, 0)
+
+
+def deconv_blob_to_native(blob: Blob) -> np.ndarray:
+    """Caffe deconv weight (Cin, Cout/g, kh, kw) -> (kh, kw, Cin, Cout/g)."""
+    return blob.data.transpose(2, 3, 0, 1)
+
+
+def blobs_to_params(
+    blobs_by_name: "OrderedDict[str, List[Blob]]",
+    *,
+    deconv_names: Optional[List[str]] = None,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Map Caffe blobs into the native param pytree by layer-name pattern.
+
+    - 4-D first blob => conv weight (or deconv for names in `deconv_names`),
+      optional 1-D second blob => bias
+    - 3 blobs of shape (C,),(C,),(1,) => BatchNorm {mean, var, scale_factor}
+    - 2 blobs (C,),(C,) => Scale {gamma, beta}; 1 blob (C,) => {gamma}
+    - 2-D first blob => InnerProduct weight (N_out, K), kept Caffe layout
+    """
+    deconv_set = set(deconv_names or [])
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    for name, blobs in blobs_by_name.items():
+        b0 = blobs[0]
+        entry: Dict[str, np.ndarray] = {}
+        if len(b0.shape) == 4:
+            if name in deconv_set:
+                entry["w"] = deconv_blob_to_native(b0)
+            else:
+                entry["w"] = conv_blob_to_hwio(b0)
+            if len(blobs) > 1:
+                entry["b"] = blobs[1].data.reshape(-1)
+        elif len(blobs) == 3 and blobs[2].data.size == 1:
+            entry = {
+                "mean": blobs[0].data.reshape(-1),
+                "var": blobs[1].data.reshape(-1),
+                "scale_factor": blobs[2].data.reshape(-1),
+            }
+        elif len(blobs) == 2 and len(b0.shape) <= 1 and blobs[1].data.size == b0.data.size:
+            entry = {"gamma": b0.data.reshape(-1), "beta": blobs[1].data.reshape(-1)}
+        elif len(blobs) == 1 and len(b0.shape) <= 1:
+            entry = {"gamma": b0.data.reshape(-1)}
+        elif len(b0.shape) == 2:
+            entry["w"] = b0.data
+            if len(blobs) > 1:
+                entry["b"] = blobs[1].data.reshape(-1)
+        else:
+            entry["blobs"] = [b.data for b in blobs]  # raw fallback
+        params[name] = entry
+    return params
+
+
+def load_deepercut_params(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """One-shot: .caffemodel -> DeeperCut param pytree (Caffe names, HWIO)."""
+    blobs = load_caffemodel(path)
+    deconvs = [n for n in blobs if n.startswith("res5c_up_")]
+    return blobs_to_params(blobs, deconv_names=deconvs)
+
+
+# --------------------------------------------------------------------------
+# Writer (snapshots interchangeable with the reference)
+# --------------------------------------------------------------------------
+
+
+def encode_netparameter(
+    layers: "OrderedDict[str, List[np.ndarray]]", *, net_name: str = "net"
+) -> bytes:
+    enc = wire.Encoder()
+    enc.string(1, net_name)
+    for name, blobs in layers.items():
+        layer = wire.Encoder()
+        layer.string(1, name)
+        layer.string(2, "")
+        for arr in blobs:
+            blob = wire.Encoder()
+            shape = wire.Encoder()
+            shape.packed_int64s(1, np.asarray(arr).shape)
+            blob.message(7, shape)
+            blob.packed_floats(5, np.asarray(arr, np.float32).reshape(-1))
+            layer.message(7, blob)
+        enc.message(100, layer)
+    return enc.tobytes()
+
+
+def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *, net_name: str = "net") -> None:
+    """Write the native pytree back to a reference-readable .caffemodel."""
+    layers: "OrderedDict[str, List[np.ndarray]]" = OrderedDict()
+    for name, entry in params.items():
+        if "mean" in entry:
+            layers[name] = [entry["mean"], entry["var"], entry["scale_factor"]]
+        elif "gamma" in entry:
+            blobs = [entry["gamma"]]
+            if "beta" in entry:
+                blobs.append(entry["beta"])
+            layers[name] = blobs
+        elif "w" in entry:
+            w = np.asarray(entry["w"])
+            if w.ndim == 4:
+                if name.startswith("res5c_up_"):
+                    w = w.transpose(2, 3, 0, 1)  # native deconv -> Caffe
+                else:
+                    w = w.transpose(3, 2, 0, 1)  # HWIO -> Caffe OIHW
+            blobs = [w]
+            if "b" in entry:
+                blobs.append(np.asarray(entry["b"]))
+            layers[name] = blobs
+    with open(path, "wb") as f:
+        f.write(encode_netparameter(layers, net_name=net_name))
