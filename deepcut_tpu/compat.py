@@ -1,0 +1,171 @@
+"""pycaffe-compatible API facade: ``import deepcut_tpu.compat as caffe``.
+
+Gives reference users the familiar surface (python/caffe/pycaffe.py,
+python/caffe/_caffe.cpp): `caffe.Net(prototxt, weights, caffe.TEST)`,
+`net.blobs['data'].data[...] = x`, `net.forward()`, `net.params`,
+`caffe.set_mode_gpu()` etc.
+
+Semantics notes (functional core underneath):
+- Blob `.data` is a host numpy staging buffer. Writing into it stages input
+  (for input blobs) or edits weights (for param blobs, synced on next
+  forward). Outputs appear in blobs after `forward()` — the reference's
+  zero-copy mutable views become copy-on-read, which is the only possible
+  contract when compute runs jitted on an accelerator.
+- `set_mode_cpu/gpu/set_device` are accepted no-ops: device placement
+  belongs to JAX (the reference's Caffe::set_mode global, common.cpp:13-20,
+  has no analog in a functional runtime).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+TRAIN = "TRAIN"
+TEST = "TEST"
+
+
+def set_mode_cpu() -> None:  # noqa: D103 - reference-compat no-op
+    pass
+
+
+def set_mode_gpu() -> None:  # noqa: D103
+    pass
+
+
+def set_device(device_id: int = 0) -> None:  # noqa: D103
+    pass
+
+
+def set_random_seed(seed: int) -> None:
+    np.random.seed(seed)
+
+
+def layer_type_list() -> List[str]:
+    from deepcut_tpu.core import layers as L
+    return sorted(L._BUILDERS)
+
+
+class Blob:
+    """pycaffe-style blob view: mutable `.data`, `.shape`, `reshape`."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = np.ascontiguousarray(data)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def num(self):
+        return self.data.shape[0]
+
+    @property
+    def channels(self):
+        return self.data.shape[1] if self.data.ndim > 1 else 1
+
+    @property
+    def height(self):
+        return self.data.shape[2] if self.data.ndim > 2 else 1
+
+    @property
+    def width(self):
+        return self.data.shape[3] if self.data.ndim > 3 else 1
+
+    def reshape(self, *shape):
+        self.data = np.zeros(shape, np.float32)
+
+    def count(self):
+        return int(self.data.size)
+
+
+class Net:
+    """Drop-in for caffe.Net backed by the jitted graph engine."""
+
+    def __init__(self, model_def: str, *args, **kwargs):
+        import jax.numpy as jnp
+        from deepcut_tpu.core.graph import Net as GraphNet
+
+        weights = kwargs.pop("weights", None)
+        phase = kwargs.pop("phase", TEST)
+        rest = [a for a in args]
+        for a in rest:
+            if a in (TRAIN, TEST):
+                phase = a
+            elif isinstance(a, str):
+                weights = a
+        self._net = GraphNet(model_def, weights=weights, phase=phase,
+                             compute_dtype=kwargs.pop("compute_dtype", None))
+        self.blobs: "OrderedDict[str, Blob]" = OrderedDict()
+        for nm, sh in self._net.input_shapes.items():
+            self.blobs[nm] = Blob(np.zeros(sh, np.float32))
+        self._params_dirty = False
+
+    # -- pycaffe surface ---------------------------------------------------
+    @property
+    def params(self) -> "OrderedDict[str, List[Blob]]":
+        out: "OrderedDict[str, List[Blob]]" = OrderedDict()
+        for name, entry in self._net.params.items():
+            blobs = []
+            order = ["w", "b", "mean", "var", "scale_factor", "gamma", "beta", "slopes"]
+            for key in order:
+                if key in entry:
+                    blobs.append(Blob(np.asarray(entry[key])))
+            if blobs:
+                out[name] = blobs
+        return out
+
+    @property
+    def inputs(self) -> List[str]:
+        return list(self._net.input_names)
+
+    @property
+    def outputs(self) -> List[str]:
+        return self._net.output_names()
+
+    def forward(self, blobs=None, start=None, end=None, **kwargs) -> Dict[str, np.ndarray]:
+        for nm, val in kwargs.items():
+            self.blobs.setdefault(nm, Blob(np.asarray(val, np.float32)))
+            self.blobs[nm].data = np.asarray(val, np.float32)
+        inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
+                  if nm in self.blobs}
+        outs = self._net.forward(**inputs)
+        for nm, val in outs.items():
+            self.blobs[nm] = Blob(val)
+        wanted = set(self.outputs) | set(blobs or [])
+        return {nm: self.blobs[nm].data for nm in wanted if nm in self.blobs}
+
+    def forward_all(self, blobs=None, **kwargs) -> Dict[str, np.ndarray]:
+        """Batched forward over the leading axis (pycaffe.py:170-201)."""
+        num = next(iter(kwargs.values())).shape[0]
+        batch = self.blobs[self.inputs[0]].data.shape[0] if self.inputs else 1
+        collected: Dict[str, List[np.ndarray]] = {}
+        for i in range(0, num, batch):
+            chunk = {k: v[i:i + batch] for k, v in kwargs.items()}
+            outs = self.forward(blobs=blobs, **chunk)
+            for nm, val in outs.items():
+                collected.setdefault(nm, []).append(np.asarray(val))
+        return {nm: np.concatenate(vals) for nm, vals in collected.items()}
+
+    def copy_from(self, weights_path: str) -> None:
+        self._net.load_weights(weights_path)
+
+    def save(self, path: str) -> None:
+        import jax
+        from deepcut_tpu.proto.caffemodel import save_caffemodel
+        save_caffemodel(path, jax.tree_util.tree_map(np.asarray, self._net.params),
+                        net_name=self._net.name)
+
+    def reshape(self) -> None:  # shape inference is automatic under jit
+        pass
+
+    @property
+    def layer_dict(self):
+        return OrderedDict((s.name, s) for _, s in self._net._plan)
+
+
+def get_solver(path: str):
+    from deepcut_tpu.solver.solver import SolverParams
+    return SolverParams.from_prototxt(path)

@@ -1,0 +1,184 @@
+"""Host input pipeline: window-file dataset -> prefetched, bucketed batches.
+
+Replaces the reference's prefetch machinery (MultiBasePrefetchingDataLayer:
+InternalThread + BlockingQueue + 3-deep ring + async GPU push,
+multi_base_data_layer.cpp:52-80) with a Python producer thread feeding a
+bounded queue; device transfer overlaps with compute because jax dispatch is
+asynchronous.
+
+Static-shape discipline: each sample's canvas is padded up to a size bucket
+(multiple of `bucket_step`), targets padded with ignore-labels/zero-weights —
+exactly loss-neutral (see ops/losses.py normalizer semantics) — so a handful
+of compiled train-step programs cover the whole dataset.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from deepcut_tpu.data.window_file import ImageRecord, JointStats, default_stats, parse_window_file
+from deepcut_tpu.pose import targets as T
+
+MEAN_BGR = (104.0, 117.0, 123.0)
+PAD_BORDER = 64  # pose_data_layer.cpp:637
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """uint8 HxWx3 BGR (cv2.imread convention used by the reference)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        arr = np.asarray(im.convert("RGB"))
+    return arr[:, :, ::-1]
+
+
+def prepare_canvas(
+    image_bgr: np.ndarray, scale: float, input_h: int, input_w: int,
+    mean=MEAN_BGR,
+) -> np.ndarray:
+    """Reference image prep (pose_data_layer.cpp:627-667): bilinear resize by
+    scale, 64px replicate pad (bottom/right), paste into a mean-filled canvas,
+    subtract mean. Returns float32 (input_h, input_w, 3)."""
+    from PIL import Image
+
+    h, w = image_bgr.shape[:2]
+    nw, nh = int(round(w * scale)), int(round(h * scale))
+    img = np.asarray(
+        Image.fromarray(image_bgr[:, :, ::-1]).resize((nw, nh), Image.BILINEAR)
+    )[:, :, ::-1]
+    img = np.pad(img, ((0, PAD_BORDER), (0, PAD_BORDER), (0, 0)), mode="edge")
+    canvas = np.empty((input_h, input_w, 3), np.float32)
+    canvas[:] = np.asarray(mean, np.float32)
+    ch = min(input_h, img.shape[0])
+    cw = min(input_w, img.shape[1])
+    canvas[:ch, :cw] = img[:ch, :cw]
+    return canvas - np.asarray(mean, np.float32)
+
+
+def _bucket(v: int, step: int) -> int:
+    return int(math.ceil(v / step) * step)
+
+
+class PoseDataSource:
+    """Training sample stream with reference-equivalent sampling semantics.
+
+    - uniform random image choice, or epoch-shuffled when `cycle` (the fork's
+      cycle_training_data, pose_data_layer.cpp:508-520);
+    - per-sample scale jitter;
+    - rejection of tiny (<100px) and oversize (> max_input_size^2) samples.
+    """
+
+    def __init__(
+        self,
+        source,
+        cfg: T.TargetConfig = T.TargetConfig(),
+        stats: Optional[JointStats] = None,
+        *,
+        root_folder: str = "",
+        cycle: bool = False,
+        seed: int = 0,
+        bucket_step: int = 64,
+        image_loader: Optional[Callable[[str], np.ndarray]] = None,
+    ):
+        if isinstance(source, str):
+            self.records = parse_window_file(source, root_folder)
+        else:
+            self.records = list(source)
+        if not self.records:
+            raise ValueError("empty window file")
+        self.cfg = cfg
+        self.stats = stats or default_stats(cfg.num_classes)
+        self.cycle = cycle
+        self.rng = np.random.RandomState(seed)
+        self.bucket_step = bucket_step
+        self.image_loader = image_loader or load_image_bgr
+        self._order: List[int] = []
+        self._pos = 0
+
+    def _next_index(self) -> int:
+        if self.cycle:
+            if self._pos == 0:
+                self._order = list(self.rng.permutation(len(self.records)))
+            idx = self._order[self._pos]
+            self._pos = (self._pos + 1) % len(self.records)
+            return idx
+        return int(self.rng.randint(len(self.records)))
+
+    def next_sample(self) -> Dict[str, np.ndarray]:
+        """One rasterized sample (unbatched), retrying rejected images."""
+        while True:
+            rec = self.records[self._next_index()]
+            scale = T.sample_scale(self.cfg, self.rng)
+            if not T.accepts(self.cfg, rec.height, rec.width, scale):
+                continue
+            maps = T.rasterize(rec, self.cfg, self.stats, self.rng, scale=scale)
+            ih, iw = int(maps["input_size"][0]), int(maps["input_size"][1])
+            image = self.image_loader(rec.path)
+            maps["image"] = prepare_canvas(image, scale, ih, iw)
+            return maps
+
+    def next_batch(self, batch_size: int = 1) -> Dict[str, np.ndarray]:
+        """Batch of bucket-padded samples (pad with ignore/zero-weight)."""
+        samples = [self.next_sample() for _ in range(batch_size)]
+        bh = _bucket(max(s["image"].shape[0] for s in samples), self.bucket_step)
+        bw = _bucket(max(s["image"].shape[1] for s in samples), self.bucket_step)
+        gh, gw = bh // T.STRIDE, bw // T.STRIDE
+        out: Dict[str, np.ndarray] = {}
+        keys = [k for k in samples[0] if k not in ("scale", "input_size")]
+        for k in keys:
+            pads = []
+            for s in samples:
+                a = s[k]
+                if k == "image":
+                    pad_val, th, tw = 0.0, bh, bw
+                elif k == "part_score_targets":
+                    pad_val, th, tw = T.IGNORE_VALUE, gh, gw
+                else:
+                    pad_val, th, tw = 0.0, gh, gw
+                b = np.full((th, tw) + a.shape[2:], pad_val, np.float32)
+                b[: a.shape[0], : a.shape[1]] = a
+                pads.append(b)
+            out[k] = np.stack(pads)
+        return out
+
+    def batches(self, batch_size: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield self.next_batch(batch_size)
+
+
+class Prefetcher:
+    """Bounded-queue producer thread (PREFETCH_COUNT=3 like pose_layers.hpp:40)."""
+
+    def __init__(self, make_batch: Callable[[], Dict[str, np.ndarray]], depth: int = 3):
+        self.queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._make = make_batch
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._make()
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self) -> Dict[str, np.ndarray]:
+        return self.queue.get()
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)

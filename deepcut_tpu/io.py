@@ -1,0 +1,149 @@
+"""Image / blob IO utilities (reference: python/caffe/io.py).
+
+`Transformer` reproduces the pycaffe preprocessing contract (transpose,
+channel swap, raw scale, mean subtract, input scale) so reference recipes
+port unchanged; array<->BlobProto round-trips interoperate with Caffe tools.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_image(path: str, color: bool = True) -> np.ndarray:
+    """float [0,1] RGB HxWx3 (or HxWx1 grayscale), like caffe.io.load_image."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if color:
+            arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        else:
+            arr = np.asarray(im.convert("L"), np.float32)[:, :, None] / 255.0
+    return arr
+
+
+def resize_image(im: np.ndarray, new_dims: Tuple[int, int], interp_order: int = 1) -> np.ndarray:
+    """Resize HxWxC to new_dims (height, width)."""
+    from PIL import Image
+
+    h, w = int(new_dims[0]), int(new_dims[1])
+    if im.shape[-1] == 1:
+        chans = [im[:, :, 0]]
+    else:
+        chans = [im[:, :, c] for c in range(im.shape[-1])]
+    method = Image.NEAREST if interp_order == 0 else Image.BILINEAR
+    out = []
+    for ch in chans:
+        lo, hi = float(ch.min()), float(ch.max())
+        scale = (hi - lo) or 1.0
+        img8 = Image.fromarray(((ch - lo) / scale * 255).astype(np.uint8))
+        r = np.asarray(img8.resize((w, h), method), np.float32) / 255.0 * scale + lo
+        out.append(r)
+    return np.stack(out, axis=-1)
+
+
+def oversample(images: Sequence[np.ndarray], crop_dims: Tuple[int, int]) -> np.ndarray:
+    """10-crop oversampling: 4 corners + center, mirrored (io.py oversample)."""
+    im_shape = np.array(images[0].shape[:2])
+    crop_dims = np.array(crop_dims)
+    im_center = im_shape / 2.0
+    h_indices = (0, im_shape[0] - crop_dims[0])
+    w_indices = (0, im_shape[1] - crop_dims[1])
+    crops_ix = np.empty((5, 4), dtype=int)
+    curr = 0
+    for i in h_indices:
+        for j in w_indices:
+            crops_ix[curr] = (i, j, i + crop_dims[0], j + crop_dims[1])
+            curr += 1
+    crops_ix[4] = np.tile(im_center, (1, 2)) + np.concatenate(
+        [-crop_dims / 2.0, crop_dims / 2.0])
+    crops_ix = np.tile(crops_ix, (2, 1))
+    crops = np.empty((10 * len(images), crop_dims[0], crop_dims[1],
+                      images[0].shape[-1]), dtype=np.float32)
+    ix = 0
+    for im in images:
+        for crop in crops_ix:
+            crops[ix] = im[crop[0]:crop[2], crop[1]:crop[3], :]
+            ix += 1
+        crops[ix - 5:ix] = crops[ix - 5:ix, :, ::-1, :]  # mirror last 5
+    return crops
+
+
+class Transformer:
+    """Preprocessing pipeline identical to caffe.io.Transformer."""
+
+    def __init__(self, inputs: Dict[str, Tuple[int, ...]]):
+        self.inputs = inputs
+        self.transpose: Dict[str, Tuple[int, ...]] = {}
+        self.channel_swap: Dict[str, Tuple[int, ...]] = {}
+        self.raw_scale: Dict[str, float] = {}
+        self.mean: Dict[str, np.ndarray] = {}
+        self.input_scale: Dict[str, float] = {}
+
+    def set_transpose(self, in_, order):
+        self.transpose[in_] = tuple(order)
+
+    def set_channel_swap(self, in_, order):
+        self.channel_swap[in_] = tuple(order)
+
+    def set_raw_scale(self, in_, scale):
+        self.raw_scale[in_] = scale
+
+    def set_mean(self, in_, mean):
+        mean = np.asarray(mean, np.float32)
+        if mean.ndim == 1 and mean.size > 1:
+            mean = mean[:, None, None]
+        self.mean[in_] = mean
+
+    def set_input_scale(self, in_, scale):
+        self.input_scale[in_] = scale
+
+    def preprocess(self, in_, data: np.ndarray) -> np.ndarray:
+        out = np.asarray(data, np.float32)
+        if in_ in self.transpose:
+            out = out.transpose(self.transpose[in_])
+        if in_ in self.channel_swap:
+            out = out[np.array(self.channel_swap[in_]), :, :]
+        if in_ in self.raw_scale:
+            out = out * self.raw_scale[in_]
+        if in_ in self.mean:
+            out = out - self.mean[in_]
+        if in_ in self.input_scale:
+            out = out * self.input_scale[in_]
+        return out
+
+    def deprocess(self, in_, data: np.ndarray) -> np.ndarray:
+        out = np.asarray(data, np.float32).squeeze()
+        if in_ in self.input_scale:
+            out = out / self.input_scale[in_]
+        if in_ in self.mean:
+            out = out + self.mean[in_]
+        if in_ in self.raw_scale:
+            out = out / self.raw_scale[in_]
+        if in_ in self.channel_swap:
+            inv = np.argsort(self.channel_swap[in_])
+            out = out[inv, :, :]
+        if in_ in self.transpose:
+            out = out.transpose(np.argsort(self.transpose[in_]))
+        return out
+
+
+def array_to_blobproto_bytes(arr: np.ndarray) -> bytes:
+    """Serialise an ndarray as a BlobProto message (reference io.py)."""
+    from deepcut_tpu.proto import wire
+
+    enc = wire.Encoder()
+    shape = wire.Encoder()
+    shape.packed_int64s(1, arr.shape)
+    enc.message(7, shape)
+    enc.packed_floats(5, np.asarray(arr, np.float32).reshape(-1))
+    return enc.tobytes()
+
+
+def blobproto_bytes_to_array(buf: bytes) -> np.ndarray:
+    from deepcut_tpu.proto.caffemodel import _decode_blob
+
+    blob = _decode_blob(buf)
+    return blob.data

@@ -152,13 +152,17 @@ def init_params(rng: jax.Array, cfg: DeeperCutConfig = DeeperCutConfig()) -> Par
     if cfg.pairwise:
         heads.append(("next", cfg.pairwise_channels))
     for head, ch in heads:
-        # Deconv weight layout (kh, kw, Cin, Cout): see ops/conv.py deconv2d.
-        std = math.sqrt(2.0 / (3 * 3 * top_c))
+        # Heads use gaussian std 0.01 like the reference's finetune prototxts
+        # (new layers on top of a pretrained trunk). Deconv weight layout
+        # (kh, kw, Cin, Cout): see ops/conv.py deconv2d.
         params[f"res5c_up_{head}"] = {
-            "w": std * jax.random.normal(next(keys), (3, 3, top_c, ch), jnp.float32),
+            "w": 0.01 * jax.random.normal(next(keys), (3, 3, top_c, ch), jnp.float32),
             "b": jnp.zeros((ch,), jnp.float32),
         }
-        add_conv(f"res3d_{head}", 1, 1, skip_c, ch, bias=True)
+        params[f"res3d_{head}"] = {
+            "w": 0.01 * jax.random.normal(next(keys), (1, 1, skip_c, ch), jnp.float32),
+            "b": jnp.zeros((ch,), jnp.float32),
+        }
     return params
 
 

@@ -1,0 +1,260 @@
+"""Training loop: the reference Solver (src/caffe/solver.cpp) made functional.
+
+`SolverParams` parses the same solver.prototxt files (SolverParameter schema);
+`PoseSolver` runs the DeeperCut training loop: prefetched batches, iter_size
+gradient accumulation, smoothed-loss display, periodic snapshot, SIGINT ->
+stop / SIGHUP -> snapshot (reference: util/signal_handler.cpp +
+solver.cpp:260-273), and resume from snapshot.
+
+Snapshots are dual-format, mirroring the reference's model/state split
+(solver.cpp:411-481): a `.npz` with params + solver history + iter (the
+SolverState analog) and optionally a reference-readable `.caffemodel`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import signal as _signal
+import time
+from collections import deque
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.proto.text_format import PbNode
+from deepcut_tpu.solver import update_rules
+from deepcut_tpu.solver.update_rules import SolverConfig
+
+
+@dataclasses.dataclass
+class SolverParams:
+    """Loop-level knobs from SolverParameter + the update-rule SolverConfig."""
+
+    config: SolverConfig
+    max_iter: int = 100000
+    display: int = 20
+    average_loss: int = 1
+    snapshot: int = 0
+    snapshot_prefix: str = "snapshot"
+    test_interval: int = 0
+    test_iter: int = 0
+    random_seed: int = -1
+    train_net: str = ""
+
+    @staticmethod
+    def from_prototxt(path_or_text: str) -> "SolverParams":
+        if "\n" not in path_or_text and os.path.exists(path_or_text):
+            node = text_format.parse_file(path_or_text)
+        else:
+            node = text_format.parse(path_or_text)
+        return SolverParams.from_node(node)
+
+    @staticmethod
+    def from_node(node: PbNode) -> "SolverParams":
+        # Legacy solver_type enum (upgrade_proto.cpp semantics).
+        legacy = {0: "SGD", 1: "Nesterov", 2: "AdaGrad", 3: "RMSProp",
+                  4: "AdaDelta", 5: "Adam"}
+        stype = node.get_str("type", None)
+        if stype is None:
+            st = node.get("solver_type", 0)
+            stype = legacy.get(int(st) if not isinstance(st, str) else
+                               {"SGD": 0, "NESTEROV": 1, "ADAGRAD": 2,
+                                "RMSPROP": 3, "ADADELTA": 4, "ADAM": 5}.get(st, 0), "SGD")
+        cfg = SolverConfig(
+            solver_type=stype,
+            base_lr=node.get_float("base_lr", 0.01),
+            lr_policy=node.get_str("lr_policy", "fixed"),
+            gamma=node.get_float("gamma", 0.1),
+            power=node.get_float("power", 1.0),
+            stepsize=node.get_int("stepsize", 100000),
+            stepvalue=tuple(int(v) for v in node.get_list("stepvalue")),
+            stagelr=tuple(float(v) for v in node.get_list("multistep_lr")),
+            max_iter=node.get_int("max_iter", 100000),
+            momentum=node.get_float("momentum", 0.9),
+            momentum2=node.get_float("momentum2", 0.999),
+            rms_decay=node.get_float("rms_decay", 0.99),
+            delta=node.get_float("delta", 1e-8),
+            weight_decay=node.get_float("weight_decay", 0.0005),
+            regularization_type=node.get_str("regularization_type", "L2"),
+            clip_gradients=node.get_float("clip_gradients", -1.0),
+            iter_size=node.get_int("iter_size", 1),
+        )
+        return SolverParams(
+            config=cfg,
+            max_iter=node.get_int("max_iter", 100000),
+            display=node.get_int("display", 20),
+            average_loss=node.get_int("average_loss", 1),
+            snapshot=node.get_int("snapshot", 0),
+            snapshot_prefix=node.get_str("snapshot_prefix", "snapshot"),
+            test_interval=node.get_int("test_interval", 0),
+            test_iter=int(node.get_list("test_iter")[0]) if node.get_list("test_iter") else 0,
+            random_seed=node.get_int("random_seed", -1),
+            train_net=node.get_str("train_net", node.get_str("net", "")),
+        )
+
+
+# -- checkpoint helpers -----------------------------------------------------
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(val)
+    return root
+
+
+def save_checkpoint(path: str, params: Any, state: Any) -> None:
+    flat = {}
+    flat.update({f"params/{k}": v for k, v in _flatten(params).items()})
+    flat.update({f"state/{k}": v for k, v in _flatten(state).items()})
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str):
+    data = np.load(path, allow_pickle=False)
+    params_flat = {k[len("params/"):]: data[k] for k in data.files if k.startswith("params/")}
+    state_flat = {k[len("state/"):]: data[k] for k in data.files if k.startswith("state/")}
+    return _unflatten(params_flat), _unflatten(state_flat)
+
+
+# -- signal handling (reference: util/signal_handler.cpp) -------------------
+
+
+class SignalHandler:
+    """SIGINT -> STOP, SIGHUP -> SNAPSHOT (polled flags, like the reference)."""
+
+    def __init__(self, enable: bool = True):
+        self.stop_requested = False
+        self.snapshot_requested = False
+        if enable:
+            try:
+                _signal.signal(_signal.SIGINT, self._on_sigint)
+                _signal.signal(_signal.SIGHUP, self._on_sighup)
+            except ValueError:
+                pass  # not the main thread
+
+    def _on_sigint(self, *_):
+        self.stop_requested = True
+
+    def _on_sighup(self, *_):
+        self.snapshot_requested = True
+
+
+class PoseSolver:
+    """DeeperCut training driver (native model path).
+
+    batch_source: callable returning the next batch dict (host numpy).
+    """
+
+    def __init__(
+        self,
+        params: SolverParams,
+        model_cfg,
+        batch_source: Callable[[], Dict[str, np.ndarray]],
+        *,
+        net_params: Optional[Any] = None,
+        mesh=None,
+        lr_mults: Optional[Any] = None,
+        handle_signals: bool = True,
+        log: Callable[[str], None] = print,
+    ):
+        from deepcut_tpu.models.resnet import init_params
+        from deepcut_tpu.models.train import loss_fn
+
+        self.params_cfg = params
+        self.model_cfg = model_cfg
+        self.batch_source = batch_source
+        self.mesh = mesh
+        self.log = log
+        seed = params.random_seed if params.random_seed >= 0 else 0
+        self.net_params = net_params if net_params is not None else init_params(
+            jax.random.PRNGKey(seed), model_cfg)
+        self.state = update_rules.init_state(params.config, self.net_params)
+        self.signals = SignalHandler(handle_signals)
+        self._loss_window = deque(maxlen=max(params.average_loss, 1))
+        self._grad_fn = jax.jit(
+            jax.value_and_grad(lambda p, b: loss_fn(p, b, model_cfg), has_aux=True)
+        )
+        scfg = params.config
+        self._update_fn = jax.jit(
+            lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
+        )
+
+    @property
+    def iter(self) -> int:
+        return int(self.state["iter"])
+
+    def step(self, iters: int) -> None:
+        """Reference Solver::Step (solver.cpp:193-275): iter_size
+        accumulation, smoothed-loss display, snapshot on interval/signal."""
+        cfg = self.params_cfg
+        for _ in range(iters):
+            if self.signals.stop_requested:
+                self.log(f"Optimization stopped by signal at iter {self.iter}.")
+                break
+            if self.signals.snapshot_requested:
+                self.snapshot()
+                self.signals.snapshot_requested = False
+            grads = None
+            total = 0.0
+            metrics = {}
+            for _ in range(cfg.config.iter_size):
+                batch = {k: jnp.asarray(v) for k, v in self.batch_source().items()}
+                (loss, metrics), g = self._grad_fn(self.net_params, batch)
+                grads = g if grads is None else jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads, g)
+                total += float(loss)
+            self.net_params, self.state = self._update_fn(self.net_params, grads, self.state)
+            self._loss_window.append(total / cfg.config.iter_size)
+            it = self.iter
+            if cfg.display and it % cfg.display == 0:
+                smoothed = sum(self._loss_window) / len(self._loss_window)
+                lr = float(update_rules.learning_rate(cfg.config, it - 1))
+                parts = ", ".join(
+                    f"{k} = {float(v):.4f}" for k, v in sorted(metrics.items()))
+                self.log(f"Iteration {it}, loss = {smoothed:.5f} ({parts}), lr = {lr:.6g}")
+            if cfg.snapshot and it % cfg.snapshot == 0:
+                self.snapshot()
+
+    def solve(self) -> None:
+        self.log(f"Solving with {self.params_cfg.config.solver_type}, "
+                 f"max_iter = {self.params_cfg.max_iter}")
+        t0 = time.time()
+        self.step(self.params_cfg.max_iter - self.iter)
+        self.log(f"Optimization done in {time.time() - t0:.1f}s.")
+        if self.params_cfg.snapshot:
+            self.snapshot()
+
+    # -- snapshot/restore (reference: solver.cpp:411-481) ------------------
+    def snapshot(self, export_caffemodel: bool = False) -> str:
+        path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
+        save_checkpoint(path, self.net_params, self.state)
+        self.log(f"Snapshotting to {path}")
+        if export_caffemodel:
+            from deepcut_tpu.proto.caffemodel import save_caffemodel
+            cm = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.caffemodel"
+            save_caffemodel(cm, jax.tree_util.tree_map(np.asarray, self.net_params))
+            self.log(f"Snapshotting model weights to {cm}")
+        return path
+
+    def restore(self, path: str) -> None:
+        self.net_params, self.state = load_checkpoint(path)
+        self.log(f"Restored from {path} at iter {self.iter}")

@@ -54,21 +54,18 @@ def learning_rate(cfg: SolverConfig, it) -> jax.Array:
         return cfg.base_lr * jnp.power(cfg.gamma, it)
     if p == "inv":
         return cfg.base_lr * jnp.power(1.0 + cfg.gamma * it, -cfg.power)
-    if p == "multistep":
-        step = jnp.sum(it >= jnp.asarray(cfg.stepvalue, jnp.float32)) if cfg.stepvalue else 0
-        return cfg.base_lr * jnp.power(cfg.gamma, step.astype(jnp.float32))
+    if p in ("multistep", "multistep_lr"):
+        stage = jnp.sum(it >= jnp.asarray(cfg.stepvalue, jnp.float32)) if cfg.stepvalue else jnp.int32(0)
+        if cfg.stagelr:
+            # fork addition (caffe.proto field multistep_lr=41, consumed in
+            # sgd_solver.cpp:49-50): explicit lr per stage incl. stage 0.
+            lrs = jnp.asarray(cfg.stagelr, jnp.float32)
+            return lrs[jnp.minimum(stage, len(cfg.stagelr) - 1)]
+        return cfg.base_lr * jnp.power(cfg.gamma, stage.astype(jnp.float32))
     if p == "poly":
         return cfg.base_lr * jnp.power(1.0 - it / cfg.max_iter, cfg.power)
     if p == "sigmoid":
         return cfg.base_lr / (1.0 + jnp.exp(-cfg.gamma * (it - cfg.stepsize)))
-    if p == "multistep_lr":
-        # fork addition (sgd_solver.cpp:49-53): explicit lr per stage; stage
-        # advances each time iter passes the next stepvalue.
-        if not cfg.stepvalue:
-            return jnp.float32(cfg.base_lr)
-        stage = jnp.sum(it >= jnp.asarray(cfg.stepvalue, jnp.float32))
-        lrs = jnp.asarray((cfg.base_lr,) + tuple(cfg.stagelr), jnp.float32)
-        return lrs[jnp.minimum(stage, len(cfg.stagelr))]
     raise ValueError(f"unknown lr_policy {cfg.lr_policy!r}")
 
 

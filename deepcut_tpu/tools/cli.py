@@ -1,0 +1,239 @@
+"""Command-line front end: train / test / time / device_query.
+
+Mirrors tools/caffe.cpp's brew verbs and flags (-solver, -model, -weights,
+-snapshot, -iterations, -gpu). Differences by design:
+
+- `-gpu all` style device selection becomes mesh configuration: the train
+  step shards the batch over every visible device (JAX owns placement);
+- `time` reports both the honest fused-graph step time (what you actually
+  pay on TPU) and an optional per-layer breakdown executed unfused
+  (`-per_layer`), since XLA fusion makes per-layer wall-clock a fiction.
+
+Usage: python -m deepcut_tpu.tools.cli <verb> [flags]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def device_query(args) -> int:
+    import jax
+
+    for d in jax.devices():
+        print(f"Device id:   {d.id}")
+        print(f"  platform:  {d.platform}")
+        print(f"  kind:      {d.device_kind}")
+        try:
+            stats = d.memory_stats()
+            if stats:
+                total = stats.get("bytes_limit", 0) / 2**30
+                used = stats.get("bytes_in_use", 0) / 2**30
+                print(f"  memory:    {used:.2f} / {total:.2f} GiB in use")
+        except Exception:
+            pass
+    return 0
+
+
+def _target_config_from_layer(node) -> "TargetConfig":
+    from deepcut_tpu.pose.targets import TargetConfig
+
+    pp = node.get("pose_data_param")
+    if pp is None:
+        raise ValueError("train net has no PoseData layer")
+    kw = dict(
+        num_classes=pp.get_int("num_classes", 14),
+        scale=pp.get_float("scale", 1.0),
+        fg_threshold=pp.get_float("fg_threshold", 17.0),
+        soft_labels=pp.get_bool("soft_labels", False),
+        gauss_blob_sigma=pp.get_float("gauss_blob_sigma", 10.0),
+        multi_label=pp.get_bool("multi_label", False),
+        no_bg_class=pp.get_bool("no_bg_class", False),
+        location_refinement=pp.get_bool("location_refinement", False),
+        regress_to_other=pp.get_bool("regress_to_other", False),
+        weight_targets=pp.get_bool("weight_targets", False),
+        max_input_size=pp.get_int("max_input_size", 700),
+    )
+    if pp.has("scale_jitter_lo") and pp.has("scale_jitter_up"):
+        kw["scale_jitter_lo"] = pp.get_float("scale_jitter_lo")
+        kw["scale_jitter_up"] = pp.get_float("scale_jitter_up")
+    if pp.has("fg_fraction"):
+        kw["fg_fraction"] = pp.get_float("fg_fraction")
+    if pp.has("bg_threshold"):
+        kw["bg_threshold"] = pp.get_float("bg_threshold")
+    return TargetConfig(**kw), pp
+
+
+def train(args) -> int:
+    import jax.numpy as jnp
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.solver.solver import SolverParams, PoseSolver
+    from deepcut_tpu.data.pipeline import PoseDataSource, Prefetcher
+    from deepcut_tpu.data.window_file import parse_stats_file
+    from deepcut_tpu.models.resnet import deepercut_config
+
+    sp = SolverParams.from_prototxt(args.solver)
+    if not sp.train_net:
+        print("solver has no train net", file=sys.stderr)
+        return 1
+    net_proto = text_format.parse_file(sp.train_net)
+    data_layer = None
+    for layer in net_proto.get_list("layer"):
+        if layer.get_str("type") == "PoseData":
+            data_layer = layer
+            break
+    tcfg, pp = _target_config_from_layer(data_layer)
+    stats = None
+    if pp.get_str("joint_pairs_stats"):
+        stats = parse_stats_file(pp.get_str("joint_pairs_stats"))
+    source = PoseDataSource(
+        pp.get_str("source"), tcfg, stats,
+        root_folder=pp.get_str("root_folder", ""),
+        cycle=pp.get_bool("cycle_training_data", False),
+        seed=max(sp.random_seed, 0),
+    )
+    model_cfg = deepercut_config(
+        args.resnet,
+        num_joints=tcfg.num_classes,
+        location_refinement=tcfg.location_refinement,
+        pairwise=tcfg.regress_to_other,
+    )
+    prefetch = Prefetcher(lambda: source.next_batch(args.batch_size), depth=3)
+    net_params = None
+    if args.weights:
+        from deepcut_tpu.proto.caffemodel import load_deepercut_params
+        import jax
+        net_params = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+                      for k, v in load_deepercut_params(args.weights).items()}
+        from deepcut_tpu.models.resnet import init_params
+        import jax.random as jr
+        base = init_params(jr.PRNGKey(0), model_cfg)
+        base.update({k: v for k, v in net_params.items() if k in base})
+        net_params = base
+    solver = PoseSolver(sp, model_cfg, prefetch.get, net_params=net_params)
+    if args.snapshot:
+        solver.restore(args.snapshot)
+    try:
+        solver.solve()
+    finally:
+        prefetch.stop()
+    return 0
+
+
+def test(args) -> int:
+    import jax.numpy as jnp
+    from deepcut_tpu.core.graph import Net
+
+    net = Net(args.model, weights=args.weights or None, phase="TEST",
+              compute_dtype=None if args.fp32 else jnp.bfloat16)
+    shapes = net.input_shapes
+    if not shapes:
+        print("model has no declared inputs", file=sys.stderr)
+        return 1
+    rng = np.random.RandomState(0)
+    sums: Dict[str, float] = {}
+    for i in range(args.iterations):
+        inputs = {nm: rng.randn(*sh).astype(np.float32) for nm, sh in shapes.items()}
+        outs = net.forward(**inputs)
+        for nm in net.output_names():
+            val = outs[nm]
+            sums[nm] = sums.get(nm, 0.0) + float(np.mean(val))
+    for nm, s in sums.items():
+        print(f"{nm} = {s / args.iterations:.6f}")
+    return 0
+
+
+def time_cmd(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from deepcut_tpu.core.graph import Net
+
+    net = Net(args.model, phase="TEST",
+              compute_dtype=None if args.fp32 else jnp.bfloat16)
+    shapes = net.input_shapes
+    inputs = {nm: np.zeros(sh, np.float32) for nm, sh in shapes.items()}
+    print(f"Timing {net.name}: {len(net._plan)} layers, "
+          f"{args.iterations} iterations")
+    # Fused whole-graph timing (the real number).
+    net.forward(**inputs)  # compile
+    t0 = _time.perf_counter()
+    for _ in range(args.iterations):
+        out = net.forward(**inputs)
+    dt = (_time.perf_counter() - t0) / args.iterations
+    print(f"Average fused forward: {dt * 1000:.3f} ms")
+
+    if args.per_layer:
+        # Unfused per-layer timing (diagnostic; overheads included).
+        dev_inputs = {}
+        for nm, arr in inputs.items():
+            a = jnp.asarray(arr)
+            if a.ndim == 4:
+                a = jnp.transpose(a, (0, 2, 3, 1))
+            dev_inputs[nm] = a
+        blobs = dict(dev_inputs)
+        rows: List = []
+        for fn, spec in net._plan:
+            bottoms = [blobs[b] for b in spec.bottoms]
+            jfn = jax.jit(lambda p, bs, fn=fn: fn(p, bs))
+            outs = jfn(net.params.get(spec.name), bottoms)  # compile
+            jax.block_until_ready(outs)
+            t0 = _time.perf_counter()
+            for _ in range(args.iterations):
+                outs = jfn(net.params.get(spec.name), bottoms)
+            jax.block_until_ready(outs)
+            per = (_time.perf_counter() - t0) / args.iterations * 1000
+            rows.append((spec.name, spec.type, per))
+            if not isinstance(outs, (list, tuple)):
+                outs = [outs]
+            for top, val in zip(spec.tops, outs):
+                blobs[top] = val
+        rows.sort(key=lambda r: -r[2])
+        print(f"{'layer':40s} {'type':20s} {'ms':>8s}")
+        for name, typ, ms in rows[: args.top]:
+            print(f"{name:40s} {typ:20s} {ms:8.3f}")
+        print(f"Sum of unfused layers: {sum(r[2] for r in rows):.2f} ms "
+              f"(fusion speedup vs sum: {sum(r[2] for r in rows) / (dt * 1000):.1f}x)")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="deepcut_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="verb", required=True)
+
+    p = sub.add_parser("device_query", help="show available accelerators")
+    p.set_defaults(fn=device_query)
+
+    p = sub.add_parser("train", help="train a model from a solver prototxt")
+    p.add_argument("-solver", required=True)
+    p.add_argument("-snapshot", default="", help="resume from .npz snapshot")
+    p.add_argument("-weights", default="", help="finetune from .caffemodel")
+    p.add_argument("-batch_size", type=int, default=1)
+    p.add_argument("-resnet", type=int, default=152, choices=(50, 101, 152))
+    p.set_defaults(fn=train)
+
+    p = sub.add_parser("test", help="score a model")
+    p.add_argument("-model", required=True)
+    p.add_argument("-weights", default="")
+    p.add_argument("-iterations", type=int, default=50)
+    p.add_argument("-fp32", action="store_true")
+    p.set_defaults(fn=test)
+
+    p = sub.add_parser("time", help="benchmark model execution")
+    p.add_argument("-model", required=True)
+    p.add_argument("-iterations", type=int, default=10)
+    p.add_argument("-per_layer", action="store_true")
+    p.add_argument("-top", type=int, default=30)
+    p.add_argument("-fp32", action="store_true")
+    p.set_defaults(fn=time_cmd)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

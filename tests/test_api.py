@@ -1,0 +1,110 @@
+"""Front-end surfaces: net_spec authoring, pycaffe-compat facade, io utils."""
+
+import numpy as np
+import pytest
+
+from deepcut_tpu.net_spec import NetSpec, layers as L
+from deepcut_tpu.proto import text_format
+import deepcut_tpu.compat as caffe
+from deepcut_tpu import io as dio
+
+
+def _tiny_prototxt() -> str:
+    return """
+    name: "tiny"
+    input: "data"
+    input_dim: 1 input_dim: 3 input_dim: 16 input_dim: 16
+    layer {
+      name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+      convolution_param {
+        num_output: 4 kernel_size: 3 pad: 1
+        weight_filler { type: "gaussian" std: 0.1 }
+      }
+    }
+    layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+    layer {
+      name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+      pooling_param { kernel_size: 2 stride: 2 pool: MAX }
+    }
+    layer { name: "prob" type: "Sigmoid" bottom: "pool1" top: "prob" }
+    """
+
+
+def test_net_spec_roundtrip(tmp_path):
+    n = NetSpec()
+    n.data = L.Input(input_param=dict(shape=dict(dim=[1, 3, 8, 8])))
+    n.conv1 = L.Convolution(n.data, num_output=4, kernel_size=3, pad=1,
+                            weight_filler=dict(type="gaussian", std=0.1))
+    n.relu1 = L.ReLU(n.conv1, in_place=True)
+    n.pool1 = L.Pooling(n.relu1, kernel_size=2, stride=2, pool="MAX")
+    text = n.to_proto_text()
+    node = text_format.parse(text)
+    layers_ = node.get_list("layer")
+    types = [l.get_str("type") for l in layers_]
+    assert types == ["Input", "Convolution", "ReLU", "Pooling"]
+    relu = layers_[2]
+    assert relu.get_list("bottom") == relu.get_list("top")  # in-place
+    conv = layers_[1]
+    assert conv.get("convolution_param").get_int("num_output") == 4
+    net = n.to_net(compute_dtype=None)
+    out = net.forward(data=np.random.RandomState(0).randn(1, 3, 8, 8).astype(np.float32))
+    assert out["pool1"].shape == (1, 4, 4, 4)
+
+
+def test_compat_net_forward(tmp_path):
+    path = tmp_path / "tiny.prototxt"
+    path.write_text(_tiny_prototxt())
+    net = caffe.Net(str(path), caffe.TEST)
+    assert net.inputs == ["data"]
+    assert net.outputs == ["prob"]
+    x = np.random.RandomState(1).randn(1, 3, 16, 16).astype(np.float32)
+    net.blobs["data"].data[...] = x
+    out = net.forward()
+    assert out["prob"].shape == (1, 4, 8, 8)
+    assert np.all(out["prob"] >= 0) and np.all(out["prob"] <= 1)
+    # kwargs style
+    out2 = net.forward(data=x)
+    np.testing.assert_array_equal(out["prob"], out2["prob"])
+    # params view exposes conv weights in Caffe-free layout
+    assert "conv1" in net.params
+    assert net.params["conv1"][0].data.shape == (3, 3, 3, 4)  # HWIO
+
+
+def test_compat_save_and_copy_from(tmp_path):
+    path = tmp_path / "tiny.prototxt"
+    path.write_text(_tiny_prototxt())
+    net = caffe.Net(str(path), caffe.TEST)
+    x = np.random.RandomState(1).randn(1, 3, 16, 16).astype(np.float32)
+    a = net.forward(data=x)["prob"]
+    model_path = str(tmp_path / "tiny.caffemodel")
+    net.save(model_path)
+    net2 = caffe.Net(str(path), model_path, caffe.TEST)
+    b = net2.forward(data=x)["prob"]
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_transformer_roundtrip():
+    t = dio.Transformer({"data": (1, 3, 4, 4)})
+    t.set_transpose("data", (2, 0, 1))
+    t.set_channel_swap("data", (2, 1, 0))
+    t.set_raw_scale("data", 255.0)
+    t.set_mean("data", np.array([104.0, 117.0, 123.0]))
+    img = np.random.RandomState(0).rand(4, 4, 3).astype(np.float32)
+    pre = t.preprocess("data", img)
+    assert pre.shape == (3, 4, 4)
+    back = t.deprocess("data", pre)
+    np.testing.assert_allclose(back, img, rtol=1e-5, atol=1e-5)
+
+
+def test_blobproto_roundtrip():
+    arr = np.random.RandomState(0).randn(2, 3, 4).astype(np.float32)
+    buf = dio.array_to_blobproto_bytes(arr)
+    back = dio.blobproto_bytes_to_array(buf)
+    np.testing.assert_array_equal(arr, back)
+
+
+def test_oversample():
+    ims = [np.random.RandomState(0).rand(10, 10, 3).astype(np.float32)]
+    crops = dio.oversample(ims, (8, 8))
+    assert crops.shape == (10, 8, 8, 3)
+    np.testing.assert_array_equal(crops[5], crops[0][:, ::-1, :])

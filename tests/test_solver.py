@@ -93,9 +93,9 @@ def test_lr_policies():
     assert float(learning_rate(SolverConfig(base_lr=0.1, lr_policy="inv", gamma=0.0001, power=0.75), 0)) == pytest.approx(0.1)
     assert float(learning_rate(SolverConfig(base_lr=0.1, lr_policy="multistep", gamma=0.1, stepvalue=(10, 20)), 15)) == pytest.approx(0.01)
     assert float(learning_rate(SolverConfig(base_lr=0.1, lr_policy="poly", power=2.0, max_iter=100), 50)) == pytest.approx(0.1 * 0.25)
-    # fork's multistep_lr: explicit stage lrs
-    cfg = SolverConfig(base_lr=0.005, lr_policy="multistep_lr",
-                       stepvalue=(10000, 20000), stagelr=(0.002, 0.001))
+    # fork's multistep_lr list: rate = multistep_lr[stage] (incl. stage 0)
+    cfg = SolverConfig(base_lr=0.005, lr_policy="multistep",
+                       stepvalue=(10000, 20000), stagelr=(0.005, 0.002, 0.001))
     assert float(learning_rate(cfg, 5000)) == pytest.approx(0.005)
     assert float(learning_rate(cfg, 15000)) == pytest.approx(0.002)
     assert float(learning_rate(cfg, 30000)) == pytest.approx(0.001)

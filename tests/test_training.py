@@ -1,0 +1,185 @@
+"""End-to-end training loop: loss decreases, snapshot/restore equivalence.
+
+Mirrors the reference's test_gradient_based_solver.cpp headline checks,
+especially snapshot/restore: training k iters, snapshotting, restoring, and
+continuing must produce the same params as training straight through.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcut_tpu.data.window_file import ImageRecord, Person
+from deepcut_tpu.data.pipeline import PoseDataSource, Prefetcher
+from deepcut_tpu.pose.targets import TargetConfig
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.solver.solver import SolverParams, PoseSolver, save_checkpoint, load_checkpoint
+from deepcut_tpu.solver.update_rules import SolverConfig
+
+TINY_MODEL = DeeperCutConfig(
+    depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8), num_joints=14,
+    pairwise=False, compute_dtype=jnp.float32,
+)
+
+
+def _records(n=4):
+    rng = np.random.RandomState(0)
+    recs = []
+    for i in range(n):
+        k = rng.randint(6, 14)
+        classes = (rng.permutation(14)[:k] + 1).astype(np.int32)
+        xy = np.stack([rng.uniform(10, 150, k), rng.uniform(10, 110, k)], 1).astype(np.float32)
+        recs.append(ImageRecord(f"img{i}", 3, 120, 160, [Person(classes, xy)]))
+    return recs
+
+
+def _source(seed=0):
+    cfg = TargetConfig(num_classes=14, no_bg_class=True, soft_labels=True,
+                       location_refinement=True, fg_threshold=17.0)
+    rng = np.random.RandomState(99)
+    fake_images = {}
+
+    def loader(path):
+        if path not in fake_images:
+            fake_images[path] = rng.randint(0, 255, (120, 160, 3), np.uint8)
+        return fake_images[path]
+
+    return PoseDataSource(_records(), cfg, seed=seed, image_loader=loader,
+                          bucket_step=32)
+
+
+def _solver_params(max_iter=6, snapshot_prefix="/tmp/dc_test"):
+    return SolverParams(
+        config=SolverConfig(solver_type="SGD", base_lr=0.001, momentum=0.9,
+                            weight_decay=0.0001, lr_policy="fixed",
+                            clip_gradients=1.0),
+        max_iter=max_iter, display=0, snapshot=0, snapshot_prefix=snapshot_prefix,
+    )
+
+
+def test_loss_decreases():
+    src = _source()
+    batches = [src.next_batch(1) for _ in range(3)]
+    i = [0]
+
+    def batch_source():
+        b = batches[i[0] % 3]
+        i[0] += 1
+        return b
+
+    solver = PoseSolver(_solver_params(), TINY_MODEL, batch_source,
+                        handle_signals=False, log=lambda *_: None)
+    losses = []
+    for _ in range(6):
+        before = solver.iter
+        solver.step(1)
+        assert solver.iter == before + 1
+    # re-evaluate first batch loss before/after is implicit: run more steps
+    from deepcut_tpu.models.train import loss_fn
+    l0 = float(loss_fn(init_params(jax.random.PRNGKey(0), TINY_MODEL),
+                       {k: jnp.asarray(v) for k, v in batches[0].items()}, TINY_MODEL)[0])
+    l1 = float(loss_fn(solver.net_params,
+                       {k: jnp.asarray(v) for k, v in batches[0].items()}, TINY_MODEL)[0])
+    assert np.isfinite(l1)
+    assert l1 < l0, (l0, l1)
+
+
+def test_snapshot_restore_equivalence(tmp_path):
+    def run(n_iters, restore_at=None):
+        src = _source(seed=3)
+        batches = [src.next_batch(1) for _ in range(10)]
+        i = [0]
+
+        def batch_source():
+            b = batches[i[0] % 10]
+            i[0] += 1
+            return b
+
+        sp = _solver_params(snapshot_prefix=str(tmp_path / "snap"))
+        solver = PoseSolver(sp, TINY_MODEL, batch_source,
+                            handle_signals=False, log=lambda *_: None)
+        ckpt = None
+        for it in range(n_iters):
+            solver.step(1)
+            if restore_at is not None and it + 1 == restore_at:
+                ckpt = solver.snapshot()
+        return solver, ckpt, batch_source
+
+    straight, _, _ = run(5)
+
+    # train 3, snapshot, new solver restores and continues with same batches
+    solver_a, ckpt, _ = run(3, restore_at=3)
+    src = _source(seed=3)
+    batches = [src.next_batch(1) for _ in range(10)]
+    i = [3]
+
+    def batch_source_resumed():
+        b = batches[i[0] % 10]
+        i[0] += 1
+        return b
+
+    sp = _solver_params(snapshot_prefix=str(tmp_path / "snap2"))
+    resumed = PoseSolver(sp, TINY_MODEL, batch_source_resumed,
+                         handle_signals=False, log=lambda *_: None)
+    resumed.restore(ckpt)
+    assert resumed.iter == 3
+    resumed.step(2)
+
+    flat_s = jax.tree_util.tree_leaves(straight.net_params)
+    flat_r = jax.tree_util.tree_leaves(resumed.net_params)
+    for a, b in zip(flat_s, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"layer": {"w": jnp.ones((2, 3)), "b": jnp.zeros((3,))}}
+    state = {"iter": jnp.asarray(7, jnp.int32),
+             "history": {"layer": {"w": jnp.full((2, 3), 0.5), "b": jnp.zeros((3,))}}}
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, state)
+    p2, s2 = load_checkpoint(path)
+    assert int(s2["iter"]) == 7
+    np.testing.assert_array_equal(np.asarray(p2["layer"]["w"]), np.ones((2, 3)))
+    np.testing.assert_array_equal(np.asarray(s2["history"]["layer"]["w"]), 0.5 * np.ones((2, 3)))
+
+
+def test_prefetcher():
+    calls = [0]
+
+    def make():
+        calls[0] += 1
+        return {"x": np.full((2, 2), calls[0], np.float32)}
+
+    pf = Prefetcher(make, depth=3)
+    a = pf.get()
+    b = pf.get()
+    assert a["x"][0, 0] != b["x"][0, 0]
+    pf.stop()
+
+
+def test_solver_prototxt_parsing():
+    sp = SolverParams.from_prototxt(
+        """
+        net: "train.prototxt"
+        base_lr: 0.005
+        lr_policy: "multistep"
+        stepvalue: 220000 stepvalue: 320000
+        multistep_lr: 0.005 multistep_lr: 0.002 multistep_lr: 0.001
+        momentum: 0.9
+        weight_decay: 0.0001
+        max_iter: 420000
+        snapshot: 60000
+        snapshot_prefix: "snap/pose"
+        display: 20
+        iter_size: 1
+        type: "SGD"
+        """
+    )
+    assert sp.config.base_lr == 0.005
+    assert sp.config.stepvalue == (220000, 320000)
+    assert sp.config.stagelr == (0.005, 0.002, 0.001)
+    assert sp.max_iter == 420000
+    assert sp.train_net == "train.prototxt"
+    from deepcut_tpu.solver.update_rules import learning_rate
+    assert float(learning_rate(sp.config, 300000)) == pytest.approx(0.002)
