@@ -136,7 +136,14 @@ class PoseDataSource:
                 a = s[k]
                 if k == "image":
                     pad_val, th, tw = 0.0, bh, bw
-                elif k == "part_score_targets":
+                elif k == "segm_cls_targets":
+                    # may live on its own stride grid
+                    pad_val = T.IGNORE_VALUE
+                    th = _bucket(a.shape[0], max(self.bucket_step // 8, 1))
+                    tw = _bucket(a.shape[1], max(self.bucket_step // 8, 1))
+                elif k.endswith("cls_targets") or k == "part_score_targets":
+                    # classification maps pad with ignore, regression/weight
+                    # maps with 0 — both loss-neutral
                     pad_val, th, tw = T.IGNORE_VALUE, gh, gw
                 else:
                     pad_val, th, tw = 0.0, gh, gw

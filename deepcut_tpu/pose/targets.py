@@ -57,6 +57,10 @@ class TargetConfig:
     location_refinement: bool = True
     regress_to_other: bool = False
     weight_targets: bool = False
+    rpn: bool = False
+    rpn_distance_threshold: float = 17.0
+    segmentation: bool = False
+    segmentation_stride: int = 8
     max_input_size: int = 700
     min_image_size: int = 100
 
@@ -441,7 +445,27 @@ def rasterize(
     if cfg.regress_to_other:
         out["pairwise_targets"] = next_t
         out["pairwise_weights"] = next_w
+    _add_aux_targets(out, record, cfg, rng, scale, sh, sw, th, tw, ih, iw)
     return out
+
+
+def _add_aux_targets(out, record, cfg, rng, scale, sh, sw, th, tw, ih, iw):
+    """RPN + sticks-segmentation tops (pose_data_layer.cpp:857-906)."""
+    if cfg.rpn and record.people:
+        from deepcut_tpu.pose.aux_targets import rpn_targets
+        cls, reg, reg_w = rpn_targets(
+            record.people[0], sh, sw, th, tw, scale=scale,
+            distance_threshold=cfg.rpn_distance_threshold, rng=rng)
+        out["rpn_cls_targets"] = cls
+        out["rpn_reg_targets"] = reg
+        out["rpn_reg_weights"] = reg_w
+    if cfg.segmentation and record.people:
+        from deepcut_tpu.pose.aux_targets import sticks_segmentation
+        seg_h = math.ceil(ih / cfg.segmentation_stride)
+        seg_w = math.ceil(iw / cfg.segmentation_stride)
+        out["segm_cls_targets"] = sticks_segmentation(
+            record.people[0], seg_h, seg_w, scale=scale,
+            segm_stride=cfg.segmentation_stride, rng=rng)
 
 
 def _fill_negatives_vec(cfg, labels, weights, sample_mask, min_distance,

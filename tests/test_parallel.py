@@ -1,0 +1,71 @@
+"""Mesh parallelism: the full sharded train step on an 8-virtual-device CPU
+mesh, via scrubbed-env subprocess (see conftest). Covers what the reference
+never tested (SURVEY §4: P2PSync had zero multi-GPU tests)."""
+
+import pytest
+
+
+def test_dryrun_multichip_8(run_in_cpu_mesh):
+    out = run_in_cpu_mesh(
+        "import __graft_entry__ as g; g.dryrun_multichip(8)", n_devices=8)
+    assert "dryrun_multichip ok: 8 devices" in out
+
+
+def test_dp_matches_single_device(run_in_cpu_mesh):
+    """Data-parallel gradients over the mesh must equal single-device
+    gradients on the same global batch (the P2PSync correctness contract:
+    tree-reduced grads == sum of per-GPU grads / N)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.models.train import loss_fn
+from deepcut_tpu.parallel.mesh import make_mesh, shard_batch
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
+                      pairwise=False, compute_dtype=jnp.float32)
+params = init_params(jax.random.PRNGKey(0), cfg)
+n, h, w = 4, 32, 32
+key = jax.random.PRNGKey(1)
+batch = {
+  'image': jax.random.normal(key, (n, h, w, 3)),
+  'part_score_targets': jnp.zeros((n, 4, 4, 4)).at[:, 1, 1, :].set(1.0),
+  'part_score_weights': jnp.ones((n, 4, 4, 4)),
+  'locref_targets': jnp.zeros((n, 4, 4, 8)),
+  'locref_weights': jnp.ones((n, 4, 4, 8)),
+}
+grad_fn = jax.grad(lambda p, b: loss_fn(p, b, cfg)[0])
+g_single = grad_fn(params, batch)
+mesh = make_mesh(4, spatial=1)
+with mesh:
+    sharded = shard_batch(mesh, batch)
+    g_mesh = jax.jit(grad_fn)(params, sharded)
+flat_a = jax.tree_util.tree_leaves(g_single)
+flat_b = jax.tree_util.tree_leaves(g_mesh)
+for a, b in zip(flat_a, flat_b):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6)
+print('DP-GRADS-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=4)
+    assert "DP-GRADS-MATCH" in out
+
+
+def test_spatial_sharding_matches(run_in_cpu_mesh):
+    """Spatially sharded forward (H over 'spatial') == unsharded forward —
+    XLA's halo exchange must be transparent."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params, forward
+from deepcut_tpu.parallel.mesh import make_mesh, batch_sharding
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
+                      pairwise=False, compute_dtype=jnp.float32)
+params = init_params(jax.random.PRNGKey(0), cfg)
+x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 48, 3))
+ref = forward(params, x, cfg)['fc_pose']
+mesh = make_mesh(8, spatial=4)
+with mesh:
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(lambda p, a: forward(p, a, cfg)['fc_pose'])(params, xs)
+np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5)
+print('SPATIAL-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=8)
+    assert "SPATIAL-MATCH" in out

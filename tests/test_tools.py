@@ -1,0 +1,66 @@
+"""Tooling: PCKh harness, draw, parse_log, CLI plumbing."""
+
+import numpy as np
+import pytest
+
+from deepcut_tpu.pose.evaluate import pckh, head_size_from_box, format_report
+from deepcut_tpu.tools.draw import net_to_dot
+from deepcut_tpu.tools.parse_log import parse_log, write_csv
+from deepcut_tpu.proto import text_format
+
+
+def test_pckh_exact():
+    # 2 samples, 3 joints; head size 10 -> radius 5 at t=0.5
+    gt = np.zeros((2, 3, 2), np.float32)
+    pred = np.zeros((2, 3, 2), np.float32)
+    pred[0, 0] = [3, 4]     # dist 5  -> hit (<=)
+    pred[0, 1] = [6, 0]     # dist 6  -> miss
+    pred[1, 2] = [0, 5.01]  # dist 5.01 -> miss
+    gt[1, 1] = np.nan       # unannotated -> excluded
+    r = pckh(pred, gt, np.array([10.0, 10.0]))
+    np.testing.assert_allclose(r.per_joint, [1.0, 0.0, 0.5])
+    assert r.counts.tolist() == [2, 1, 2]
+    np.testing.assert_allclose(r.mean, 3 / 5)
+    assert head_size_from_box(0, 0, 30, 40) == pytest.approx(30.0)
+    assert "MEAN" in format_report(r)
+
+
+def test_draw_dot():
+    net = text_format.parse(
+        'name: "t"\ninput: "data"\ninput_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8\n'
+        'layer { name: "c" type: "Convolution" bottom: "data" top: "c" '
+        'convolution_param { num_output: 4 kernel_size: 3 } }\n'
+        'layer { name: "r" type: "ReLU" bottom: "c" top: "c" }\n'
+        'layer { name: "p" type: "Pooling" bottom: "c" top: "p" '
+        'pooling_param { kernel_size: 2 stride: 2 } }'
+    )
+    dot = net_to_dot(net)
+    assert 'digraph "t"' in dot
+    assert '"blob_data" -> "c"' in dot
+    assert '"c" -> "r"' in dot
+    assert '"r" -> "p"' in dot  # in-place ReLU becomes the producer of "c"
+
+
+def test_parse_log(tmp_path):
+    log = tmp_path / "train.log"
+    log.write_text(
+        "Solving with SGD, max_iter = 100\n"
+        "Iteration 20, loss = 1.5000 (part_loss = 1.2000, locref_loss = 0.3000), lr = 0.005\n"
+        "Iteration 40, loss = 1.2000 (part_loss = 1.0000, locref_loss = 0.2000), lr = 0.005\n"
+        "garbage line\n"
+    )
+    rows = parse_log(str(log))
+    assert len(rows) == 2
+    assert rows[0]["NumIters"] == 20
+    assert rows[0]["loss"] == 1.5
+    assert rows[1]["part_loss"] == 1.0
+    assert rows[0]["LearningRate"] == 0.005
+    out = tmp_path / "out.csv"
+    write_csv(rows, str(out))
+    assert "NumIters" in out.read_text()
+
+
+def test_cli_parsing():
+    from deepcut_tpu.tools.cli import main
+    with pytest.raises(SystemExit):
+        main([])  # no verb
