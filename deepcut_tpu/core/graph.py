@@ -157,9 +157,21 @@ class Net:
                         )
 
         # Execution plan: (fn, name, bottoms, tops) per non-input layer.
+        # Data layers become host-side batch producers; HDF5Output a sink.
+        from deepcut_tpu.data.layers import DATA_SOURCES, HDF5OutputSink
+
         self._plan: List[Tuple[Callable, LayerSpec]] = []
+        self.data_sources: Dict[str, Any] = {}
+        self.hdf5_sinks: List[Any] = []
+        self._peeked: Dict[str, List[np.ndarray]] = {}
         for spec in self.layer_specs:
             if spec.type in ("Input", "Silence"):
+                continue
+            if spec.type in DATA_SOURCES:
+                self.data_sources[spec.name] = DATA_SOURCES[spec.type](spec, phase)
+                continue
+            if spec.type == "HDF5Output":
+                self.hdf5_sinks.append(HDF5OutputSink(spec))
                 continue
             fn = L.build(spec, phase=phase, compute_dtype=compute_dtype)
             if fn is not None:
@@ -259,8 +271,31 @@ class Net:
                 blobs[top] = val
         return blobs
 
+    def set_input_arrays(self, data: np.ndarray, labels: np.ndarray) -> None:
+        """Feed a MemoryData layer (pycaffe Net.set_input_arrays)."""
+        for src in self.data_sources.values():
+            if hasattr(src, "set_arrays"):
+                src.set_arrays(data, labels)
+                return
+        raise RuntimeError("net has no MemoryData layer")
+
+    def _pull_data_layers(self, inputs: Dict[str, Any]) -> None:
+        """Fill inputs from data-layer sources for tops not supplied."""
+        for name, src in self.data_sources.items():
+            if all(t in inputs for t in src.tops):
+                continue
+            if name in self._peeked:
+                batch = self._peeked.pop(name)
+            else:
+                batch = src.next_batch()
+            for top, arr in zip(src.tops, batch):
+                inputs.setdefault(top, arr)
+
     def forward(self, **inputs) -> Dict[str, np.ndarray]:
-        """Run the net. Inputs/outputs are NCHW numpy (pycaffe convention)."""
+        """Run the net. Inputs/outputs are NCHW numpy (pycaffe convention).
+        Data-layer tops not passed explicitly are pulled from their sources
+        (so bare `net.forward()` advances data layers, like the reference)."""
+        self._pull_data_layers(inputs)
         dev_inputs = {}
         for nm, arr in inputs.items():
             a = jnp.asarray(arr)
@@ -280,6 +315,8 @@ class Net:
                 arr = arr.transpose(0, 3, 1, 2)
             result[nm] = arr
         self.blobs = result
+        for sink in self.hdf5_sinks:
+            sink.append([result[b] for b in sink.bottoms if b in result])
         return result
 
     def output_names(self) -> List[str]:

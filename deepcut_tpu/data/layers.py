@@ -1,0 +1,220 @@
+"""Data-layer sources: host-side batch producers bound to graph data layers.
+
+In the reference these are Layers with prefetch threads (DataLayer,
+ImageDataLayer, HDF5DataLayer, MemoryDataLayer, WindowDataLayer); here each
+is a `next_batch() -> [np arrays (NCHW)]` producer the Net pulls from when
+`forward()` is called without explicit inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepcut_tpu.proto.text_format import PbNode
+from deepcut_tpu.data.transformer import DataTransformer
+from deepcut_tpu.data.datum import Datum
+
+
+class DataLayerSource:
+    tops: List[str]
+
+    def next_batch(self) -> List[np.ndarray]:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class LMDBDataSource(DataLayerSource):
+    """`Data` layer over LMDB (reference: data_layer.cpp + db_lmdb.cpp).
+
+    Cycles the cursor like DataReader (one pass order, wrap at end).
+    """
+
+    def __init__(self, spec, phase: str):
+        from deepcut_tpu.data.lmdb_store import LMDBReader
+
+        dp = spec.param("data_param")
+        self.batch_size = dp.get_int("batch_size", 1)
+        self.tops = list(spec.tops)
+        self.transform = DataTransformer(spec.param("transform_param"), phase)
+        self.reader = LMDBReader(dp.get_str("source"))
+        self.items = list(self.reader.items())
+        if not self.items:
+            raise ValueError("empty LMDB dataset")
+        self.pos = 0
+
+    def next_batch(self) -> List[np.ndarray]:
+        data, labels = [], []
+        for _ in range(self.batch_size):
+            _, raw = self.items[self.pos]
+            self.pos = (self.pos + 1) % len(self.items)
+            datum = Datum.decode(raw)
+            data.append(self.transform(datum.to_array()))
+            labels.append(datum.label or 0)
+        out = [np.stack(data)]
+        if len(self.tops) > 1:
+            out.append(np.asarray(labels, np.float32))
+        return out
+
+
+class ImageDataSource(DataLayerSource):
+    """`ImageData` layer (image_data_layer.cpp): txt file of `path label`."""
+
+    def __init__(self, spec, phase: str):
+        ip = spec.param("image_data_param")
+        self.tops = list(spec.tops)
+        self.batch_size = ip.get_int("batch_size", 1)
+        self.new_h = ip.get_int("new_height", 0)
+        self.new_w = ip.get_int("new_width", 0)
+        self.is_color = ip.get_bool("is_color", True)
+        self.root = ip.get_str("root_folder", "")
+        self.transform = DataTransformer(spec.param("transform_param"), phase)
+        with open(ip.get_str("source")) as f:
+            self.lines = [l.split() for l in f if l.strip()]
+        if ip.get_bool("shuffle", False):
+            np.random.RandomState(0).shuffle(self.lines)
+        self.pos = 0
+
+    def _load(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(self.root + path) as im:
+            im = im.convert("RGB" if self.is_color else "L")
+            if self.new_h and self.new_w:
+                im = im.resize((self.new_w, self.new_h), Image.BILINEAR)
+            arr = np.asarray(im, np.float32)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        else:
+            arr = arr[:, :, ::-1]  # BGR
+        return arr.transpose(2, 0, 1)
+
+    def next_batch(self) -> List[np.ndarray]:
+        data, labels = [], []
+        for _ in range(self.batch_size):
+            path, label = self.lines[self.pos][0], self.lines[self.pos][-1]
+            self.pos = (self.pos + 1) % len(self.lines)
+            data.append(self.transform(self._load(path)))
+            labels.append(float(label))
+        return [np.stack(data), np.asarray(labels, np.float32)]
+
+
+class MemoryDataSource(DataLayerSource):
+    """`MemoryData` layer: arrays supplied via Net.set_input_arrays."""
+
+    def __init__(self, spec, phase: str):
+        mp = spec.param("memory_data_param")
+        self.tops = list(spec.tops)
+        self.batch_size = mp.get_int("batch_size", 1)
+        self.data: Optional[np.ndarray] = None
+        self.labels: Optional[np.ndarray] = None
+        self.pos = 0
+
+    def set_arrays(self, data: np.ndarray, labels: np.ndarray) -> None:
+        self.data = np.asarray(data, np.float32)
+        self.labels = np.asarray(labels, np.float32)
+        self.pos = 0
+
+    def next_batch(self) -> List[np.ndarray]:
+        if self.data is None:
+            raise RuntimeError("MemoryData: call set_input_arrays first")
+        n = self.data.shape[0]
+        idx = [(self.pos + i) % n for i in range(self.batch_size)]
+        self.pos = (self.pos + self.batch_size) % n
+        return [self.data[idx], self.labels[idx]]
+
+
+class HDF5DataSource(DataLayerSource):
+    """`HDF5Data` layer (hdf5_data_layer.cpp): source lists .h5 files; tops
+    name the datasets."""
+
+    def __init__(self, spec, phase: str):
+        import h5py
+
+        hp = spec.param("hdf5_data_param")
+        self.tops = list(spec.tops)
+        self.batch_size = hp.get_int("batch_size", 1)
+        with open(hp.get_str("source")) as f:
+            files = [l.strip() for l in f if l.strip()]
+        arrays: Dict[str, List[np.ndarray]] = {t: [] for t in self.tops}
+        for path in files:
+            with h5py.File(path, "r") as h5:
+                for t in self.tops:
+                    arrays[t].append(np.asarray(h5[t], np.float32))
+        self.arrays = {t: np.concatenate(v) for t, v in arrays.items()}
+        n = len(next(iter(self.arrays.values())))
+        if hp.get_bool("shuffle", False):
+            perm = np.random.RandomState(0).permutation(n)
+            self.arrays = {t: a[perm] for t, a in self.arrays.items()}
+        self.n = n
+        self.pos = 0
+
+    def next_batch(self) -> List[np.ndarray]:
+        idx = [(self.pos + i) % self.n for i in range(self.batch_size)]
+        self.pos = (self.pos + self.batch_size) % self.n
+        return [self.arrays[t][idx] for t in self.tops]
+
+
+class PoseDataSourceAdapter(DataLayerSource):
+    """`PoseData` layer -> the native pipeline (data/pipeline.py)."""
+
+    def __init__(self, spec, phase: str):
+        from deepcut_tpu.tools.cli import _target_config_from_layer
+        from deepcut_tpu.data.pipeline import PoseDataSource
+        from deepcut_tpu.data.window_file import parse_stats_file
+
+        tcfg, pp = _target_config_from_layer(spec.node)
+        stats = None
+        if pp.get_str("joint_pairs_stats"):
+            stats = parse_stats_file(pp.get_str("joint_pairs_stats"))
+        self.tops = list(spec.tops)
+        self.batch_size = pp.get_int("batch_size", 1)
+        self.source = PoseDataSource(
+            pp.get_str("source"), tcfg, stats,
+            root_folder=pp.get_str("root_folder", ""),
+            cycle=pp.get_bool("cycle_training_data", False),
+        )
+        self._key_order = ["part_score_targets", "part_score_weights",
+                           "locref_targets", "locref_weights",
+                           "pairwise_targets", "pairwise_weights",
+                           "rpn_cls_targets", "rpn_reg_targets",
+                           "rpn_reg_weights", "segm_cls_targets"]
+
+    def next_batch(self) -> List[np.ndarray]:
+        batch = self.source.next_batch(self.batch_size)
+        outs = [batch["image"].transpose(0, 3, 1, 2)]
+        for key in self._key_order:
+            if key in batch and len(outs) < len(self.tops):
+                outs.append(batch[key].transpose(0, 3, 1, 2))
+        return outs
+
+
+class HDF5OutputSink:
+    """`HDF5Output` layer: collects bottoms, writes datasets on save()."""
+
+    def __init__(self, spec):
+        self.path = spec.param("hdf5_output_param").get_str("file_name", "out.h5")
+        self.bottoms = list(spec.bottoms)
+        self.collected: Dict[str, List[np.ndarray]] = {"data": [], "label": []}
+
+    def append(self, arrays: Sequence[np.ndarray]) -> None:
+        for name, arr in zip(("data", "label"), arrays):
+            self.collected[name].append(np.asarray(arr))
+
+    def save(self) -> None:
+        import h5py
+
+        with h5py.File(self.path, "w") as f:
+            for name, chunks in self.collected.items():
+                if chunks:
+                    f.create_dataset(name, data=np.concatenate(chunks))
+
+
+DATA_SOURCES = {
+    "Data": LMDBDataSource,
+    "ImageData": ImageDataSource,
+    "MemoryData": MemoryDataSource,
+    "HDF5Data": HDF5DataSource,
+    "PoseData": PoseDataSourceAdapter,
+}

@@ -1,0 +1,150 @@
+"""Data pipeline formats: LMDB store, Datum codec, DataTransformer, and the
+graph-integrated data layers (Data/MemoryData/HDF5Data/HDF5Output)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deepcut_tpu.data.lmdb_store import LMDBReader, LMDBWriter
+from deepcut_tpu.data.datum import Datum
+from deepcut_tpu.data.transformer import DataTransformer
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.core.graph import Net
+
+
+def test_lmdb_roundtrip_small(tmp_path):
+    path = str(tmp_path / "db")
+    with LMDBWriter(path) as w:
+        for i in range(10):
+            w.put(f"{i:08d}".encode(), f"value-{i}".encode() * (i + 1))
+    r = LMDBReader(path)
+    items = list(r.items())
+    assert len(items) == 10 == len(r)
+    assert items[0][0] == b"00000000"
+    assert items[3][1] == b"value-3" * 4
+    assert r.get(b"00000007") == b"value-7" * 8
+
+
+def test_lmdb_roundtrip_large_values_and_many_keys(tmp_path):
+    # forces multi-level branch pages and overflow pages
+    path = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    blobs = {}
+    with LMDBWriter(path) as w:
+        for i in range(500):
+            val = rng.bytes(rng.randint(10, 300))
+            blobs[f"k{i:06d}".encode()] = val
+            w.put(f"k{i:06d}".encode(), val)
+        big = rng.bytes(20000)  # > page size -> overflow
+        blobs[b"zz_big"] = big
+        w.put(b"zz_big", big)
+    r = LMDBReader(path)
+    items = dict(r.items())
+    assert len(items) == 501
+    assert items == blobs
+
+
+def test_datum_roundtrip():
+    arr = np.random.RandomState(0).randint(0, 255, (3, 8, 6), np.uint8)
+    d = Datum.from_array(arr, label=7)
+    d2 = Datum.decode(d.encode())
+    assert d2.label == 7
+    np.testing.assert_array_equal(d2.to_array(), arr.astype(np.float32))
+    # float datum
+    farr = np.random.RandomState(1).randn(2, 4, 4).astype(np.float32)
+    d3 = Datum.decode(Datum.from_array(farr, label=1).encode())
+    np.testing.assert_allclose(d3.to_array(), farr, rtol=1e-6)
+
+
+def test_transformer_crop_mirror_mean():
+    node = text_format.parse("crop_size: 4\nmean_value: 10\nscale: 0.5")
+    t = DataTransformer(node, phase="TEST")
+    x = np.arange(3 * 6 * 6, dtype=np.float32).reshape(3, 6, 6)
+    out = t(x)
+    assert out.shape == (3, 4, 4)
+    np.testing.assert_allclose(out, (x[:, 1:5, 1:5] - 10) * 0.5)
+
+
+def _lmdb_mnist_like(tmp_path, n=8):
+    path = str(tmp_path / "train_db")
+    rng = np.random.RandomState(0)
+    with LMDBWriter(path) as w:
+        for i in range(n):
+            arr = rng.randint(0, 255, (1, 8, 8), np.uint8)
+            w.put(f"{i:08d}".encode(), Datum.from_array(arr, label=i % 3).encode())
+    return path
+
+
+def test_graph_lmdb_data_layer(tmp_path):
+    db = _lmdb_mnist_like(tmp_path)
+    proto = text_format.parse(f"""
+        name: "lenet-ish"
+        layer {{
+          name: "data" type: "Data" top: "data" top: "label"
+          data_param {{ source: "{db}" batch_size: 4 }}
+          transform_param {{ scale: 0.00390625 }}
+        }}
+        layer {{
+          name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+          inner_product_param {{ num_output: 3
+            weight_filler {{ type: "gaussian" std: 0.1 }} }}
+        }}
+        layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }}
+        """)
+    net = Net(proto, phase="TRAIN", compute_dtype=None)
+    out1 = net.forward()
+    assert out1["loss"].shape == ()
+    assert np.isfinite(out1["loss"])
+    out2 = net.forward()  # advances the cursor
+    assert out2["data"].shape == (4, 1, 8, 8)
+    assert not np.array_equal(out1["data"], out2["data"])
+    assert out1["data"].max() <= 1.0  # scale applied
+
+
+def test_graph_memory_data_layer():
+    proto = text_format.parse("""
+        layer {
+          name: "data" type: "MemoryData" top: "data" top: "label"
+          memory_data_param { batch_size: 2 channels: 3 height: 4 width: 4 }
+        }
+        layer { name: "pool" type: "Pooling" bottom: "data" top: "pool"
+                pooling_param { kernel_size: 4 stride: 4 pool: AVE } }
+        """)
+    net = Net(proto, phase="TEST", compute_dtype=None)
+    data = np.random.RandomState(0).rand(6, 3, 4, 4).astype(np.float32)
+    labels = np.arange(6, dtype=np.float32)
+    net.set_input_arrays(data, labels)
+    out = net.forward()
+    assert out["pool"].shape == (2, 3, 1, 1)
+    np.testing.assert_allclose(out["label"], [0, 1])
+    out = net.forward()
+    np.testing.assert_allclose(out["label"], [2, 3])
+
+
+def test_graph_hdf5_layers(tmp_path):
+    import h5py
+
+    h5path = str(tmp_path / "d.h5")
+    with h5py.File(h5path, "w") as f:
+        f["data"] = np.random.RandomState(0).rand(5, 2, 4, 4).astype(np.float32)
+        f["label"] = np.arange(5, dtype=np.float32)
+    listing = tmp_path / "list.txt"
+    listing.write_text(h5path + "\n")
+    outfile = str(tmp_path / "out.h5")
+    proto = text_format.parse(f"""
+        layer {{
+          name: "data" type: "HDF5Data" top: "data" top: "label"
+          hdf5_data_param {{ source: "{listing}" batch_size: 2 }}
+        }}
+        layer {{ name: "abs" type: "AbsVal" bottom: "data" top: "abs" }}
+        layer {{ name: "sink" type: "HDF5Output" bottom: "abs" bottom: "label"
+                 hdf5_output_param {{ file_name: "{outfile}" }} }}
+        """)
+    net = Net(proto, phase="TEST", compute_dtype=None)
+    net.forward()
+    net.forward()
+    net.hdf5_sinks[0].save()
+    with h5py.File(outfile, "r") as f:
+        assert f["data"].shape == (4, 2, 4, 4)
+        np.testing.assert_allclose(f["label"][:], [0, 1, 2, 3])
