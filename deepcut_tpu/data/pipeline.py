@@ -116,7 +116,7 @@ class PoseDataSource:
             scale = T.sample_scale(self.cfg, self.rng)
             if not T.accepts(self.cfg, rec.height, rec.width, scale):
                 continue
-            maps = T.rasterize(rec, self.cfg, self.stats, self.rng, scale=scale)
+            maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng, scale=scale)
             ih, iw = int(maps["input_size"][0]), int(maps["input_size"][1])
             image = self.image_loader(rec.path)
             maps["image"] = prepare_canvas(image, scale, ih, iw)

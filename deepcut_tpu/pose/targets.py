@@ -468,6 +468,95 @@ def _add_aux_targets(out, record, cfg, rng, scale, sh, sw, th, tw, ih, iw):
             segm_stride=cfg.segmentation_stride, rng=rng)
 
 
+def rasterize_native(
+    record: ImageRecord,
+    cfg: TargetConfig,
+    stats: Optional[JointStats] = None,
+    rng: Optional[np.random.RandomState] = None,
+    scale: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """C++ fast path (deepcut_tpu/runtime/librasterizer.so); falls back to
+    the vectorized numpy implementation when the library isn't built.
+    Negative sampling stays in Python either way (RNG-stream parity)."""
+    from deepcut_tpu import runtime
+
+    lib = runtime.load_library()
+    if lib is None:
+        return rasterize(record, cfg, stats, rng, scale)
+    if stats is None:
+        stats = default_stats(cfg.num_classes)
+    if rng is None:
+        rng = np.random.RandomState(0)
+    if scale is None:
+        scale = sample_scale(cfg, rng)
+    J = cfg.num_classes
+    sh, sw, ih, iw = grid_geometry(record.height, record.width, scale)
+    th = math.ceil(round(record.height * scale) / STRIDE)
+    tw = math.ceil(round(record.width * scale) / STRIDE)
+    C = cfg.label_channels
+
+    cls_l, xy_l, person_l = [], [], []
+    joint_index = np.full((max(len(record.people), 1), J), -1, np.int64)
+    for pidx, p in enumerate(record.people):
+        for k in range(len(p.classes)):
+            cls_l.append(int(p.classes[k]))
+            xy_l.append(p.xy[k])
+            person_l.append(pidx)
+            if 1 <= p.classes[k] <= J:
+                joint_index[pidx, p.classes[k] - 1] = len(cls_l) - 1
+    n = len(cls_l)
+    entry_cls = np.asarray(cls_l, np.int32)
+    entry_xy = (np.stack(xy_l).astype(np.float32) if n else np.zeros((0, 2), np.float32))
+    entry_person = np.asarray(person_l, np.int32)
+
+    labels = np.full((sh, sw, C), IGNORE_VALUE, np.float32)
+    weights = np.ones((sh, sw, C), np.float32)
+    loc_t = np.zeros((sh, sw, 2 * J), np.float32)
+    loc_w = np.zeros((sh, sw, 2 * J), np.float32)
+    E = len(stats.edges)
+    next_t = np.zeros((sh, sw, 2 * E), np.float32)
+    next_w = np.zeros((sh, sw, 2 * E), np.float32)
+    sample_mask_u8 = np.zeros((sh, sw), np.uint8)
+    min_distance = np.full((sh, sw), np.finfo(np.float32).max, np.float32)
+
+    num_positives = 0
+    if n:
+        num_positives = lib.dc_rasterize(
+            entry_cls, np.ascontiguousarray(entry_xy.reshape(-1)), entry_person, n,
+            np.ascontiguousarray(joint_index.reshape(-1)),
+            len(record.people), J, cfg.skip_class,
+            th, tw, sh, sw,
+            np.float32(scale), np.float32(cfg.fg_threshold),
+            int(cfg.soft_labels), np.float32(cfg.gauss_blob_sigma),
+            int(cfg.multi_label), int(cfg.no_bg_class),
+            int(cfg.fg_fraction is not None),
+            int(cfg.location_refinement), int(cfg.regress_to_other),
+            np.ascontiguousarray(stats.edges.reshape(-1).astype(np.int32)),
+            np.ascontiguousarray(stats.means.reshape(-1).astype(np.float32)),
+            np.ascontiguousarray(stats.std_devs.reshape(-1).astype(np.float32)), E,
+            labels.reshape(-1), loc_t.reshape(-1), loc_w.reshape(-1),
+            next_t.reshape(-1), next_w.reshape(-1),
+            sample_mask_u8.reshape(-1), min_distance.reshape(-1),
+        )
+    sample_mask = sample_mask_u8.astype(bool)
+    _fill_negatives_vec(cfg, labels, weights, sample_mask, min_distance,
+                        num_positives, th, tw, rng, 1 if cfg.no_bg_class else 0)
+    out = {
+        "part_score_targets": labels,
+        "part_score_weights": weights,
+        "scale": np.float32(scale),
+        "input_size": np.array([ih, iw], np.int32),
+    }
+    if cfg.location_refinement:
+        out["locref_targets"] = loc_t
+        out["locref_weights"] = loc_w
+    if cfg.regress_to_other:
+        out["pairwise_targets"] = next_t
+        out["pairwise_weights"] = next_w
+    _add_aux_targets(out, record, cfg, rng, scale, sh, sw, th, tw, ih, iw)
+    return out
+
+
 def _fill_negatives_vec(cfg, labels, weights, sample_mask, min_distance,
                         num_positives, th, tw, rng, first):
     J = cfg.num_classes
