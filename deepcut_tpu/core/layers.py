@@ -499,6 +499,58 @@ def _im2col(spec, phase, compute_dtype):
     return fn
 
 
+@register("Filter")
+def _filter(spec, phase, compute_dtype):
+    """Filter layer (filter_layer.cpp): last bottom is a (N,1,...) selector;
+    forward keeps items with non-zero selector. Under XLA's static shapes the
+    batch is compacted with a stable sort instead of a dynamic gather, and
+    the (traced) count of kept items cannot shrink the array — callers get
+    the full batch with kept items first plus a 'filter_count' style mask
+    convention is impossible here, so we zero out dropped items instead.
+    """
+    n_tops = len(spec.tops)
+
+    def fn(p, bottoms):
+        selector = bottoms[-1].reshape(bottoms[-1].shape[0], -1)[:, 0]
+        keep = selector != 0
+        order = jnp.argsort(~keep, stable=True)  # kept items first
+        outs = []
+        for b in bottoms[:-1]:
+            reordered = jnp.take(b, order, axis=0)
+            mask = jnp.take(keep, order).reshape((-1,) + (1,) * (b.ndim - 1))
+            outs.append(jnp.where(mask, reordered, 0))
+        return outs if n_tops > 1 else outs[0]
+    return fn
+
+
+@register("SPP")
+def _spp(spec, phase, compute_dtype):
+    """Spatial pyramid pooling (spp_layer.cpp): pyramid of pooling levels,
+    each flattened and concatenated to (N, C*sum(4^l))."""
+    sp = spec.param("spp_param")
+    levels = sp.get_int("pyramid_height", 3)
+    method = sp.get_str("pool", "MAX")
+
+    def fn(p, bottoms):
+        x = bottoms[0]
+        n, h, w, c = x.shape
+        feats = []
+        for l in range(levels):
+            bins = 2 ** l
+            kh, kw = -(-h // bins), -(-w // bins)
+            sh, sw = h // bins if h >= bins else 1, w // bins if w >= bins else 1
+            # Caffe computes kernel=ceil(dim/bins), stride=floor(dim/bins),
+            # pad to cover; reuse our ceil-mode pooling with that geometry.
+            if method == "MAX":
+                y = pool_ops.max_pool2d(x, kernel=(kh, kw), stride=(max(sh, 1), max(sw, 1)))
+            else:
+                y = pool_ops.avg_pool2d(x, kernel=(kh, kw), stride=(max(sh, 1), max(sw, 1)))
+            y = y[:, :bins, :bins, :]
+            feats.append(jnp.transpose(y, (0, 3, 1, 2)).reshape(n, -1))
+        return jnp.concatenate(feats, axis=1)
+    return fn
+
+
 # Dense ---------------------------------------------------------------------
 
 

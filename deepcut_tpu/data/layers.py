@@ -190,6 +190,92 @@ class PoseDataSourceAdapter(DataLayerSource):
         return outs
 
 
+class WindowDataSource(DataLayerSource):
+    """`WindowData` layer (window_data_layer.cpp): R-CNN window file —
+    `# idx / path / channels height width / num_windows / cls overlap x1 y1
+    x2 y2` — sampled at fg_fraction by overlap thresholds, cropped with
+    context padding, warped to crop_size, random-mirrored (TRAIN)."""
+
+    def __init__(self, spec, phase: str):
+        wp = spec.param("window_data_param")
+        self.tops = list(spec.tops)
+        self.batch_size = wp.get_int("batch_size", 1)
+        self.crop_size = wp.get_int("crop_size", 227)
+        self.context_pad = wp.get_int("context_pad", 0)
+        self.fg_threshold = wp.get_float("fg_threshold", 0.5)
+        self.bg_threshold = wp.get_float("bg_threshold", 0.5)
+        self.fg_fraction = wp.get_float("fg_fraction", 0.25)
+        self.mirror = wp.get_bool("mirror", False)
+        self.mean_values = [float(v) for v in
+                            spec.param("transform_param").get_list("mean_value")] or [0.0]
+        self.phase = phase
+        self.rng = np.random.RandomState(0)
+        self.fg: List[Tuple[str, List[float]]] = []
+        self.bg: List[Tuple[str, List[float]]] = []
+        self._parse(wp.get_str("source"), wp.get_str("root_folder", ""))
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def _parse(self, source: str, root: str) -> None:
+        with open(source) as f:
+            toks = f.read().split()
+        pos = 0
+        while pos < len(toks):
+            assert toks[pos] == "#"
+            pos += 2
+            path = root + toks[pos]; pos += 1
+            pos += 3  # channels height width
+            num = int(toks[pos]); pos += 1
+            for _ in range(num):
+                cls, overlap = float(toks[pos]), float(toks[pos + 1])
+                box = [float(t) for t in toks[pos + 2:pos + 6]]
+                pos += 6
+                rec = (path, [cls] + box)
+                if overlap >= self.fg_threshold:
+                    self.fg.append(rec)
+                elif overlap < self.bg_threshold:
+                    self.bg.append((path, [0.0] + box))
+
+    def _load(self, path: str) -> np.ndarray:
+        if path not in self._cache:
+            from deepcut_tpu.data.pipeline import load_image_bgr
+            self._cache[path] = load_image_bgr(path)
+        return self._cache[path]
+
+    def next_batch(self) -> List[np.ndarray]:
+        from PIL import Image
+
+        n_fg = int(round(self.batch_size * self.fg_fraction))
+        data, labels = [], []
+        for i in range(self.batch_size):
+            pool = self.fg if (i < n_fg and self.fg) else (self.bg or self.fg)
+            path, window = pool[int(self.rng.randint(len(pool)))]
+            cls, x1, y1, x2, y2 = window
+            img = self._load(path)
+            h, w = img.shape[:2]
+            if self.context_pad:
+                cs = self.crop_size
+                scale = cs / (cs - 2.0 * self.context_pad)
+                cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+                hw, hh = (x2 - x1 + 1) * scale / 2, (y2 - y1 + 1) * scale / 2
+                x1, x2 = cx - hw, cx + hw
+                y1, y2 = cy - hh, cy + hh
+            xi1, yi1 = max(int(round(x1)), 0), max(int(round(y1)), 0)
+            xi2, yi2 = min(int(round(x2)), w - 1), min(int(round(y2)), h - 1)
+            crop = img[yi1:yi2 + 1, xi1:xi2 + 1]
+            if crop.size == 0:
+                crop = img[:1, :1]
+            warped = np.asarray(Image.fromarray(crop[:, :, ::-1]).resize(
+                (self.crop_size, self.crop_size), Image.BILINEAR))[:, :, ::-1]
+            out = warped.astype(np.float32)
+            mv = self.mean_values if len(self.mean_values) == 3 else self.mean_values * 3
+            out = out - np.asarray(mv, np.float32)
+            if self.mirror and self.phase == "TRAIN" and self.rng.randint(2):
+                out = out[:, ::-1]
+            data.append(np.ascontiguousarray(out.transpose(2, 0, 1)))
+            labels.append(cls)
+        return [np.stack(data), np.asarray(labels, np.float32)]
+
+
 class HDF5OutputSink:
     """`HDF5Output` layer: collects bottoms, writes datasets on save()."""
 
@@ -216,5 +302,6 @@ DATA_SOURCES = {
     "ImageData": ImageDataSource,
     "MemoryData": MemoryDataSource,
     "HDF5Data": HDF5DataSource,
+    "WindowData": WindowDataSource,
     "PoseData": PoseDataSourceAdapter,
 }

@@ -45,20 +45,54 @@ def _bucket(v: int, step: int = 64) -> int:
     return int(math.ceil(v / step) * step)
 
 
+@functools.lru_cache(maxsize=128)
+def _bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """PIL-style bilinear resampling matrix (out, in): triangle filter with
+    support widened by in/out on downscale (antialiasing), weights
+    normalised — matches scipy.misc.imresize's PIL backend closely.
+
+    Resize-as-matmul puts the interpolation on the MXU; the gather-based
+    jax.image.resize costs ~10ms for a VGA frame on TPU, this ~0.1ms."""
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    A = np.zeros((out_size, in_size), np.float32)
+    support = fscale  # triangle filter radius 1 scaled
+    for i in range(out_size):
+        center = (i + 0.5) * scale - 0.5
+        lo = int(math.floor(center - support))
+        hi = int(math.ceil(center + support))
+        xs = np.arange(max(lo, 0), min(hi + 1, in_size))
+        w = 1.0 - np.abs((xs - center) / fscale)
+        w = np.clip(w, 0.0, None)
+        s = w.sum()
+        if s > 0:
+            A[i, xs] = w / s
+        else:
+            A[i, np.clip(int(round(center)), 0, in_size - 1)] = 1.0
+    return A
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "canvas_h", "canvas_w"))
 def preprocess_on_device(image_u8: jax.Array, out_h: int, out_w: int,
                          canvas_h: int, canvas_w: int) -> jax.Array:
     """uint8 BGR HxWx3 -> float canvas (1, canvas_h, canvas_w, 3).
 
-    Edge-replicate 64px pad (bottom/right), bilinear resize to (out_h, out_w),
-    mean subtraction, top-left paste into a zero canvas (crop on overflow).
+    Edge-replicate 64px pad (bottom/right), bilinear resize to (out_h, out_w)
+    via interpolation-matrix matmuls, mean subtraction, top-left paste into a
+    zero canvas (crop on overflow). At scale 1 the resize is skipped exactly,
+    matching the reference's identity imresize.
     """
     img = image_u8.astype(jnp.float32)
     img = jnp.pad(img, ((0, PAD_SIZE), (0, PAD_SIZE), (0, 0)), mode="edge")
-    img = jax.image.resize(img, (out_h, out_w, 3), method="linear")
-    # The reference resizes via PIL on uint8 (scipy.misc.imresize), which
-    # rounds to integers; replicate so scale != 1 stays close to reference.
-    img = jnp.clip(jnp.round(img), 0.0, 255.0)
+    ph, pw = int(img.shape[0]), int(img.shape[1])
+    if (out_h, out_w) != (ph, pw):
+        Ah = jnp.asarray(_bilinear_matrix(ph, out_h))
+        Aw = jnp.asarray(_bilinear_matrix(pw, out_w))
+        img = jnp.einsum("oh,hwc->owc", Ah, img)
+        img = jnp.einsum("ow,hwc->hoc", Aw, img)
+        # The reference resizes via PIL on uint8 (scipy.misc.imresize), which
+        # rounds to integers; replicate so scale != 1 stays close.
+        img = jnp.clip(jnp.round(img), 0.0, 255.0)
     img = img - jnp.asarray(MEAN_BGR, jnp.float32)
     ch = min(canvas_h, out_h)
     cw = min(canvas_w, out_w)
@@ -87,6 +121,30 @@ class PoseEstimator:
         self._fwd_cache: Dict = {}
 
     # -- compiled pieces ---------------------------------------------------
+    def _full_pipeline(self, in_h: int, in_w: int, out_h: int, out_w: int,
+                       canvas_h: int, canvas_w: int):
+        """ONE jit: uint8 image -> pad/resize/mean/canvas -> CNN -> decoded
+        pose. Nothing but the 5xJ pose leaves the device."""
+        key = ("full", in_h, in_w, out_h, out_w, canvas_h, canvas_w)
+        if key not in self._fwd_cache:
+            cfg, folded = self.cfg, self.folded
+
+            @jax.jit
+            def fn(params, image_u8, valid_h, valid_w, scale):
+                canvas = preprocess_on_device.__wrapped__(
+                    image_u8, out_h, out_w, canvas_h, canvas_w)
+                x = canvas.astype(cfg.compute_dtype if folded else jnp.float32)
+                outs = forward(params, x, cfg, folded=folded)
+                vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                vw = (valid_w + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                pose = decode_pose(outs["prob"][0], outs["loc_pred"][0],
+                                   scale=1.0, valid_hw=(vh, vw))
+                pose = pose.at[0].divide(scale).at[1].divide(scale)
+                pose = pose.at[3].divide(scale).at[4].divide(scale)
+                return pose
+            self._fwd_cache[key] = fn
+        return self._fwd_cache[key]
+
     def _forward_decode(self, canvas_h: int, canvas_w: int):
         key = ("fd", canvas_h, canvas_w)
         if key not in self._fwd_cache:
@@ -145,10 +203,9 @@ class PoseEstimator:
         bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)
         out_h = int(round((h + PAD_SIZE) * scale))
         out_w = int(round((w + PAD_SIZE) * scale))
-        canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, bh, bw)
-        fn = self._forward_decode(bh, bw)
-        pose, _, _ = fn(self.params, canvas, jnp.int32(ch), jnp.int32(cw),
-                        jnp.float32(scale))
+        fn = self._full_pipeline(h, w, out_h, out_w, bh, bw)
+        pose = fn(self.params, jnp.asarray(image), jnp.int32(ch), jnp.int32(cw),
+                  jnp.float32(scale))
         return np.asarray(pose)
 
     def scoremaps(self, image: np.ndarray, scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:

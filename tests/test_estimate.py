@@ -1,0 +1,59 @@
+"""Pose estimation pipeline: bucketing, decode plumbing, and the HD tiling
+path (tiled scoremaps must equal the untiled full-frame computation — the
+seam-trim arithmetic from estimate_pose.py:146-221)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.pose.estimate import PoseEstimator, canvas_size, _num_tiles
+
+TINY = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                       num_joints=3, compute_dtype=jnp.float32)
+
+
+def _estimator(max_size=2000):
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    # scale head weights up so scoremaps have structure
+    for head in ("res5c_up_pose", "res3d_pose", "res5c_up_locref", "res3d_locref"):
+        params[head]["w"] = params[head]["w"] * 30.0
+    return PoseEstimator(params, TINY, folded=False, max_size=max_size)
+
+
+def test_estimate_pose_shape_and_cache():
+    est = _estimator()
+    img = np.random.RandomState(0).randint(0, 255, (100, 140, 3), np.uint8)
+    pose = est.estimate_pose(img)
+    assert pose.shape == (5, 3)
+    pose2 = est.estimate_pose(img, scales=[1.0])
+    np.testing.assert_allclose(pose, pose2, rtol=1e-5)
+    assert len(est._fwd_cache) >= 1
+
+
+def test_num_tiles_reference_formula():
+    assert _num_tiles(700, 700, 224) == 1
+    assert _num_tiles(701, 700, 224) == 2
+    assert _num_tiles(951, 700, 224) == 2   # (700-224)*2 = 952 > 951
+    assert _num_tiles(952, 700, 224) == 3   # not strictly greater -> 3
+
+
+def test_tiled_equals_untiled():
+    est_full = _estimator(max_size=4000)
+    est_tiled = _estimator(max_size=512)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (330, 620, 3), np.uint8)
+    sm_full, loc_full = est_full.scoremaps(img)
+    sm_tile, loc_tile = est_tiled.scoremaps(img)
+    assert sm_full.shape == sm_tile.shape
+    # tiny model's receptive field << the 224px trim margin -> exact interior
+    np.testing.assert_allclose(sm_tile, sm_full, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(loc_tile, loc_full, rtol=5e-4, atol=5e-4)
+
+
+def test_multiscale_picks_best():
+    est = _estimator()
+    img = np.random.RandomState(2).randint(0, 255, (96, 96, 3), np.uint8)
+    pose = est.estimate_pose(img, scales=[0.75, 1.0])
+    assert pose is not None and pose.shape == (5, 3)

@@ -1,0 +1,136 @@
+"""Legacy caffemodel containers (V0/V1 upgrade path) + dataset tools +
+classifier front end."""
+
+import numpy as np
+import pytest
+
+from deepcut_tpu.proto import wire
+from deepcut_tpu.proto.caffemodel import decode_netparameter
+
+
+def _blob_enc(arr):
+    b = wire.Encoder()
+    sh = wire.Encoder()
+    sh.packed_int64s(1, arr.shape)
+    b.message(7, sh)
+    b.packed_floats(5, arr.reshape(-1))
+    return b
+
+
+def _legacy_blob_enc(arr):
+    """Legacy num/channels/height/width 4-D header instead of BlobShape."""
+    b = wire.Encoder()
+    n, c, h, w = arr.shape
+    b.varint(1, n).varint(2, c).varint(3, h).varint(4, w)
+    b.packed_floats(5, arr.reshape(-1))
+    return b
+
+
+def test_v1_layers_decoded():
+    """V1 container: NetParameter.layers (field 2), name=4, enum type=5,
+    blobs=6 — the upgrade_proto.cpp path for pre-2015 caffemodels."""
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 3, 3, 3).astype(np.float32)
+    bias = rng.randn(4).astype(np.float32)
+    layer = wire.Encoder()
+    layer.string(4, "conv_legacy")
+    layer.varint(5, 4)  # V1 enum CONVOLUTION
+    layer.message(6, _legacy_blob_enc(w))
+    layer.message(6, _blob_enc(bias.reshape(4)))
+    net = wire.Encoder()
+    net.string(1, "legacy_net")
+    net.message(2, layer)
+    out = decode_netparameter(net.tobytes())
+    assert list(out) == ["conv_legacy"]
+    blobs = out["conv_legacy"]
+    assert blobs[0].shape == (4, 3, 3, 3)
+    np.testing.assert_array_equal(blobs[0].data, w)
+    np.testing.assert_array_equal(blobs[1].data, bias)
+
+
+def test_v0_nested_layer_decoded():
+    """V0 container: V1LayerParameter.layer (field 1) holding V0 with
+    name=1, type=2 (string), blobs=50."""
+    rng = np.random.RandomState(1)
+    w = rng.randn(2, 2, 3, 3).astype(np.float32)
+    v0 = wire.Encoder()
+    v0.string(1, "conv_v0")
+    v0.string(2, "conv")
+    v0.message(50, _legacy_blob_enc(w))
+    v1 = wire.Encoder()
+    v1.message(1, v0)
+    net = wire.Encoder()
+    net.message(2, v1)
+    out = decode_netparameter(net.tobytes())
+    assert list(out) == ["conv_v0"]
+    np.testing.assert_array_equal(out["conv_v0"][0].data, w)
+
+
+def test_double_data_blob():
+    arr = np.random.RandomState(2).randn(3, 2).astype(np.float64)
+    b = wire.Encoder()
+    sh = wire.Encoder()
+    sh.packed_int64s(1, arr.shape)
+    b.message(7, sh)
+    b.bytes_(8, arr.astype("<f8").tobytes())  # double_data, packed
+    layer = wire.Encoder()
+    layer.string(1, "dl")
+    layer.string(2, "InnerProduct")
+    layer.message(7, b)
+    net = wire.Encoder()
+    net.message(100, layer)
+    out = decode_netparameter(net.tobytes())
+    np.testing.assert_allclose(out["dl"][0].data, arr.astype(np.float32))
+
+
+def test_convert_imageset_and_mean(tmp_path):
+    from PIL import Image
+    from deepcut_tpu.tools.datasets import main
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(4):
+        arr = rng.randint(0, 255, (10, 12, 3), np.uint8)
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append((str(p), i % 2))
+    listfile = tmp_path / "list.txt"
+    listfile.write_text("\n".join(f"{p} {l}" for p, l in paths))
+    db = str(tmp_path / "db")
+    assert main(["convert_imageset", str(listfile), db]) == 0
+    meanfile = str(tmp_path / "mean.binaryproto")
+    assert main(["compute_image_mean", db, meanfile]) == 0
+    from deepcut_tpu.io import blobproto_bytes_to_array
+    with open(meanfile, "rb") as f:
+        mean = blobproto_bytes_to_array(f.read())
+    assert mean.shape == (1, 3, 10, 12)
+    # the db round-trips through the Data layer
+    from deepcut_tpu.data.lmdb_store import LMDBReader
+    from deepcut_tpu.data.datum import Datum
+    items = list(LMDBReader(db).items())
+    assert len(items) == 4
+    d = Datum.decode(items[0][1])
+    assert d.to_array().shape == (3, 10, 12)
+
+
+def test_classifier_predict(tmp_path):
+    from deepcut_tpu.classifier import Classifier
+
+    proto = tmp_path / "cls.prototxt"
+    proto.write_text("""
+        name: "cls"
+        input: "data"
+        input_dim: 2 input_dim: 3 input_dim: 8 input_dim: 8
+        layer { name: "conv" type: "Convolution" bottom: "data" top: "conv"
+          convolution_param { num_output: 5 kernel_size: 8
+            weight_filler { type: "gaussian" std: 0.1 } } }
+        layer { name: "prob" type: "Softmax" bottom: "conv" top: "prob" }
+        """)
+    clf = Classifier(str(proto), image_dims=(10, 10), raw_scale=255.0)
+    ims = [np.random.RandomState(i).rand(12, 12, 3).astype(np.float32)
+           for i in range(3)]
+    preds = clf.predict(ims, oversample=True)
+    assert preds.shape == (3, 5)
+    np.testing.assert_allclose(preds.sum(axis=1), 1.0, rtol=1e-4)
+    preds2 = clf.predict(ims, oversample=False)
+    assert preds2.shape == (3, 5)
