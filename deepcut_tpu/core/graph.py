@@ -45,17 +45,49 @@ def _to_nhwc_shape(shape: Sequence[int]) -> Tuple[int, ...]:
 # --------------------------------------------------------------------------
 
 
+# V1 LayerType enum names -> V2 type strings (reference: upgrade_proto.cpp
+# UpgradeV1LayerType) so legacy `layers { type: CONVOLUTION }` prototxts load.
+_V1_TYPE_NAMES = {
+    "ABSVAL": "AbsVal", "ACCURACY": "Accuracy", "ARGMAX": "ArgMax",
+    "BNLL": "BNLL", "CONCAT": "Concat", "CONTRASTIVE_LOSS": "ContrastiveLoss",
+    "CONVOLUTION": "Convolution", "DECONVOLUTION": "Deconvolution",
+    "DATA": "Data", "DROPOUT": "Dropout", "DUMMY_DATA": "DummyData",
+    "EUCLIDEAN_LOSS": "EuclideanLoss", "ELTWISE": "Eltwise", "EXP": "Exp",
+    "FLATTEN": "Flatten", "HDF5_DATA": "HDF5Data", "HDF5_OUTPUT": "HDF5Output",
+    "HINGE_LOSS": "HingeLoss", "IM2COL": "Im2col", "IMAGE_DATA": "ImageData",
+    "INFOGAIN_LOSS": "InfogainLoss", "INNER_PRODUCT": "InnerProduct",
+    "LRN": "LRN", "MEMORY_DATA": "MemoryData",
+    "MULTINOMIAL_LOGISTIC_LOSS": "MultinomialLogisticLoss", "MVN": "MVN",
+    "POOLING": "Pooling", "POWER": "Power", "RELU": "ReLU",
+    "SIGMOID": "Sigmoid", "SIGMOID_CROSS_ENTROPY_LOSS": "SigmoidCrossEntropyLoss",
+    "SILENCE": "Silence", "SOFTMAX": "Softmax", "SOFTMAX_LOSS": "SoftmaxWithLoss",
+    "SPLIT": "Split", "SLICE": "Slice", "TANH": "TanH",
+    "WINDOW_DATA": "WindowData", "THRESHOLD": "Threshold",
+}
+
+
 class LayerSpec:
     """Static description of one layer: type, wiring, config node."""
 
-    __slots__ = ("name", "type", "bottoms", "tops", "node", "phase")
+    __slots__ = ("name", "type", "bottoms", "tops", "node", "phase", "param_specs")
 
     def __init__(self, node: PbNode):
         self.node = node
         self.name = node.get_str("name", "")
         self.type = node.get_str("type", "")
+        self.type = _V1_TYPE_NAMES.get(self.type, self.type)
         self.bottoms = [str(b) for b in node.get_list("bottom")]
         self.tops = [str(t) for t in node.get_list("top")]
+        # ParamSpec entries: shared name / lr_mult / decay_mult
+        # (reference: Net::AppendParam, net.cpp:469-562)
+        self.param_specs = []
+        for p in node.get_list("param"):
+            if isinstance(p, PbNode):
+                self.param_specs.append({
+                    "name": p.get_str("name", ""),
+                    "lr_mult": p.get_float("lr_mult", 1.0),
+                    "decay_mult": p.get_float("decay_mult", 1.0),
+                })
         self.phase = None
         for rule in node.get_list("include"):
             if rule.has("phase"):
@@ -245,13 +277,32 @@ class Net:
         }
         jax.eval_shape(shape_pass, structs)
 
+        # Named-param weight sharing (Net::AppendParam, net.cpp:469-562):
+        # the first layer declaring `param { name: "x" }` owns the array,
+        # later declarations alias it. Also collect lr/decay multipliers.
+        specs_by_name = {s.name: s for _, s in self._plan}
+        owners: Dict[str, Tuple[str, str]] = {}
+        self._aliases: Dict[str, Dict[str, Tuple[str, str]]] = {}
+        self._lr_mults: Dict[str, Dict[str, float]] = {}
+        self._decay_mults: Dict[str, Dict[str, float]] = {}
         rng = self._rng
         params: Dict[str, Dict[str, jax.Array]] = {}
         for name, pspec in collected.items():
             entry = {}
-            for key, shape, filler in pspec:
+            spec = specs_by_name.get(name)
+            pdecls = spec.param_specs if spec else []
+            for i, (key, shape, filler) in enumerate(pspec):
+                decl = pdecls[i] if i < len(pdecls) else {}
+                shared = decl.get("name", "")
+                self._lr_mults.setdefault(name, {})[key] = decl.get("lr_mult", 1.0)
+                self._decay_mults.setdefault(name, {})[key] = decl.get("decay_mult", 1.0)
+                if shared and shared in owners:
+                    self._aliases.setdefault(name, {})[key] = owners[shared]
+                    continue
                 rng, sub = jax.random.split(rng)
                 entry[key] = fillers.fill(filler, sub, shape)
+                if shared:
+                    owners[shared] = (name, key)
             params[name] = entry
         self.params = params
         if self._pending_weights is not None:
@@ -259,17 +310,93 @@ class Net:
             self._pending_weights = None
 
     # -- execution --------------------------------------------------------
+    def _entry(self, params, name: str):
+        """Layer's param entry with shared-name aliases resolved."""
+        entry = params.get(name)
+        aliases = getattr(self, "_aliases", {}).get(name)
+        if not aliases:
+            return entry
+        merged = dict(entry or {})
+        for key, (ol, ok) in aliases.items():
+            merged[key] = params[ol][ok]
+        return merged
+
     def _execute(self, params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         blobs: Dict[str, jax.Array] = dict(inputs)
-        consumed: Dict[str, int] = {}
         for fn, spec in self._plan:
             bottoms = [blobs[b] for b in spec.bottoms]
-            outs = fn(params.get(spec.name), bottoms)
+            outs = fn(self._entry(params, spec.name), bottoms)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for top, val in zip(spec.tops, outs):
                 blobs[top] = val
         return blobs
+
+    # -- training through the graph ----------------------------------------
+    def total_loss(self, blobs: Dict[str, jax.Array]) -> jax.Array:
+        """Weighted sum of loss-layer outputs (loss_weight, default 1 for
+        loss-typed layers — reference Layer::loss() semantics)."""
+        total = None
+        for _, spec in self._plan:
+            weights = [float(v) for v in spec.node.get_list("loss_weight")]
+            is_loss = spec.type.endswith("Loss") or spec.type == "SoftmaxWithLossVec"
+            for i, top in enumerate(spec.tops):
+                w = weights[i] if i < len(weights) else (1.0 if is_loss else 0.0)
+                if w:
+                    term = blobs[top].astype(jnp.float32).sum() * w
+                    total = term if total is None else total + term
+        if total is None:
+            raise ValueError("net has no loss layers")
+        return total
+
+    def make_train_step(self, solver_cfg, *, lr_mults: bool = True):
+        """Jitted (params, state, inputs) -> (params, state, loss): forward,
+        backward, and the Caffe update rule over this graph."""
+        from deepcut_tpu.solver import update_rules
+
+        mults = None
+        if lr_mults and getattr(self, "_lr_mults", None):
+            mults = {
+                name: {k: self._lr_mults.get(name, {}).get(k, 1.0) for k in entry}
+                for name, entry in self.params.items()
+            }
+
+        def step(params, state, inputs):
+            def loss_fn(p):
+                return self.total_loss(self._execute(p, inputs))
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params2, state2 = update_rules.step(
+                solver_cfg, params, grads, state, lr_mults=mults)
+            return params2, state2, loss
+        return jax.jit(step)
+
+    def backward(self, **inputs) -> Dict[str, np.ndarray]:
+        """Gradients of the total loss w.r.t. the net inputs (pycaffe
+        net.backward analog; param grads come from make_train_step)."""
+        self._pull_data_layers(inputs)
+        dev_inputs = {}
+        for nm, arr in inputs.items():
+            a = jnp.asarray(arr)
+            if a.ndim == 4:
+                a = jnp.transpose(a, (0, 2, 3, 1))
+            dev_inputs[nm] = a
+        if not self.params:
+            self._ensure_params({nm: tuple(v.shape) for nm, v in dev_inputs.items()})
+
+        diffable = {nm: v for nm, v in dev_inputs.items()
+                    if jnp.issubdtype(v.dtype, jnp.floating)}
+        rest = {nm: v for nm, v in dev_inputs.items() if nm not in diffable}
+
+        def loss_of(d):
+            return self.total_loss(self._execute(self.params, {**d, **rest}))
+        grads = jax.grad(loss_of)(diffable)
+        out = {}
+        for nm, g in grads.items():
+            arr = np.asarray(g)
+            if arr.ndim == 4:
+                arr = arr.transpose(0, 3, 1, 2)
+            out[nm] = arr
+        return out
 
     def set_input_arrays(self, data: np.ndarray, labels: np.ndarray) -> None:
         """Feed a MemoryData layer (pycaffe Net.set_input_arrays)."""

@@ -158,6 +158,94 @@ class SignalHandler:
         self.snapshot_requested = True
 
 
+class GraphSolver:
+    """Generic solver over a prototxt-defined net with data layers — the
+    `caffe train` path for non-pose models (LeNet/CaffeNet-style recipes).
+    """
+
+    def __init__(self, params: SolverParams, net, *,
+                 handle_signals: bool = True, log: Callable[[str], None] = print):
+        from deepcut_tpu.core.graph import Net
+
+        self.params_cfg = params
+        self.net = net if isinstance(net, Net) else Net(net, phase="TRAIN",
+                                                        compute_dtype=None)
+        self.log = log
+        self.signals = SignalHandler(handle_signals)
+        self._loss_window = deque(maxlen=max(params.average_loss, 1))
+        # materialise params (pull one batch for shapes if needed)
+        if not self.net.params:
+            inputs = {}
+            self.net._pull_data_layers(inputs)
+            shapes = {}
+            for nm, arr in inputs.items():
+                a = np.asarray(arr)
+                sh = (a.shape[0], a.shape[2], a.shape[3], a.shape[1]) if a.ndim == 4 else a.shape
+                shapes[nm] = sh
+            self.net._peeked = {}
+            for name, src in self.net.data_sources.items():
+                self.net._peeked[name] = [inputs[t] for t in src.tops]
+            self.net._ensure_params(shapes)
+        self._step_fn = self.net.make_train_step(params.config)
+        self.state = update_rules.init_state(params.config, self.net.params)
+
+    @property
+    def iter(self) -> int:
+        return int(self.state["iter"])
+
+    def _next_inputs(self):
+        import jax.numpy as jnp
+
+        inputs: Dict[str, Any] = {}
+        self.net._pull_data_layers(inputs)
+        dev = {}
+        for nm, arr in inputs.items():
+            a = jnp.asarray(arr)
+            if a.ndim == 4:
+                a = jnp.transpose(a, (0, 2, 3, 1))
+            dev[nm] = a
+        return dev
+
+    def step(self, iters: int) -> None:
+        cfg = self.params_cfg
+        params = self.net.params
+        for _ in range(iters):
+            if self.signals.stop_requested:
+                self.log(f"Optimization stopped by signal at iter {self.iter}.")
+                break
+            params, self.state, loss = self._step_fn(params, self.state,
+                                                     self._next_inputs())
+            self._loss_window.append(float(loss))
+            it = self.iter
+            if cfg.display and it % cfg.display == 0:
+                smoothed = sum(self._loss_window) / len(self._loss_window)
+                lr = float(update_rules.learning_rate(cfg.config, it - 1))
+                self.log(f"Iteration {it}, loss = {smoothed:.5f}, lr = {lr:.6g}")
+            if cfg.snapshot and it % cfg.snapshot == 0:
+                self.net.params = params
+                self.snapshot()
+        self.net.params = params
+
+    def solve(self) -> None:
+        self.step(self.params_cfg.max_iter - self.iter)
+        if self.params_cfg.snapshot:
+            self.snapshot()
+
+    def snapshot(self, export_caffemodel: bool = True) -> str:
+        path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
+        save_checkpoint(path, self.net.params, self.state)
+        self.log(f"Snapshotting to {path}")
+        if export_caffemodel:
+            from deepcut_tpu.proto.caffemodel import save_caffemodel
+            cm = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.caffemodel"
+            save_caffemodel(cm, jax.tree_util.tree_map(np.asarray, self.net.params))
+        return path
+
+    def restore(self, path: str) -> None:
+        self.net.params, self.state = load_checkpoint(path)
+        self.log(f"Restored from {path} at iter {self.iter}")
+
+
 class PoseSolver:
     """DeeperCut training driver (native model path).
 

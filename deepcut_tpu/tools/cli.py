@@ -87,6 +87,14 @@ def train(args) -> int:
         if layer.get_str("type") == "PoseData":
             data_layer = layer
             break
+    if data_layer is None:
+        # Generic graph training (LeNet/CaffeNet-style recipes).
+        from deepcut_tpu.solver.solver import GraphSolver
+        solver = GraphSolver(sp, sp.train_net)
+        if args.snapshot:
+            solver.restore(args.snapshot)
+        solver.solve()
+        return 0
     tcfg, pp = _target_config_from_layer(data_layer)
     stats = None
     if pp.get_str("joint_pairs_stats"):

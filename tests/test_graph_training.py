@@ -1,0 +1,110 @@
+"""Graph-engine training features: named weight sharing, loss aggregation,
+jitted train step with lr_mult handling, net.backward."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.solver.update_rules import SolverConfig
+
+
+SHARED_PROTO = """
+name: "siamese-ish"
+input: "a"
+input_shape { dim: 4 dim: 8 }
+input: "b"
+input_shape { dim: 4 dim: 8 }
+layer {
+  name: "ip_a" type: "InnerProduct" bottom: "a" top: "fa"
+  param { name: "shared_w" lr_mult: 1 }
+  param { name: "shared_b" lr_mult: 2 }
+  inner_product_param { num_output: 6 weight_filler { type: "gaussian" std: 0.2 } }
+}
+layer {
+  name: "ip_b" type: "InnerProduct" bottom: "b" top: "fb"
+  param { name: "shared_w" }
+  param { name: "shared_b" }
+  inner_product_param { num_output: 6 weight_filler { type: "gaussian" std: 0.2 } }
+}
+"""
+
+
+def test_shared_weights_forward():
+    net = Net(text_format.parse(SHARED_PROTO), compute_dtype=None)
+    # ip_b has no own arrays; it aliases ip_a's
+    assert net.params["ip_b"] == {}
+    x = np.random.RandomState(0).randn(4, 8).astype(np.float32)
+    outs = net.forward(a=x, b=x)
+    np.testing.assert_allclose(outs["fa"], outs["fb"], rtol=1e-6)
+
+
+TRAIN_PROTO = """
+name: "trainable"
+input: "data"
+input_shape { dim: 8 dim: 12 }
+input: "label"
+input_shape { dim: 8 }
+layer {
+  name: "ip1" type: "InnerProduct" bottom: "data" top: "ip1"
+  inner_product_param { num_output: 16 weight_filler { type: "xavier" } }
+}
+layer { name: "relu1" type: "ReLU" bottom: "ip1" top: "ip1" }
+layer {
+  name: "ip2" type: "InnerProduct" bottom: "ip1" top: "ip2"
+  param { lr_mult: 1 } param { lr_mult: 2 }
+  inner_product_param { num_output: 4 weight_filler { type: "xavier" } }
+}
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label" top: "loss" }
+"""
+
+
+def _train_inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(8, 12).astype(np.float32)
+    y = rng.randint(0, 4, (8,)).astype(np.int32)
+    return {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+
+
+def test_graph_train_step_reduces_loss():
+    from deepcut_tpu.solver.update_rules import init_state
+
+    net = Net(text_format.parse(TRAIN_PROTO), phase="TRAIN", compute_dtype=None)
+    cfg = SolverConfig(solver_type="SGD", base_lr=0.1, momentum=0.9, weight_decay=0.0)
+    step = net.make_train_step(cfg)
+    params = net.params
+    state = init_state(cfg, params)
+    inputs = _train_inputs()
+    losses = []
+    for _ in range(30):
+        params, state, loss = step(params, state, inputs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_lr_mult_zero_freezes():
+    from deepcut_tpu.solver.update_rules import init_state
+
+    proto = TRAIN_PROTO.replace("param { lr_mult: 1 } param { lr_mult: 2 }",
+                                "param { lr_mult: 0 } param { lr_mult: 0 }")
+    net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    cfg = SolverConfig(solver_type="SGD", base_lr=0.1, momentum=0.0, weight_decay=0.0)
+    step = net.make_train_step(cfg)
+    from deepcut_tpu.solver.update_rules import init_state as istate
+    params = net.params
+    state = istate(cfg, params)
+    before = np.asarray(params["ip2"]["w"]).copy()
+    params, state, _ = step(params, state, _train_inputs())
+    np.testing.assert_array_equal(np.asarray(params["ip2"]["w"]), before)
+    assert not np.array_equal(np.asarray(params["ip1"]["w"]),
+                              np.asarray(net.params["ip1"]["w"]))
+
+
+def test_net_backward_input_grads():
+    net = Net(text_format.parse(TRAIN_PROTO), phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(1)
+    grads = net.backward(data=rng.randn(8, 12).astype(np.float32),
+                         label=rng.randint(0, 4, (8,)).astype(np.int32))
+    assert grads["data"].shape == (8, 12)
+    assert np.abs(grads["data"]).sum() > 0
