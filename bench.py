@@ -25,7 +25,7 @@ import jax.numpy as jnp
 CAFFE_CPU_IPS_EST = 0.1  # images/sec, see module docstring
 
 
-def bench_forward(batch_sizes=(1, 4, 8), size=688, iters=20, warmup=3):
+def bench_forward(batch_sizes=(1, 4, 32), size=688, iters=20, warmup=3):
     from deepcut_tpu.models.resnet import deepercut_config, init_params, fold_bn, make_forward
 
     cfg = deepercut_config(152)

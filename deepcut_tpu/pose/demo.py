@@ -1,0 +1,103 @@
+"""Pose demo CLI (reference: python/pose/pose_demo.py).
+
+    python -m deepcut_tpu.pose.demo IMAGE_OR_DIR \
+        [--model-def D.prototxt] [--model-bin W.caffemodel] \
+        [--scales 0.8,1.0,1.2] [--out_name OUT] [--visualize/--no-visualize] \
+        [--folder_image_suffix .png] [--average-scales]
+
+Saves `<image>_pose.npz` (key 'pose', the 5x14 array) and a circle-overlay
+visualisation, exactly like the reference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+# reference colour table (pose_demo.py:126-128)
+COLORS = [[255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 245, 255], [255, 131, 250],
+          [255, 255, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255], [0, 245, 255],
+          [255, 131, 250], [255, 255, 0], [0, 0, 0], [255, 255, 255]]
+
+
+def npcircle(image: np.ndarray, cx: float, cy: float, radius: int, color,
+             transparency: float = 0.0) -> None:
+    """Draw a circle in-place (reference pose_demo.py:29-38)."""
+    radius, cx, cy = int(radius), int(cx), int(cy)
+    y, x = np.ogrid[-radius:radius, -radius:radius]
+    index = x ** 2 + y ** 2 <= radius ** 2
+    sl = image[cy - radius:cy + radius, cx - radius:cx + radius]
+    if sl.shape[:2] != index.shape:
+        return  # circle clipped at border; reference would error out
+    sl[index] = (sl[index].astype(np.float32) * transparency +
+                 np.asarray(color, np.float32) * (1.0 - transparency)).astype(np.uint8)
+
+
+def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
+                      out_name: Optional[str] = None, scales=(1.0,),
+                      visualize: bool = True, folder_image_suffix: str = ".png",
+                      average_scales: bool = False) -> int:
+    from PIL import Image
+    from deepcut_tpu.pose.estimate import estimate_pose, _MODEL_CACHE
+
+    if os.path.isdir(image_name):
+        images = sorted(glob.glob(os.path.join(image_name, "*" + folder_image_suffix)))
+        process_folder = True
+    else:
+        images = [image_name]
+        process_folder = False
+    out_name_provided = out_name
+    if process_folder and out_name and not os.path.exists(out_name):
+        os.mkdir(out_name)
+    for image_path in images:
+        if out_name_provided is None:
+            out = image_path + "_pose.npz"
+        elif process_folder:
+            out = os.path.join(out_name_provided, os.path.basename(image_path) + "_pose.npz")
+        else:
+            out = out_name_provided
+        with Image.open(image_path) as im:
+            rgb = np.asarray(im.convert("RGB"))
+        image = rgb[:, :, ::-1]  # BGR (pose_demo.py:121)
+        if average_scales:
+            estimate_pose(image, model_def, model_bin, [1.0])  # populate cache
+            est = next(iter(_MODEL_CACHE.values()))
+            pose = est.estimate_pose_avg(image, scales)
+        else:
+            pose = estimate_pose(image, model_def, model_bin, list(scales))
+        np.savez_compressed(out, pose=pose)
+        print(f"{image_path}: saved {out}")
+        if visualize:
+            visim = rgb.copy()
+            for p_idx in range(pose.shape[1]):
+                npcircle(visim, pose[0, p_idx], pose[1, p_idx], 8,
+                         COLORS[p_idx % len(COLORS)], 0.0)
+            Image.fromarray(visim).save(out + "_vis.png")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="deepcut_tpu.pose.demo", description=__doc__)
+    p.add_argument("image_name")
+    p.add_argument("--model-def", default="")
+    p.add_argument("--model-bin", default="")
+    p.add_argument("--out_name", default=None)
+    p.add_argument("--scales", default="1.")
+    p.add_argument("--visualize", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--folder_image_suffix", default=".png")
+    p.add_argument("--average-scales", action="store_true",
+                   help="average scoremaps across scales instead of best-of")
+    args = p.parse_args(argv)
+    scales = [float(v) for v in args.scales.split(",")]
+    return predict_pose_from(args.image_name, args.model_def, args.model_bin,
+                             args.out_name, scales, args.visualize,
+                             args.folder_image_suffix, args.average_scales)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

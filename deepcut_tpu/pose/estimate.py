@@ -112,12 +112,18 @@ class PoseEstimator:
         folded: bool = True,
         bucket_step: int = 64,
         max_size: int = MAX_SIZE,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'spatial' axis — HD frames
+        are then computed full-frame with image rows sharded across chips
+        (XLA halo-exchanges conv borders over ICI), replacing the host-side
+        tiling loop (BASELINE config 5)."""
         self.cfg = cfg or deepercut_config(152)
         self.params = fold_bn(params, self.cfg) if folded and _has_bn(params) else params
         self.folded = folded
         self.bucket_step = bucket_step
         self.max_size = max_size
+        self.mesh = mesh
         self._fwd_cache: Dict = {}
 
     # -- compiled pieces ---------------------------------------------------
@@ -171,11 +177,24 @@ class PoseEstimator:
         if key not in self._fwd_cache:
             cfg, folded = self.cfg, self.folded
 
-            @jax.jit
-            def fn(params, canvas):
+            def raw(params, canvas):
                 x = canvas.astype(cfg.compute_dtype if folded else jnp.float32)
                 outs = forward(params, x, cfg, folded=folded)
                 return outs["prob"], outs["loc_pred"]
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(self.mesh, P())
+                row_sharded = NamedSharding(self.mesh, P(None, "spatial", None, None))
+                # out shardings left to XLA: the stride-8 grid is generally
+                # not divisible by the spatial axis.
+                fn = jax.jit(
+                    raw,
+                    in_shardings=(jax.tree_util.tree_map(lambda _: rep, self.params),
+                                  row_sharded),
+                )
+            else:
+                fn = jax.jit(raw)
             self._fwd_cache[key] = fn
         return self._fwd_cache[key]
 
@@ -193,10 +212,39 @@ class PoseEstimator:
                 best_conf, best_pose = minconf, pose
         return best_pose
 
+    def estimate_pose_avg(self, image: np.ndarray,
+                          scales: Sequence[float]) -> np.ndarray:
+        """Multi-scale pyramid with SCOREMAP AVERAGING: each scale's maps are
+        resampled to the scale-1 grid and averaged before a single decode
+        (the DeeperCut TF-style fusion; the reference CLI instead keeps the
+        best single scale — see estimate_pose)."""
+        h, w = image.shape[:2]
+        gh = canvas_size(h, 1.0) // int(STRIDE)
+        gw = canvas_size(w, 1.0) // int(STRIDE)
+        acc_sm = acc_loc = None
+        for s in scales:
+            sm, loc = self.scoremaps(image, s)
+            Ah = _bilinear_matrix(sm.shape[0], gh)
+            Aw = _bilinear_matrix(sm.shape[1], gw)
+            sm_r = np.einsum("oh,hwc->owc", Ah, np.einsum("ow,hwc->hoc", Aw, sm))
+            loc_r = np.einsum("oh,hwc->owc", Ah, np.einsum("ow,hwc->hoc", Aw, loc)) / s
+            acc_sm = sm_r if acc_sm is None else acc_sm + sm_r
+            acc_loc = loc_r if acc_loc is None else acc_loc + loc_r
+        acc_sm /= len(scales)
+        acc_loc /= len(scales)
+        return np.asarray(decode_pose(jnp.asarray(acc_sm), jnp.asarray(acc_loc)))
+
+    def _max_dims(self):
+        nsp = 1
+        if self.mesh is not None:
+            nsp = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("spatial", 1)
+        return self.max_size * nsp, self.max_size
+
     def _estimate_single_scale(self, image: np.ndarray, scale: float) -> np.ndarray:
         h, w = image.shape[:2]
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
-        if max(ch, cw) > self.max_size:
+        max_h, max_w = self._max_dims()
+        if ch > max_h or cw > max_w:
             sm, loc = self._scoremaps_tiled(image, scale)
             pose = decode_pose(jnp.asarray(sm), jnp.asarray(loc), scale=scale)
             return np.asarray(pose)
@@ -209,16 +257,30 @@ class PoseEstimator:
         return np.asarray(pose)
 
     def scoremaps(self, image: np.ndarray, scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
-        """Full scoremaps + locref for an image (HD path tiles as needed)."""
+        """Full scoremaps + locref for an image. HD frames run spatially
+        sharded over the mesh when one is configured, else host-tiled."""
         h, w = image.shape[:2]
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
-        if max(ch, cw) > self.max_size:
+        max_h, max_w = self._max_dims()
+        if ch > max_h or cw > max_w:
             return self._scoremaps_tiled(image, scale)
         out_h = int(round((h + PAD_SIZE) * scale))
         out_w = int(round((w + PAD_SIZE) * scale))
         canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)
-        sm, loc = self._forward_maps(ch, cw)(self.params, canvas)
-        return np.asarray(sm[0], np.float32), np.asarray(loc[0], np.float32)
+        pad_h = ch
+        if self.mesh is not None:
+            # canvas rows must divide evenly across the 'spatial' axis; the
+            # extra rows are zeros (same as implicit conv padding up to the
+            # receptive field, and trimmed from the scoremap below)
+            nsp = self._max_dims()[0] // self.max_size
+            step = int(STRIDE) * max(nsp, 1)
+            pad_h = -(-ch // step) * step
+            if pad_h != ch:
+                canvas = jnp.pad(canvas, ((0, 0), (0, pad_h - ch), (0, 0), (0, 0)))
+        sm, loc = self._forward_maps(pad_h, cw)(self.params, canvas)
+        gh = ch // int(STRIDE)
+        return (np.asarray(sm[0], np.float32)[:gh],
+                np.asarray(loc[0], np.float32)[:gh])
 
     # -- tiling (reference arithmetic: estimate_pose.py:146-221) ----------
     def _scoremaps_tiled(self, image: np.ndarray, scale: float) -> Tuple[np.ndarray, np.ndarray]:

@@ -57,3 +57,17 @@ def test_multiscale_picks_best():
     img = np.random.RandomState(2).randint(0, 255, (96, 96, 3), np.uint8)
     pose = est.estimate_pose(img, scales=[0.75, 1.0])
     assert pose is not None and pose.shape == (5, 3)
+
+
+def test_multiscale_averaging():
+    est = _estimator()
+    img = np.random.RandomState(3).randint(0, 255, (96, 128, 3), np.uint8)
+    pose = est.estimate_pose_avg(img, scales=[0.75, 1.0, 1.25])
+    assert pose.shape == (5, 3)
+    # averaging at a single scale == plain decode of that scale's maps
+    pose1 = est.estimate_pose_avg(img, scales=[1.0])
+    sm, loc = est.scoremaps(img, 1.0)
+    from deepcut_tpu.pose.decode import decode_pose
+    import jax.numpy as jnp
+    ref = np.asarray(decode_pose(jnp.asarray(sm), jnp.asarray(loc)))
+    np.testing.assert_allclose(pose1, ref, rtol=1e-4, atol=1e-4)

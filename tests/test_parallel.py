@@ -69,3 +69,32 @@ print('SPATIAL-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=8)
     assert "SPATIAL-MATCH" in out
+
+
+def test_mesh_sharded_estimator_matches(run_in_cpu_mesh):
+    """PoseEstimator with a spatial mesh: HD full-frame sharded scoremaps
+    equal the single-device computation (BASELINE config 5 mechanism)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.pose.estimate import PoseEstimator
+from deepcut_tpu.parallel.mesh import make_mesh
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=3,
+                      compute_dtype=jnp.float32)
+params = init_params(jax.random.PRNGKey(0), cfg)
+img = np.random.RandomState(0).randint(0, 255, (200, 240, 3), np.uint8)
+plain = PoseEstimator(params, cfg, folded=False)
+mesh = make_mesh(4, spatial=4)
+with mesh:
+    sharded = PoseEstimator(params, cfg, folded=False, mesh=mesh)
+    sm_s, loc_s = sharded.scoremaps(img)
+sm_p, loc_p = plain.scoremaps(img)
+np.testing.assert_allclose(sm_s, sm_p, rtol=2e-4, atol=2e-5)
+np.testing.assert_allclose(loc_s, loc_p, rtol=2e-4, atol=2e-4)
+# mesh raises the tiling threshold: a 4x taller frame stays un-tiled
+mh, mw = sharded._max_dims()
+assert mh == 4 * sharded.max_size and mw == sharded.max_size
+print('MESH-ESTIMATOR-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=4)
+    assert "MESH-ESTIMATOR-MATCH" in out
