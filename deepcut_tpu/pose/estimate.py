@@ -269,9 +269,12 @@ class PoseEstimator:
         canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)
         pad_h = ch
         if self.mesh is not None:
-            # canvas rows must divide evenly across the 'spatial' axis; the
-            # extra rows are zeros (same as implicit conv padding up to the
-            # receptive field, and trimmed from the scoremap below)
+            # canvas rows must divide evenly across the 'spatial' axis. When
+            # they already do (e.g. 688 with any power-of-two axis) the
+            # sharded result is exact; otherwise the zero-row padding can
+            # perturb scoremap rows within the receptive field of the bottom
+            # edge (ceil-mode pooling pads -inf, zeros differ) — same class
+            # of boundary effect the reference's tiling seam-trim accepts.
             nsp = self._max_dims()[0] // self.max_size
             step = int(STRIDE) * max(nsp, 1)
             pad_h = -(-ch // step) * step

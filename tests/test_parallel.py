@@ -82,15 +82,22 @@ from deepcut_tpu.parallel.mesh import make_mesh
 cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=3,
                       compute_dtype=jnp.float32)
 params = init_params(jax.random.PRNGKey(0), cfg)
-img = np.random.RandomState(0).randint(0, 255, (200, 240, 3), np.uint8)
+# canvas height divisible by spatial*stride (192 % 32 == 0): sharded == plain
+img = np.random.RandomState(0).randint(0, 255, (192, 240, 3), np.uint8)
 plain = PoseEstimator(params, cfg, folded=False)
 mesh = make_mesh(4, spatial=4)
 with mesh:
     sharded = PoseEstimator(params, cfg, folded=False, mesh=mesh)
     sm_s, loc_s = sharded.scoremaps(img)
+    # non-divisible height: zero-row padding may perturb only the bottom
+    # receptive-field band (documented contract)
+    img2 = np.random.RandomState(1).randint(0, 255, (200, 240, 3), np.uint8)
+    sm2_s, _ = sharded.scoremaps(img2)
 sm_p, loc_p = plain.scoremaps(img)
 np.testing.assert_allclose(sm_s, sm_p, rtol=2e-4, atol=2e-5)
 np.testing.assert_allclose(loc_s, loc_p, rtol=2e-4, atol=2e-4)
+sm2_p, _ = plain.scoremaps(img2)
+np.testing.assert_allclose(sm2_s[:14], sm2_p[:14], rtol=2e-4, atol=2e-5)
 # mesh raises the tiling threshold: a 4x taller frame stays un-tiled
 mh, mw = sharded._max_dims()
 assert mh == 4 * sharded.max_size and mw == sharded.max_size
