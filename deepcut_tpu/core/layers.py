@@ -349,6 +349,8 @@ def _pooling(spec, phase, compute_dtype):
     pw = pp.get_int("pad_w") if pp.has("pad_w") else pp.get_int("pad", 0)
     if method == "MAX":
         return lambda p, b: pool_ops.max_pool2d(b[0], kernel=(kh, kw), stride=(sh, sw), pad=(ph, pw))
+    if method == "STOCHASTIC":
+        return lambda p, b: pool_ops.stochastic_pool2d(b[0], kernel=(kh, kw), stride=(sh, sw), train=False)
     return lambda p, b: pool_ops.avg_pool2d(b[0], kernel=(kh, kw), stride=(sh, sw), pad=(ph, pw))
 
 

@@ -1,0 +1,181 @@
+"""int8 serving mode: post-training quantization of the folded model.
+
+Measured on v5e: int8 wins ~1.4x on an isolated 3x3/512ch conv, but the
+END-TO-END graph runs at 2.75 ms/img vs bf16's 2.60 — the f32 inter-layer
+activations double HBM traffic and the requantize epilogues offset the MXU
+gain. bf16 therefore remains the default serving config; this path is for
+memory-constrained serving (4x smaller weights: 58 MB vs 233 MB) and as the
+substrate for a future int8-activations-end-to-end pipeline. Scheme:
+
+- weights: per-output-channel absmax symmetric int8 (one-time);
+- activations: per-conv-input static scales from a calibration pass
+  (dynamic absmax would re-read every activation from HBM; static scales
+  let XLA fuse quantize into the previous op's epilogue);
+- conv accumulates int32, dequantizes to f32 epilogue (scale*acc + bias),
+  ReLU, requantize for the next conv. Residual adds stay f32.
+
+The reference has no quantized path at all — this is a beyond-parity
+serving feature. Expect small scoremap deviations (validated by test
+against the bf16 path on random weights).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepcut_tpu.models.resnet import DeeperCutConfig, _block_names, _skip_block
+from deepcut_tpu.ops.pool import max_pool2d
+from deepcut_tpu.ops.activations import relu, sigmoid
+from deepcut_tpu.ops.eltwise import crop_like
+from deepcut_tpu.ops.conv import deconv2d
+
+
+def quantize_weights(folded_params: Dict) -> Dict:
+    """Folded (w, b) params -> {w_q int8, w_scale (Cout,), b} per conv.
+    Deconv heads stay bf16 (tiny cost, shape-sensitive)."""
+    out: Dict[str, Dict[str, jax.Array]] = {}
+    for name, entry in folded_params.items():
+        if name.startswith("res5c_up_") or "w" not in entry or entry["w"].ndim != 4:
+            out[name] = dict(entry)
+            continue
+        w = entry["w"].astype(jnp.float32)
+        s = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+        s = jnp.where(s == 0, 1.0, s)
+        out[name] = {
+            "w_q": jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8),
+            "w_scale": s,
+            "b": entry.get("b", jnp.zeros((w.shape[-1],), jnp.float32)),
+        }
+    return out
+
+
+def _conv_i8(x_q, w_q, *, stride=1, pad=0, dilation=1):
+    return jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)), rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def forward_int8(
+    qparams: Dict,
+    act_scales: Dict[str, jax.Array],
+    x: jax.Array,
+    cfg: DeeperCutConfig = DeeperCutConfig(),
+) -> Dict[str, jax.Array]:
+    """Quantized inference forward. x: (N,H,W,3) float (mean-subtracted)."""
+
+    def qconv(xf, name, *, stride=1, pad=0, dilation=1, act=True):
+        p = qparams[name]
+        s_x = act_scales[name]
+        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        acc = _conv_i8(x_q, p["w_q"], stride=stride, pad=pad, dilation=dilation)
+        y = acc.astype(jnp.float32) * (s_x * p["w_scale"]) + p["b"]
+        return relu(y) if act else y
+
+    y = qconv(x.astype(jnp.float32), "conv1", stride=2, pad=3)
+    y = max_pool2d(y, kernel=3, stride=2)
+    skip_name = _skip_block(cfg)
+    skip = None
+    for stage in range(4):
+        s = cfg.stage_strides[stage]
+        d = cfg.stage_dilations[stage]
+        for bi, block in enumerate(_block_names(cfg, stage)):
+            bs = s if bi == 0 else 1
+            if bi == 0:
+                shortcut = qconv(y, f"res{block}_branch1", stride=bs, act=False)
+            else:
+                shortcut = y
+            z = qconv(y, f"res{block}_branch2a", stride=bs)
+            z = qconv(z, f"res{block}_branch2b", pad=d, dilation=d)
+            z = qconv(z, f"res{block}_branch2c", act=False)
+            y = relu(shortcut + z)
+            if block == skip_name:
+                skip = y
+    res5c = y
+
+    outs: Dict[str, jax.Array] = {}
+
+    def head(name):
+        p = qparams[f"res5c_up_{name}"]
+        up = deconv2d(res5c.astype(cfg.compute_dtype), p["w"], p["b"], stride=2,
+                      compute_dtype=cfg.compute_dtype)
+        sk = qconv(skip, f"res3d_{name}", act=False)
+        up = crop_like(up.astype(jnp.float32), sk.shape, axis=1)
+        return up + sk
+
+    fc_pose = head("pose")
+    outs["fc_pose"] = fc_pose
+    outs["prob"] = sigmoid(fc_pose)
+    if cfg.location_refinement:
+        outs["loc_pred"] = head("locref")
+    if cfg.pairwise:
+        outs["next_pred"] = head("next")
+    return outs
+
+
+def calibrate_act_scales(
+    folded_params: Dict,
+    cfg: DeeperCutConfig,
+    sample: jax.Array,
+    *,
+    percentile: float = 100.0,
+) -> Dict[str, jax.Array]:
+    """One forward over a calibration batch, recording each conv input's
+    absmax (or a subsampled percentile) -> static activation scales."""
+    from deepcut_tpu.ops.conv import conv2d
+
+    scales: Dict[str, jax.Array] = {}
+
+    def record(name, xf):
+        a = jnp.abs(xf.astype(jnp.float32)).reshape(-1)
+        if percentile >= 100.0:
+            v = jnp.max(a)
+        else:
+            # percentile on a subsample: full sorts of 10^7-element
+            # activations would dominate calibration time
+            step = max(a.shape[0] // 65536, 1)
+            v = jnp.percentile(a[::step], percentile)
+        scales[name] = jnp.maximum(v / 127.0, 1e-8)
+
+    def cbr(xf, name, *, stride=1, pad=0, dilation=1, act=True):
+        record(name, xf)
+        p = folded_params[name]
+        y = conv2d(xf, p["w"], p.get("b"), stride=stride, pad=pad,
+                   dilation=dilation, compute_dtype=None)
+        return relu(y) if act else y
+
+    y = cbr(sample.astype(jnp.float32), "conv1", stride=2, pad=3)
+    y = max_pool2d(y, kernel=3, stride=2)
+    skip_name = _skip_block(cfg)
+    skip = None
+    for stage in range(4):
+        s = cfg.stage_strides[stage]
+        d = cfg.stage_dilations[stage]
+        for bi, block in enumerate(_block_names(cfg, stage)):
+            bs = s if bi == 0 else 1
+            shortcut = cbr(y, f"res{block}_branch1", stride=bs, act=False) if bi == 0 else y
+            z = cbr(y, f"res{block}_branch2a", stride=bs)
+            z = cbr(z, f"res{block}_branch2b", pad=d, dilation=d)
+            z = cbr(z, f"res{block}_branch2c", act=False)
+            y = relu(shortcut + z)
+            if block == skip_name:
+                skip = y
+    for headname in ("pose",) + (("locref",) if cfg.location_refinement else ()) \
+            + (("next",) if cfg.pairwise else ()):
+        record(f"res3d_{headname}", skip)
+    return {k: jnp.asarray(v) for k, v in scales.items()}
+
+
+def prepare_int8(params: Dict, cfg: DeeperCutConfig, sample: jax.Array):
+    """(folded fp params) -> (qparams, act_scales) ready for forward_int8."""
+    from deepcut_tpu.models.resnet import fold_bn
+
+    folded = fold_bn(params, cfg) if any(k.startswith("bn") for k in params) else params
+    scales = calibrate_act_scales(folded, cfg, sample)
+    return quantize_weights(folded), scales

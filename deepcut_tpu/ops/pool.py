@@ -16,7 +16,7 @@ Layout NHWC.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,42 @@ def avg_pool2d(x: jax.Array, *, kernel, stride=1, pad=0) -> jax.Array:
     wlen = jnp.minimum(wstart + kw, w + pw) - wstart
     divisor = (hlen[:, None] * wlen[None, :]).astype(jnp.float32)
     return (sums / divisor[None, :, :, None]).astype(x.dtype)
+
+
+def stochastic_pool2d(
+    x: jax.Array, rng: Optional[jax.Array] = None, *, kernel, stride=1,
+    train: bool = False,
+) -> jax.Array:
+    """STOCHASTIC pooling (pooling_layer.cu): train = sample a window element
+    with probability proportional to its (non-negative) activation; test =
+    activation-weighted average (sum(a^2)/sum(a))."""
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    xf = x.astype(jnp.float32)
+    dims = (1, kh, kw, 1)
+    strides = (1, sh, sw, 1)
+    sums = lax.reduce_window(xf, 0.0, lax.add, dims, strides, "VALID")
+    if not train or rng is None:
+        sq = lax.reduce_window(xf * xf, 0.0, lax.add, dims, strides, "VALID")
+        return jnp.where(sums > 0, sq / jnp.where(sums == 0, 1.0, sums), 0.0).astype(x.dtype)
+    # train: inverse-CDF sampling via a threshold r*sum and a masked max —
+    # pick the first element whose prefix sum exceeds the threshold.
+    n, h, w, c = x.shape
+    oh = (h - kh) // sh + 1
+    ow = (w - kw) // sw + 1
+    r = jax.random.uniform(rng, (n, oh, ow, c))
+    thresh = r * sums
+    out = jnp.zeros((n, oh, ow, c), jnp.float32)
+    cum = jnp.zeros((n, oh, ow, c), jnp.float32)
+    picked = jnp.zeros((n, oh, ow, c), bool)
+    for dy in range(kh):
+        for dx in range(kw):
+            v = xf[:, dy:dy + oh * sh:sh, dx:dx + ow * sw:sw, :]
+            cum = cum + v
+            take = (~picked) & (cum >= thresh)
+            out = jnp.where(take, v, out)
+            picked = picked | take
+    return out.astype(x.dtype)
 
 
 def global_avg_pool2d(x: jax.Array) -> jax.Array:

@@ -209,6 +209,59 @@ def time_cmd(args) -> int:
     return 0
 
 
+def extract_features(args) -> int:
+    """tools/extract_features.cpp analog: run the net, dump named blobs to
+    an HDF5 file (datasets named after the blobs)."""
+    import h5py
+    import jax.numpy as jnp
+    from deepcut_tpu.core.graph import Net
+
+    net = Net(args.model, weights=args.weights or None, phase="TEST",
+              compute_dtype=None if args.fp32 else jnp.bfloat16)
+    blob_names = args.blobs.split(",")
+    collected: Dict[str, List[np.ndarray]] = {b: [] for b in blob_names}
+    rng = np.random.RandomState(0)
+    for _ in range(args.iterations):
+        if net.data_sources:
+            outs = net.forward()
+        else:
+            inputs = {nm: rng.randn(*sh).astype(np.float32)
+                      for nm, sh in net.input_shapes.items()}
+            outs = net.forward(**inputs)
+        for b in blob_names:
+            collected[b].append(outs[b])
+    with h5py.File(args.out, "w") as f:
+        for b, chunks in collected.items():
+            f.create_dataset(b.replace("/", "_"), data=np.concatenate(chunks))
+    print(f"wrote {args.out}")
+    return 0
+
+
+def upgrade_net_proto(args) -> int:
+    """upgrade_net_proto_text analog: parse (accepting legacy V1 `layers` +
+    enum type names) and re-emit normalised V2 prototxt."""
+    from deepcut_tpu.proto.text_format import parse_file, dump, PbNode
+    from deepcut_tpu.core.graph import _V1_TYPE_NAMES
+
+    net = parse_file(args.input)
+    if net.get_list("layers") and not net.get_list("layer"):
+        for old in net.get_list("layers"):
+            t = old.get_str("type", "")
+            if t in _V1_TYPE_NAMES:
+                old.fields["type"] = [_V1_TYPE_NAMES[t]]
+            net.add("layer", old)
+        del net.fields["layers"]
+    else:
+        for layer in net.get_list("layer"):
+            t = layer.get_str("type", "")
+            if t in _V1_TYPE_NAMES:
+                layer.fields["type"] = [_V1_TYPE_NAMES[t]]
+    with open(args.output, "w") as f:
+        f.write(dump(net) + "\n")
+    print(f"wrote {args.output}")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="deepcut_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="verb", required=True)
@@ -238,6 +291,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-top", type=int, default=30)
     p.add_argument("-fp32", action="store_true")
     p.set_defaults(fn=time_cmd)
+
+    p = sub.add_parser("extract_features", help="dump named blobs to HDF5")
+    p.add_argument("-model", required=True)
+    p.add_argument("-weights", default="")
+    p.add_argument("-blobs", required=True, help="comma-separated blob names")
+    p.add_argument("-out", required=True)
+    p.add_argument("-iterations", type=int, default=10)
+    p.add_argument("-fp32", action="store_true")
+    p.set_defaults(fn=extract_features)
+
+    p = sub.add_parser("upgrade_net_proto", help="legacy prototxt -> V2")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=upgrade_net_proto)
 
     args = parser.parse_args(argv)
     return args.fn(args)
