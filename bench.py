@@ -25,7 +25,9 @@ import jax.numpy as jnp
 CAFFE_CPU_IPS_EST = 0.1  # images/sec, see module docstring
 
 
-def bench_forward(batch_sizes=(1, 4, 32), size=688, iters=20, warmup=3):
+def bench_forward(batch_sizes=(1, 4), size=688, iters=20, warmup=3):
+    # batch 32 reaches ~384 img/s (vs ~380 at batch 4) but costs minutes of
+    # extra compile; the default sweep keeps the driver run fast.
     from deepcut_tpu.models.resnet import deepercut_config, init_params, fold_bn, make_forward
 
     cfg = deepercut_config(152)

@@ -321,11 +321,36 @@ class Net:
             merged[key] = params[ol][ok]
         return merged
 
-    def _execute(self, params, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    def _execute(
+        self,
+        params,
+        inputs: Dict[str, jax.Array],
+        collect_updates: Optional[Dict[str, Dict[str, jax.Array]]] = None,
+    ) -> Dict[str, jax.Array]:
+        from deepcut_tpu.ops.norm import batch_norm_train, BNStats
+
         blobs: Dict[str, jax.Array] = dict(inputs)
         for fn, spec in self._plan:
             bottoms = [blobs[b] for b in spec.bottoms]
-            outs = fn(self._entry(params, spec.name), bottoms)
+            entry = self._entry(params, spec.name)
+            if getattr(fn, "bn_train", False):
+                # Caffe BN training: normalise with batch stats, accumulate
+                # moving averages (batch_norm_layer.cpp TRAIN path).
+                y, new_stats = batch_norm_train(
+                    bottoms[0],
+                    BNStats(entry["mean"], entry["var"],
+                            entry["scale_factor"].reshape(())),
+                    eps=fn.bn_eps, momentum=fn.bn_momentum,
+                )
+                if collect_updates is not None:
+                    collect_updates[spec.name] = {
+                        "mean": new_stats.mean,
+                        "var": new_stats.var,
+                        "scale_factor": new_stats.scale_factor.reshape((1,)),
+                    }
+                outs = [y]
+            else:
+                outs = fn(entry, bottoms)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for top, val in zip(spec.tops, outs):
@@ -363,10 +388,20 @@ class Net:
 
         def step(params, state, inputs):
             def loss_fn(p):
-                return self.total_loss(self._execute(p, inputs))
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates: Dict[str, Dict[str, jax.Array]] = {}
+                blobs = self._execute(p, inputs, collect_updates=updates)
+                return self.total_loss(blobs), updates
+            (loss, bn_updates), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
             params2, state2 = update_rules.step(
                 solver_cfg, params, grads, state, lr_mults=mults)
+            # BN moving averages overwrite whatever the solver did to the
+            # stat blobs (they are not learned; Caffe freezes them via
+            # lr_mult 0 and updates them in Forward).
+            for name, upd in bn_updates.items():
+                merged = dict(params2[name])
+                merged.update(jax.lax.stop_gradient(upd))
+                params2[name] = merged
             return params2, state2, loss
         return jax.jit(step)
 

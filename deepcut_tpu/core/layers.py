@@ -163,6 +163,10 @@ def _deconv(spec, phase, compute_dtype):
 
 
 def _bn_param_spec(spec, bottom_shapes):
+    # Caffe zero-fills all three BN blobs; we init (mean 0, var 1, sf 1) so
+    # an untrained net is an identity-normalisation at inference instead of
+    # dividing by sqrt(eps). The initial contribution decays by momentum^t
+    # during training.
     c = bottom_shapes[0][-1]
     zero, one = PbNode(), PbNode()
     one.add("type", "constant"); one.add("value", 1.0)
@@ -173,15 +177,19 @@ def _bn_param_spec(spec, bottom_shapes):
 def _batchnorm(spec, phase, compute_dtype):
     bp = spec.param("batch_norm_param")
     eps = bp.get_float("eps", 1e-5)
+    momentum = bp.get_float("moving_average_fraction", 0.999)
     use_global = bp.get_bool("use_global_stats", phase == "TEST")
 
     def fn(p, bottoms):
-        # Graph-path training with batch stats is handled by the native
-        # training stack; the DAG executor always normalises with the stored
-        # global stats (DeeperCut trains with use_global_stats: true).
         return norm_ops.batch_norm_inference(
             bottoms[0], p["mean"], p["var"], p.get("scale_factor"), eps=eps
         )
+    if phase == "TRAIN" and not use_global:
+        # Batch-stats mode: the executor special-cases this (it must emit
+        # the moving-average updates alongside the activation).
+        fn.bn_train = True
+        fn.bn_eps = eps
+        fn.bn_momentum = momentum
     return fn
 
 

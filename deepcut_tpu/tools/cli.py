@@ -140,17 +140,22 @@ def test(args) -> int:
     net = Net(args.model, weights=args.weights or None, phase="TEST",
               compute_dtype=None if args.fp32 else jnp.bfloat16)
     shapes = net.input_shapes
-    if not shapes:
-        print("model has no declared inputs", file=sys.stderr)
+    if not shapes and not net.data_sources:
+        print("model has no declared inputs or data layers", file=sys.stderr)
         return 1
     rng = np.random.RandomState(0)
     sums: Dict[str, float] = {}
     for i in range(args.iterations):
-        inputs = {nm: rng.randn(*sh).astype(np.float32) for nm, sh in shapes.items()}
-        outs = net.forward(**inputs)
+        if net.data_sources:
+            outs = net.forward()  # data layers advance themselves
+        else:
+            inputs = {nm: rng.randn(*sh).astype(np.float32)
+                      for nm, sh in shapes.items()}
+            outs = net.forward(**inputs)
         for nm in net.output_names():
             val = outs[nm]
             sums[nm] = sums.get(nm, 0.0) + float(np.mean(val))
+    # reference prints per-output averages over the run (tools/caffe.cpp:229-298)
     for nm, s in sums.items():
         print(f"{nm} = {s / args.iterations:.6f}")
     return 0
@@ -169,6 +174,12 @@ def time_cmd(args) -> int:
           f"{args.iterations} iterations")
     # Fused whole-graph timing (the real number).
     net.forward(**inputs)  # compile
+    if args.trace:
+        import jax
+        with jax.profiler.trace(args.trace):
+            for _ in range(max(args.iterations, 3)):
+                net.forward(**inputs)
+        print(f"profiler trace written to {args.trace} (view with xprof/tensorboard)")
     t0 = _time.perf_counter()
     for _ in range(args.iterations):
         out = net.forward(**inputs)
@@ -290,6 +301,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-per_layer", action="store_true")
     p.add_argument("-top", type=int, default=30)
     p.add_argument("-fp32", action="store_true")
+    p.add_argument("-trace", default="", help="write a jax profiler trace here")
     p.set_defaults(fn=time_cmd)
 
     p = sub.add_parser("extract_features", help="dump named blobs to HDF5")

@@ -101,6 +101,63 @@ def test_lr_mult_zero_freezes():
                               np.asarray(net.params["ip1"]["w"]))
 
 
+BN_PROTO = """
+name: "bn-train"
+input: "data"
+input_shape { dim: 8 dim: 3 dim: 6 dim: 6 }
+input: "label"
+input_shape { dim: 8 }
+layer {
+  name: "conv" type: "Convolution" bottom: "data" top: "conv"
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } }
+}
+layer { name: "bn" type: "BatchNorm" bottom: "conv" top: "conv"
+        batch_norm_param { use_global_stats: false } }
+layer { name: "sc" type: "Scale" bottom: "conv" top: "conv"
+        scale_param { bias_term: true } }
+layer { name: "relu" type: "ReLU" bottom: "conv" top: "conv" }
+layer { name: "ip" type: "InnerProduct" bottom: "conv" top: "ip"
+        inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+"""
+
+
+def test_bn_training_updates_moving_stats():
+    from deepcut_tpu.solver.update_rules import init_state
+
+    net = Net(text_format.parse(BN_PROTO), phase="TRAIN", compute_dtype=None)
+    cfg = SolverConfig(solver_type="SGD", base_lr=0.05, momentum=0.9,
+                       weight_decay=0.0)
+    step = net.make_train_step(cfg)
+    params = net.params
+    state = init_state(cfg, params)
+    rng = np.random.RandomState(0)
+    inputs = {"data": jnp.asarray(rng.randn(8, 6, 6, 3).astype(np.float32) * 2 + 1),
+              "label": jnp.asarray(rng.randint(0, 3, (8,)))}
+    assert float(jnp.sum(jnp.abs(params["bn"]["mean"]))) == 0.0
+    losses = []
+    for _ in range(15):
+        params, state, loss = step(params, state, inputs)
+        losses.append(float(loss))
+    # moving averages accumulated (Caffe: blobs[2] = m*sf + 1)
+    assert float(jnp.sum(jnp.abs(params["bn"]["mean"]))) > 0
+    sf = float(params["bn"]["scale_factor"][0])
+    # our stats init is (mean 0, var 1, sf 1) — identity at inference —
+    # unlike Caffe's all-zero blobs; sf therefore carries the initial 1:
+    expect_sf = 0.999 ** 15 + sum(0.999 ** i for i in range(15))
+    np.testing.assert_allclose(sf, expect_sf, rtol=1e-4)
+    assert losses[-1] < losses[0]
+    # TEST-phase net with the trained stats runs global-stats normalisation
+    net_test = Net(text_format.parse(BN_PROTO.replace(
+        "use_global_stats: false", "use_global_stats: true")),
+        phase="TEST", compute_dtype=None)
+    net_test.params = params
+    out = net_test.forward(data=np.asarray(inputs["data"]).transpose(0, 3, 1, 2),
+                           label=np.zeros(8, np.float32))
+    assert np.isfinite(out["ip"]).all()
+
+
 def test_net_backward_input_grads():
     net = Net(text_format.parse(TRAIN_PROTO), phase="TRAIN", compute_dtype=None)
     rng = np.random.RandomState(1)
