@@ -35,6 +35,12 @@ class LMDBDataSource(DataLayerSource):
         from deepcut_tpu.data.lmdb_store import LMDBReader
 
         dp = spec.param("data_param")
+        backend = dp.get_str("backend", "LMDB")
+        if str(backend).upper() == "LEVELDB":
+            raise NotImplementedError(
+                "LevelDB backend is not supported in deepcut_tpu; convert the "
+                "dataset to LMDB (tools/datasets.py convert_imageset) — LMDB "
+                "is the reference default and needs no native library here.")
         self.batch_size = dp.get_int("batch_size", 1)
         self.tops = list(spec.tops)
         self.transform = DataTransformer(spec.param("transform_param"), phase)

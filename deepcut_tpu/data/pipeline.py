@@ -84,6 +84,8 @@ class PoseDataSource:
         seed: int = 0,
         bucket_step: int = 64,
         image_loader: Optional[Callable[[str], np.ndarray]] = None,
+        augment: bool = False,
+        max_rotation_deg: float = 15.0,
     ):
         if isinstance(source, str):
             self.records = parse_window_file(source, root_folder)
@@ -97,6 +99,8 @@ class PoseDataSource:
         self.rng = np.random.RandomState(seed)
         self.bucket_step = bucket_step
         self.image_loader = image_loader or load_image_bgr
+        self.augment = augment
+        self.max_rotation_deg = max_rotation_deg
         self._order: List[int] = []
         self._pos = 0
 
@@ -116,9 +120,13 @@ class PoseDataSource:
             scale = T.sample_scale(self.cfg, self.rng)
             if not T.accepts(self.cfg, rec.height, rec.width, scale):
                 continue
+            image = self.image_loader(rec.path)
+            if self.augment:
+                from deepcut_tpu.pose.augment import augment_record
+                image, rec = augment_record(
+                    rec, image, self.rng, max_rotation_deg=self.max_rotation_deg)
             maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng, scale=scale)
             ih, iw = int(maps["input_size"][0]), int(maps["input_size"][1])
-            image = self.image_loader(rec.path)
             maps["image"] = prepare_canvas(image, scale, ih, iw)
             return maps
 

@@ -1,26 +1,59 @@
 """Test configuration.
 
 Mirrors the reference's device-matrix strategy
-(include/caffe/test/test_caffe_main.hpp): the same op/graph code must agree
-with independent oracles on every platform. Under the driver, this suite runs
-on whatever JAX platform is live (the TPU chip when attached via the axon
-plugin, CPU otherwise) — the numerics tests use float32 compute paths so
-tolerances hold on both.
+(include/caffe/test/test_caffe_main.hpp): the op/graph code must agree with
+independent oracles; the same code compiles for TPU unchanged.
 
-Multi-device (mesh/sharding) tests cannot assume >1 local accelerator; they
-launch subprocesses with a scrubbed environment (`cpu_subprocess_env`) that
-forces an 8-device virtual CPU platform.
+Platform policy: the suite runs on a virtual 8-device CPU platform. On this
+rig the TPU is attached through the axon plugin with remote compilation
+(~10-60 s per jitted shape); the suite compiles hundreds of shapes, which
+would take an hour on-TPU for zero extra signal — the numerics are
+platform-agnostic and real-TPU behaviour is covered by bench.py,
+__graft_entry__, and the dedicated pallas/TPU checks. If the interpreter was
+started with the axon platform forced (sitecustomize imports jax before any
+test code can choose), conftest re-execs pytest once with a scrubbed
+environment.
+
+Multi-device (mesh/sharding) tests launch subprocesses with the same
+scrubbed env (`cpu_subprocess_env`).
 """
 
 import os
 import subprocess
 import sys
 
+_MARK = "DEEPCUT_TPU_TESTS_REEXECED"
+
 import pytest
 
-import jax
 
-jax.config.update("jax_default_matmul_precision", "highest")
+def _needs_reexec() -> bool:
+    return (os.environ.get(_MARK) != "1"
+            and os.environ.get("JAX_PLATFORMS", "") != "cpu")
+
+
+def pytest_configure(config):
+    if _needs_reexec():
+        # Suspend pytest's fd capture so the re-exec'd run owns the real
+        # stdout/stderr (otherwise its output lands in this process's
+        # about-to-vanish capture tempfiles).
+        capman = config.pluginmanager.getplugin("capturemanager")
+        if capman is not None:
+            capman.stop_global_capturing()
+        env = dict(os.environ)
+        env[_MARK] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8").strip()
+        env["PYTHONPATH"] = "/root/repo"  # drop the axon sitecustomize dir
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def cpu_subprocess_env(n_devices: int = 8):
