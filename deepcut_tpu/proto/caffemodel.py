@@ -78,7 +78,11 @@ def _decode_v1_layer(buf: bytes) -> Tuple[str, str, List[Blob]]:
 
 
 def load_caffemodel(path: str) -> "OrderedDict[str, List[Blob]]":
-    """Read a .caffemodel into {layer_name: [Blob, ...]} (upgraded as needed)."""
+    """Read weights into {layer_name: [Blob, ...]} (upgraded as needed).
+    Dispatches on extension like the reference (solver.cpp:471-481):
+    `.h5`/`.caffemodel.h5` -> HDF5 layout, else binary NetParameter."""
+    if path.endswith(".h5") or path.endswith(".hdf5"):
+        return load_hdf5_weights(path)
     with open(path, "rb") as f:
         buf = f.read()
     return decode_netparameter(buf)
@@ -190,27 +194,68 @@ def encode_netparameter(
     return enc.tobytes()
 
 
+def _entry_to_blobs(name: str, entry: Dict[str, np.ndarray]) -> List[np.ndarray]:
+    """Native param entry -> ordered Caffe blob list (inverse of blobs_to_params)."""
+    if "mean" in entry:
+        return [np.asarray(entry["mean"]), np.asarray(entry["var"]),
+                np.asarray(entry["scale_factor"])]
+    if "gamma" in entry:
+        blobs = [np.asarray(entry["gamma"])]
+        if "beta" in entry:
+            blobs.append(np.asarray(entry["beta"]))
+        return blobs
+    if "w" in entry:
+        w = np.asarray(entry["w"])
+        if w.ndim == 4:
+            if name.startswith("res5c_up_"):
+                w = w.transpose(2, 3, 0, 1)  # native deconv -> Caffe
+            else:
+                w = w.transpose(3, 2, 0, 1)  # HWIO -> Caffe OIHW
+        blobs = [w]
+        if "b" in entry:
+            blobs.append(np.asarray(entry["b"]))
+        return blobs
+    return [np.asarray(v) for v in entry.values()]
+
+
+def save_hdf5_weights(path: str, params: Dict[str, Dict[str, np.ndarray]]) -> None:
+    """Write weights in Caffe's HDF5 layout (Net::ToHDF5, net.cpp:948-980):
+    group 'data' -> one group per layer -> datasets '0', '1', ... in Caffe
+    blob layouts — interchangeable with reference `.caffemodel.h5` files."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        data = f.create_group("data")
+        for name, entry in params.items():
+            g = data.create_group(name)
+            for i, blob in enumerate(_entry_to_blobs(name, entry)):
+                g.create_dataset(str(i), data=np.asarray(blob, np.float32))
+
+
+def load_hdf5_weights(path: str) -> "OrderedDict[str, List[Blob]]":
+    """Read a Caffe `.h5` weight file (CopyTrainedLayersFromHDF5 layout)."""
+    import h5py
+
+    out: "OrderedDict[str, List[Blob]]" = OrderedDict()
+    with h5py.File(path, "r") as f:
+        data = f["data"]
+        for name in data:
+            g = data[name]
+            blobs = []
+            for i in sorted(g, key=int):
+                arr = np.asarray(g[i], np.float32)
+                blobs.append(Blob(arr.shape, arr))
+            if blobs:
+                out[name] = blobs
+    return out
+
+
 def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *, net_name: str = "net") -> None:
     """Write the native pytree back to a reference-readable .caffemodel."""
     layers: "OrderedDict[str, List[np.ndarray]]" = OrderedDict()
     for name, entry in params.items():
-        if "mean" in entry:
-            layers[name] = [entry["mean"], entry["var"], entry["scale_factor"]]
-        elif "gamma" in entry:
-            blobs = [entry["gamma"]]
-            if "beta" in entry:
-                blobs.append(entry["beta"])
-            layers[name] = blobs
-        elif "w" in entry:
-            w = np.asarray(entry["w"])
-            if w.ndim == 4:
-                if name.startswith("res5c_up_"):
-                    w = w.transpose(2, 3, 0, 1)  # native deconv -> Caffe
-                else:
-                    w = w.transpose(3, 2, 0, 1)  # HWIO -> Caffe OIHW
-            blobs = [w]
-            if "b" in entry:
-                blobs.append(np.asarray(entry["b"]))
+        blobs = _entry_to_blobs(name, entry)
+        if blobs:
             layers[name] = blobs
     with open(path, "wb") as f:
         f.write(encode_netparameter(layers, net_name=net_name))
