@@ -221,6 +221,10 @@ class Net:
 
         self.blobs: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._jitted: Dict[Any, Callable] = {}
+        # Stochastic layers (Dropout, STOCHASTIC pooling) draw a fresh key
+        # per forward; deterministic nets never pay the rng plumbing.
+        self._needs_rng = any(getattr(fn, "needs_rng", False) for fn, _ in self._plan)
+        self._forward_calls = 0
 
     # -- weights ----------------------------------------------------------
     def layer_types(self) -> Dict[str, str]:
@@ -326,14 +330,22 @@ class Net:
         params,
         inputs: Dict[str, jax.Array],
         collect_updates: Optional[Dict[str, Dict[str, jax.Array]]] = None,
+        rng: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         from deepcut_tpu.ops.norm import batch_norm_train, BNStats
 
         blobs: Dict[str, jax.Array] = dict(inputs)
-        for fn, spec in self._plan:
+        for idx, (fn, spec) in enumerate(self._plan):
             bottoms = [blobs[b] for b in spec.bottoms]
             entry = self._entry(params, spec.name)
-            if getattr(fn, "bn_train", False):
+            if getattr(fn, "needs_rng", False):
+                # Per-layer, per-step key (replaces Caffe's stateful
+                # caffe_rng_bernoulli draws in dropout_layer.cpp): fold the
+                # layer's plan index into the step key so every stochastic
+                # layer sees an independent stream.
+                key = jax.random.fold_in(rng, idx) if rng is not None else None
+                outs = fn(entry, bottoms, rng=key)
+            elif getattr(fn, "bn_train", False):
                 # Caffe BN training: normalise with batch stats, accumulate
                 # moving averages (batch_norm_layer.cpp TRAIN path).
                 y, new_stats = batch_norm_train(
@@ -385,16 +397,32 @@ class Net:
                 name: {k: self._lr_mults.get(name, {}).get(k, 1.0) for k in entry}
                 for name, entry in self.params.items()
             }
+        # ParamSpec decay_mult (prototxt `param { decay_mult: 0 }` on biases
+        # and BN blobs) scales weight decay per blob, matching the
+        # reference's Regularize step (sgd_solver.cpp:69-83, net.cpp:469-562).
+        dmults = None
+        if lr_mults and getattr(self, "_decay_mults", None):
+            dmults = {
+                name: {k: self._decay_mults.get(name, {}).get(k, 1.0) for k in entry}
+                for name, entry in self.params.items()
+            }
+        base_rng = self._rng
 
         def step(params, state, inputs):
+            # Fresh dropout/stochastic-pool masks every iteration,
+            # deterministic given (seed, iter) — survives snapshot/restore.
+            step_rng = jax.random.fold_in(base_rng, state["iter"])
+
             def loss_fn(p):
                 updates: Dict[str, Dict[str, jax.Array]] = {}
-                blobs = self._execute(p, inputs, collect_updates=updates)
+                blobs = self._execute(p, inputs, collect_updates=updates,
+                                      rng=step_rng)
                 return self.total_loss(blobs), updates
             (loss, bn_updates), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             params2, state2 = update_rules.step(
-                solver_cfg, params, grads, state, lr_mults=mults)
+                solver_cfg, params, grads, state, lr_mults=mults,
+                decay_mults=dmults)
             # BN moving averages overwrite whatever the solver did to the
             # stat blobs (they are not learned; Caffe freezes them via
             # lr_mult 0 and updates them in Forward).
@@ -466,10 +494,15 @@ class Net:
             dev_inputs[nm] = a
         if not self.params:
             self._ensure_params({nm: tuple(v.shape) for nm, v in dev_inputs.items()})
+        rng = None
+        if self._needs_rng:
+            rng = jax.random.fold_in(self._rng, self._forward_calls)
+            self._forward_calls += 1
         key = tuple(sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(self._execute)
-        out = self._jitted[key](self.params, dev_inputs)
+            self._jitted[key] = jax.jit(
+                lambda p, i, r: self._execute(p, i, rng=r))
+        out = self._jitted[key](self.params, dev_inputs, rng)
         result: "OrderedDict[str, np.ndarray]" = OrderedDict()
         for nm, v in out.items():
             arr = np.asarray(v)

@@ -334,7 +334,15 @@ def _dropout(spec, phase, compute_dtype):
     if phase == "TEST":
         return lambda p, b: b[0]
     ratio = spec.param("dropout_param").get_float("dropout_ratio", 0.5)
-    return lambda p, b: act_ops.dropout(b[0], None, ratio=ratio, deterministic=True)
+
+    # TRAIN: real Bernoulli masking with Caffe's inverted 1/(1-ratio) scaling
+    # (dropout_layer.cpp). The executor supplies a per-layer, per-step key
+    # via the needs_rng contract; with no key (e.g. net.forward outside a
+    # train step) the layer stays deterministic.
+    def fn(p, b, rng=None):
+        return act_ops.dropout(b[0], rng, ratio=ratio, deterministic=rng is None)
+    fn.needs_rng = True
+    return fn
 
 
 # Pooling -------------------------------------------------------------------
@@ -358,7 +366,15 @@ def _pooling(spec, phase, compute_dtype):
     if method == "MAX":
         return lambda p, b: pool_ops.max_pool2d(b[0], kernel=(kh, kw), stride=(sh, sw), pad=(ph, pw))
     if method == "STOCHASTIC":
-        return lambda p, b: pool_ops.stochastic_pool2d(b[0], kernel=(kh, kw), stride=(sh, sw), train=False)
+        # TRAIN: sample a window element proportional to its activation
+        # (pooling_layer.cu PoolingParameter_PoolMethod_STOCHASTIC); TEST (or
+        # no key supplied): activation-weighted average.
+        def fn(p, b, rng=None):
+            return pool_ops.stochastic_pool2d(
+                b[0], rng, kernel=(kh, kw), stride=(sh, sw),
+                train=(phase == "TRAIN" and rng is not None))
+        fn.needs_rng = phase == "TRAIN"
+        return fn
     return lambda p, b: pool_ops.avg_pool2d(b[0], kernel=(kh, kw), stride=(sh, sw), pad=(ph, pw))
 
 

@@ -1,7 +1,7 @@
 """Loss ops with Caffe-exact forward AND backward semantics.
 
-The fork's losses have idiosyncratic normalisers (forward divides by the raw
-count, backward clamps it at 100: softmax_loss_vec_layer.cpp:145-147,225-230,
+The fork's losses have idiosyncratic normalisers (both forward and backward
+clamp the count at 100: softmax_loss_vec_layer.cpp:143-147,225-230,
 smooth_L1_loss_layer.cu:47-55,86) and, for SmoothL1, a backward that does NOT
 re-apply the weight factor (Fast R-CNN heritage, where weights are 0/1
 masks). We replicate both exactly via custom_vjp so training matches the
@@ -85,7 +85,8 @@ def softmax_loss_vec(
     IGNORE_VALUE are skipped; `count` = positions with >=1 live channel.
     cross_entropy=False: softmax over channels, target class = argmax of the
     label vector; position ignored when label channel 0 == IGNORE_VALUE.
-    Forward normaliser: count (unclamped) if normalize else N;
+    Forward normaliser: max(count, 100) if normalize else N
+    (softmax_loss_vec_layer.cpp:143-147);
     backward normaliser: max(weight_sum or count, 100).
     """
     return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
@@ -115,7 +116,7 @@ def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize):
         loss_sum = -jnp.sum(jnp.where(live_pos, jnp.log(jnp.maximum(picked, tiny)), 0.0))
         count = jnp.sum(live_pos)
         live = jnp.broadcast_to(live_pos[..., None], x.shape)
-    denom = jnp.maximum(count.astype(jnp.float32), 1.0) if normalize else jnp.float32(n)
+    denom = jnp.maximum(count.astype(jnp.float32), 100.0) if normalize else jnp.float32(n)
     loss = loss_sum / denom
     res = (prob, t, weights, live, count, cross_entropy, normalize, n)
     return loss, res

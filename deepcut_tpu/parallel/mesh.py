@@ -36,6 +36,14 @@ def make_mesh(
     """Build a ('data', 'spatial') mesh over the available devices."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_mesh: {n_devices} devices requested but only {len(devs)} "
+                f"visible on platform {devs[0].platform if devs else '??'}. "
+                "For a virtual multi-device run set JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                "before importing jax (see tests/conftest.py)."
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if data is None:

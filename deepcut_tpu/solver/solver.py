@@ -100,11 +100,21 @@ class SolverParams:
 # -- checkpoint helpers -----------------------------------------------------
 
 
+def _esc(key: str) -> str:
+    # Caffe layer names routinely contain '/' (GoogLeNet "inception_3a/1x1");
+    # percent-escape so the '/' path separator below stays unambiguous.
+    return key.replace("%", "%25").replace("/", "%2F")
+
+
+def _unesc(key: str) -> str:
+    return key.replace("%2F", "/").replace("%25", "%")
+
+
 def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     if isinstance(tree, dict):
         for k, v in tree.items():
-            out.update(_flatten(v, f"{prefix}{k}/"))
+            out.update(_flatten(v, f"{prefix}{_esc(k)}/"))
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -113,7 +123,7 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
 def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     root: Dict[str, Any] = {}
     for key, val in flat.items():
-        parts = key.split("/")
+        parts = [_unesc(p) for p in key.split("/")]
         d = root
         for p in parts[:-1]:
             d = d.setdefault(p, {})

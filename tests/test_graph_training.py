@@ -165,3 +165,122 @@ def test_net_backward_input_grads():
                          label=rng.randint(0, 4, (8,)).astype(np.int32))
     assert grads["data"].shape == (8, 12)
     assert np.abs(grads["data"]).sum() > 0
+
+
+DROPOUT_PROTO = """
+name: "dropnet"
+input: "data"
+input_shape { dim: 8 dim: 12 }
+input: "label"
+input_shape { dim: 8 }
+layer {
+  name: "ip1" type: "InnerProduct" bottom: "data" top: "ip1"
+  inner_product_param { num_output: 16 weight_filler { type: "xavier" } }
+}
+layer { name: "relu1" type: "ReLU" bottom: "ip1" top: "ip1" }
+layer { name: "drop" type: "Dropout" bottom: "ip1" top: "dp"
+        dropout_param { dropout_ratio: 0.4 } }
+layer {
+  name: "ip2" type: "InnerProduct" bottom: "dp" top: "ip2"
+  inner_product_param { num_output: 4 weight_filler { type: "xavier" } }
+}
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label" top: "loss" }
+"""
+
+
+def test_dropout_train_is_real_and_inverted_scaled():
+    """TRAIN-phase Dropout must zero ~ratio units and scale survivors by
+    1/(1-ratio) (reference dropout_layer.cpp), with a fresh mask per call."""
+    net = Net(text_format.parse(DROPOUT_PROTO), phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 12).astype(np.float32)
+    y = rng.randint(0, 4, (8,)).astype(np.int32)
+    out1 = net.forward(data=x, label=y)
+    out2 = net.forward(data=x, label=y)
+    pre, dp1, dp2 = out1["ip1"], out1["dp"], out2["dp"]
+    # fresh mask per forward call
+    assert not np.array_equal(dp1, dp2)
+    # every element is either dropped (0) or scaled by 1/(1-0.4)
+    scaled = pre / 0.6
+    is_zero = np.isclose(dp1, 0.0, atol=1e-7)
+    is_scaled = np.isclose(dp1, scaled, rtol=1e-5, atol=1e-6)
+    assert np.all(is_zero | is_scaled)
+    # with ratio 0.4 over 128 units, both outcomes must actually occur
+    # (pre has zeros from ReLU, so count only clearly-positive units)
+    live = pre > 1e-3
+    assert is_zero[live].any() and is_scaled[live].any()
+    # TEST phase: identity
+    net_t = Net(text_format.parse(DROPOUT_PROTO), phase="TEST", compute_dtype=None)
+    net_t.params = net.params
+    out_t = net_t.forward(data=x, label=y)
+    np.testing.assert_allclose(out_t["dp"], out_t["ip1"], rtol=1e-6)
+
+
+def test_dropout_train_step_runs_and_learns():
+    from deepcut_tpu.solver.update_rules import init_state
+
+    net = Net(text_format.parse(DROPOUT_PROTO), phase="TRAIN", compute_dtype=None)
+    cfg = SolverConfig(solver_type="SGD", base_lr=0.1, momentum=0.9, weight_decay=0.0)
+    step = net.make_train_step(cfg)
+    params, state = net.params, init_state(cfg, net.params)
+    inputs = _train_inputs()
+    losses = []
+    for _ in range(40):
+        params, state, loss = step(params, state, inputs)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+STOCH_POOL_PROTO = """
+name: "stochpool"
+input: "data"
+input_shape { dim: 2 dim: 3 dim: 8 dim: 8 }
+layer { name: "pool" type: "Pooling" bottom: "data" top: "pool"
+        pooling_param { pool: STOCHASTIC kernel_size: 2 stride: 2 } }
+"""
+
+
+def test_stochastic_pool_train_samples_window_elements():
+    """TRAIN stochastic pooling picks an element OF the window (pooling_layer.cu),
+    not the test-time weighted average."""
+    net = Net(text_format.parse(STOCH_POOL_PROTO), phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(3)
+    x = np.abs(rng.randn(2, 3, 8, 8)).astype(np.float32) + 0.1
+    out = net.forward(data=x)["pool"]
+    # every output must be one of the 4 elements of its window
+    windows = x.reshape(2, 3, 4, 2, 4, 2).transpose(0, 1, 2, 4, 3, 5).reshape(2, 3, 4, 4, 4)
+    member = np.isclose(out[..., None], windows, rtol=1e-5).any(-1)
+    assert member.all()
+    # and two calls draw different samples
+    out2 = net.forward(data=x)["pool"]
+    assert not np.array_equal(out, out2)
+
+
+def test_decay_mult_zero_disables_weight_decay():
+    """prototxt `param { decay_mult: 0 }` must exempt a blob from L2 decay
+    (reference Regularize, sgd_solver.cpp:69-83)."""
+    from deepcut_tpu.solver.update_rules import init_state
+
+    proto_dm0 = TRAIN_PROTO.replace(
+        "param { lr_mult: 1 } param { lr_mult: 2 }",
+        "param { lr_mult: 1 decay_mult: 0 } param { lr_mult: 2 decay_mult: 0 }")
+    cfg_decay = SolverConfig(solver_type="SGD", base_lr=0.1, momentum=0.0,
+                             weight_decay=0.7)
+    cfg_nodecay = SolverConfig(solver_type="SGD", base_lr=0.1, momentum=0.0,
+                               weight_decay=0.0)
+    inputs = _train_inputs()
+
+    net_a = Net(text_format.parse(proto_dm0), phase="TRAIN", compute_dtype=None)
+    step_a = net_a.make_train_step(cfg_decay)
+    pa, _, _ = step_a(net_a.params, init_state(cfg_decay, net_a.params), inputs)
+
+    net_b = Net(text_format.parse(proto_dm0), phase="TRAIN", compute_dtype=None)
+    net_b.params = net_a.params
+    step_b = net_b.make_train_step(cfg_nodecay)
+    pb, _, _ = step_b(net_b.params, init_state(cfg_nodecay, net_b.params), inputs)
+
+    # ip2 blobs (decay_mult 0): decay on vs off must agree exactly
+    np.testing.assert_allclose(np.asarray(pa["ip2"]["w"]),
+                               np.asarray(pb["ip2"]["w"]), rtol=1e-6)
+    # ip1 blobs (default decay_mult 1): decay must have changed the update
+    assert not np.allclose(np.asarray(pa["ip1"]["w"]), np.asarray(pb["ip1"]["w"]))

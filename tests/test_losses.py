@@ -66,7 +66,8 @@ def test_softmax_loss_vec_cross_entropy_forward():
     ce = np.maximum(x, 0) - x * t + np.log1p(np.exp(-np.abs(x)))
     loss_sum = ce[live].sum()
     count = np.any(live, axis=-1).sum()  # 8 live cells
-    np.testing.assert_allclose(got, loss_sum / max(count, 1), rtol=1e-5)
+    # forward normaliser clamps at 100 (softmax_loss_vec_layer.cpp:143-147)
+    np.testing.assert_allclose(got, loss_sum / max(count, 100), rtol=1e-5)
 
 
 def test_softmax_loss_vec_backward_is_prob_minus_label_over_clamped():
@@ -91,7 +92,8 @@ def test_softmax_loss_vec_softmax_mode():
     e = np.exp(x - x.max(-1, keepdims=True))
     prob = e / e.sum(-1, keepdims=True)
     picked = np.take_along_axis(prob, lab[..., None], axis=-1)
-    np.testing.assert_allclose(got, -np.log(picked).sum() / 4, rtol=1e-5)
+    # count=4 live cells -> forward normaliser max(4, 100) = 100
+    np.testing.assert_allclose(got, -np.log(picked).sum() / 100, rtol=1e-5)
 
 
 def test_softmax_with_loss_matches_torch():
