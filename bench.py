@@ -28,10 +28,11 @@ CAFFE_CPU_IPS_EST = 0.1  # images/sec, see module docstring
 def bench_forward(batch_sizes=(1, 4), size=688, iters=20, warmup=3):
     # batch 32 reaches ~384 img/s (vs ~380 at batch 4) but costs minutes of
     # extra compile; the default sweep keeps the driver run fast.
-    from deepcut_tpu.models.resnet import deepercut_config, init_params, fold_bn, make_forward
+    from deepcut_tpu.models.resnet import (
+        deepercut_config, init_params, fold_bn, cast_params, make_forward)
 
     cfg = deepercut_config(152)
-    params = fold_bn(init_params(jax.random.PRNGKey(0), cfg), cfg)
+    params = cast_params(fold_bn(init_params(jax.random.PRNGKey(0), cfg), cfg))
     fn = jax.jit(make_forward(cfg, folded=True))
     best = 0.0
     best_bs = None

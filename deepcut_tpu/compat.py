@@ -52,7 +52,10 @@ class Blob:
     """pycaffe-style blob view: mutable `.data`, `.shape`, `reshape`."""
 
     def __init__(self, data: np.ndarray):
-        self.data = np.ascontiguousarray(data)
+        arr = np.ascontiguousarray(data)
+        if not arr.flags.writeable:  # jax outputs arrive read-only
+            arr = arr.copy()
+        self.data = arr
 
     @property
     def shape(self):
@@ -126,15 +129,26 @@ class Net:
         return self._net.output_names()
 
     def forward(self, blobs=None, start=None, end=None, **kwargs) -> Dict[str, np.ndarray]:
+        """Full or partial (start/end layer names) forward, matching
+        pycaffe's _Net_forward (pycaffe.py:62-107)."""
         for nm, val in kwargs.items():
             self.blobs.setdefault(nm, Blob(np.asarray(val, np.float32)))
             self.blobs[nm].data = np.asarray(val, np.float32)
-        inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
-                  if nm in self.blobs}
-        outs = self._net.forward(**inputs)
+        if start is not None or end is not None:
+            slice_specs = [s for _, s in self._net.plan_slice(start, end)]
+            needed = {b for s in slice_specs for b in s.bottoms}
+            inputs = {nm: self.blobs[nm].data for nm in needed
+                      if nm in self.blobs}
+            outs = self._net.forward(start=start, end=end, **inputs)
+            wanted = set(slice_specs[-1].tops) if end is not None else set(self.outputs)
+        else:
+            inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
+                      if nm in self.blobs}
+            outs = self._net.forward(**inputs)
+            wanted = set(self.outputs)
         for nm, val in outs.items():
             self.blobs[nm] = Blob(val)
-        wanted = set(self.outputs) | set(blobs or [])
+        wanted |= set(blobs or [])
         return {nm: self.blobs[nm].data for nm in wanted if nm in self.blobs}
 
     def forward_all(self, blobs=None, **kwargs) -> Dict[str, np.ndarray]:

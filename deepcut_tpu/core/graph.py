@@ -158,6 +158,11 @@ class Net:
             self.proto = text_format.parse_file(model_def)
         else:
             self.proto = model_def
+        # Legacy V0 `layers { layer { … } }` / V1 `layers` definitions are
+        # upgraded before planning (UpgradeNetAsNeeded, upgrade_proto.cpp:19).
+        from deepcut_tpu.proto.upgrade import upgrade_net
+
+        self.proto = upgrade_net(self.proto)
         self.name = self.proto.get_str("name", "")
         self.phase = phase
         self.compute_dtype = compute_dtype
@@ -256,8 +261,9 @@ class Net:
         with the prototxt fillers, and any pending .caffemodel weights are
         copied over by name (Net::CopyTrainedLayersFrom semantics).
         """
-        if self.params:
+        if getattr(self, "_params_ready", False):
             return
+        self._params_ready = True
         collected: "OrderedDict[str, List]" = OrderedDict()
 
         def shape_pass(inputs):
@@ -331,11 +337,12 @@ class Net:
         inputs: Dict[str, jax.Array],
         collect_updates: Optional[Dict[str, Dict[str, jax.Array]]] = None,
         rng: Optional[jax.Array] = None,
+        plan: Optional[List[Tuple[Callable, "LayerSpec"]]] = None,
     ) -> Dict[str, jax.Array]:
         from deepcut_tpu.ops.norm import batch_norm_train, BNStats
 
         blobs: Dict[str, jax.Array] = dict(inputs)
-        for idx, (fn, spec) in enumerate(self._plan):
+        for idx, (fn, spec) in enumerate(self._plan if plan is None else plan):
             bottoms = [blobs[b] for b in spec.bottoms]
             entry = self._entry(params, spec.name)
             if getattr(fn, "needs_rng", False):
@@ -481,11 +488,37 @@ class Net:
             for top, arr in zip(src.tops, batch):
                 inputs.setdefault(top, arr)
 
-    def forward(self, **inputs) -> Dict[str, np.ndarray]:
+    def plan_slice(self, start: Optional[str], end: Optional[str]):
+        """Plan segment from layer `start` through layer `end` inclusive
+        (Net::ForwardFromTo semantics, net.cpp:564-581)."""
+        names = [spec.name for _, spec in self._plan]
+        i0 = names.index(start) if start is not None else 0
+        i1 = names.index(end) + 1 if end is not None else len(names)
+        if i1 <= i0:
+            raise ValueError(f"end layer {end!r} precedes start layer {start!r}")
+        return self._plan[i0:i1]
+
+    def forward(self, start: Optional[str] = None, end: Optional[str] = None,
+                **inputs) -> Dict[str, np.ndarray]:
         """Run the net. Inputs/outputs are NCHW numpy (pycaffe convention).
         Data-layer tops not passed explicitly are pulled from their sources
-        (so bare `net.forward()` advances data layers, like the reference)."""
-        self._pull_data_layers(inputs)
+        (so bare `net.forward()` advances data layers, like the reference).
+
+        start/end: partial execution by layer name (pycaffe.py:62-107);
+        bottoms the slice needs but that aren't passed explicitly are seeded
+        from the previous forward's blobs, mirroring how the reference
+        re-reads persistent Blob contents."""
+        plan = None
+        if start is not None or end is not None:
+            plan = self.plan_slice(start, end)
+            produced = set(inputs)
+            for _, spec in plan:
+                for b in spec.bottoms:
+                    if b not in produced and b in self.blobs:
+                        inputs.setdefault(b, self.blobs[b])
+                produced.update(spec.tops)
+        if start is None:
+            self._pull_data_layers(inputs)
         dev_inputs = {}
         for nm, arr in inputs.items():
             a = jnp.asarray(arr)
@@ -498,10 +531,11 @@ class Net:
         if self._needs_rng:
             rng = jax.random.fold_in(self._rng, self._forward_calls)
             self._forward_calls += 1
-        key = tuple(sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
+        key = (start, end) + tuple(
+            sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
-                lambda p, i, r: self._execute(p, i, rng=r))
+                lambda p, i, r: self._execute(p, i, rng=r, plan=plan))
         out = self._jitted[key](self.params, dev_inputs, rng)
         result: "OrderedDict[str, np.ndarray]" = OrderedDict()
         for nm, v in out.items():
@@ -509,7 +543,10 @@ class Net:
             if arr.ndim == 4:
                 arr = arr.transpose(0, 3, 1, 2)
             result[nm] = arr
-        self.blobs = result
+        if plan is None:
+            self.blobs = result
+        else:  # partial run: merge, keeping untouched blobs for later slices
+            self.blobs.update(result)
         for sink in self.hdf5_sinks:
             sink.append([result[b] for b in sink.bottoms if b in result])
         return result

@@ -664,9 +664,16 @@ def _softmax_with_loss(spec, phase, compute_dtype):
         normalization = "BATCH_SIZE"
 
     def fn(p, bottoms):
+        scores, lab = bottoms[0], _label_squeeze(bottoms[1])
+        outer = 1
+        for d in scores.shape[:-1]:
+            outer *= d
+        if lab.size == outer and lab.shape != scores.shape[:-1]:
+            # Caffe accepts (N,1,1,1)-style label blobs (outer/inner count
+            # semantics, softmax_loss_layer.cpp Reshape)
+            lab = lab.reshape(scores.shape[:-1])
         return loss_ops.softmax_with_loss(
-            bottoms[0], _label_squeeze(bottoms[1]),
-            ignore_label=ignore, normalization=normalization)
+            scores, lab, ignore_label=ignore, normalization=normalization)
     return fn
 
 
@@ -738,6 +745,111 @@ def _accuracy(spec, phase, compute_dtype):
     cfg = dict(top_k=ap.get_int("top_k", 1),
                ignore_label=lp.get_int("ignore_label") if lp.has("ignore_label") else None)
     return lambda p, b: loss_ops.accuracy(b[0], _label_squeeze(b[1]), **cfg)
+
+
+# Python layers -------------------------------------------------------------
+
+_PYTHON_REGISTRY: Dict[str, Any] = {}
+
+
+def register_python_layer(name: str, cls_or_fn) -> None:
+    """Register a user layer class (or plain function) under `layer:` name,
+    bypassing module import — the WITH_PYTHON_LAYER analog for code that
+    isn't importable by path."""
+    _PYTHON_REGISTRY[name] = cls_or_fn
+
+
+def _python_param_spec(spec, bottom_shapes):
+    inst = _python_instance(spec)
+    if hasattr(inst, "param_spec"):
+        return [(k, tuple(s), f if f is not None else PbNode())
+                for k, s, f in inst.param_spec(bottom_shapes)]
+    return []
+
+
+_PYTHON_INSTANCES: Dict[int, Any] = {}
+
+
+def _python_instance(spec):
+    """One layer instance per LayerSpec (setup runs once, like LayerSetUp)."""
+    key = id(spec)
+    if key in _PYTHON_INSTANCES:
+        return _PYTHON_INSTANCES[key]
+    pp = spec.param("python_param")
+    module = pp.get_str("module", "")
+    layer = pp.get_str("layer", "")
+    obj = _PYTHON_REGISTRY.get(layer)
+    if obj is None:
+        import importlib
+
+        if not module:
+            raise ValueError(
+                f"Python layer {spec.name!r}: layer {layer!r} is neither "
+                "registered via register_python_layer nor qualified with "
+                "python_param.module")
+        obj = getattr(importlib.import_module(module), layer)
+    inst = obj() if isinstance(obj, type) else obj
+    try:
+        inst.param_str = pp.get_str("param_str", "")
+    except AttributeError:
+        pass
+    if hasattr(inst, "setup"):
+        inst.setup(pp.get_str("param_str", ""))
+    _PYTHON_INSTANCES[key] = inst
+    return inst
+
+
+@register("Python", _python_param_spec)
+def _python_layer(spec, phase, compute_dtype):
+    """User-defined layer (reference: python/caffe/_caffe.cpp:272-291 +
+    layer_factory WITH_PYTHON_LAYER; tests modeled on
+    python/caffe/test/test_python_layer.py).
+
+    TPU-native contract (the graph is jit-traced, so blob-mutation APIs are
+    replaced by pure functions):
+      - ``forward(self, *bottoms) -> array | tuple`` — jnp-traceable;
+      - optional ``setup(self, param_str)`` — runs once at build;
+      - optional ``backward(self, grad_top, *bottoms) -> grad_bottoms`` —
+        installed as a jax.custom_vjp (otherwise autodiff differentiates
+        forward directly — usually what you want);
+      - optional ``param_spec(self, bottom_shapes) -> [(key, shape,
+        filler_node|None)]`` to declare learnable blobs, passed to forward
+        as a ``params`` keyword argument.
+    A plain function registered via register_python_layer works too.
+    """
+    import inspect
+
+    inst = _python_instance(spec)
+    try:
+        inst.phase = phase
+    except AttributeError:
+        pass
+    fwd = inst.forward if hasattr(inst, "forward") else inst
+    wants_params = "params" in inspect.signature(fwd).parameters
+
+    if hasattr(inst, "backward") and callable(inst.backward):
+        @jax.custom_vjp
+        def call(*bottoms):
+            return fwd(*bottoms)
+
+        def call_fwd(*bottoms):
+            return fwd(*bottoms), bottoms
+
+        def call_bwd(res, g):
+            grads = inst.backward(g, *res)
+            if not isinstance(grads, (tuple, list)):
+                grads = (grads,)
+            return tuple(grads)
+
+        call.defvjp(call_fwd, call_bwd)
+    else:
+        call = fwd
+
+    def fn(p, bottoms):
+        if wants_params:
+            return fwd(*bottoms, params=p)
+        return call(*bottoms)
+    return fn
 
 
 # Data-ish ------------------------------------------------------------------

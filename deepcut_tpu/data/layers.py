@@ -26,28 +26,29 @@ class DataLayerSource:
 
 
 class LMDBDataSource(DataLayerSource):
-    """`Data` layer over LMDB (reference: data_layer.cpp + db_lmdb.cpp).
+    """`Data` layer over LMDB or LevelDB (reference: data_layer.cpp +
+    db_lmdb.cpp / db_leveldb.cpp, dispatched like db.cpp:9-20).
 
     Cycles the cursor like DataReader (one pass order, wrap at end).
     """
 
     def __init__(self, spec, phase: str):
-        from deepcut_tpu.data.lmdb_store import LMDBReader
-
         dp = spec.param("data_param")
-        backend = dp.get_str("backend", "LMDB")
-        if str(backend).upper() == "LEVELDB":
-            raise NotImplementedError(
-                "LevelDB backend is not supported in deepcut_tpu; convert the "
-                "dataset to LMDB (tools/datasets.py convert_imageset) — LMDB "
-                "is the reference default and needs no native library here.")
+        backend = str(dp.get_str("backend", "LMDB")).upper()
+        if backend == "LEVELDB":
+            from deepcut_tpu.data.leveldb_store import LevelDBReader
+
+            self.reader = LevelDBReader(dp.get_str("source"))
+        else:
+            from deepcut_tpu.data.lmdb_store import LMDBReader
+
+            self.reader = LMDBReader(dp.get_str("source"))
         self.batch_size = dp.get_int("batch_size", 1)
         self.tops = list(spec.tops)
         self.transform = DataTransformer(spec.param("transform_param"), phase)
-        self.reader = LMDBReader(dp.get_str("source"))
         self.items = list(self.reader.items())
         if not self.items:
-            raise ValueError("empty LMDB dataset")
+            raise ValueError(f"empty {backend} dataset")
         self.pos = 0
 
     def next_batch(self) -> List[np.ndarray]:

@@ -133,6 +133,16 @@ def blobs_to_params(
     deconv_set = set(deconv_names or [])
     params: Dict[str, Dict[str, np.ndarray]] = {}
     for name, blobs in blobs_by_name.items():
+        # Legacy V0 blobs are always 4-D ((1,1,1,C) vectors, (1,1,N,K) IP
+        # weights — blob.cpp legacy shape); squeeze the unit leading dims so
+        # the layout heuristics below see canonical ranks.
+        canon = []
+        for b in blobs:
+            if len(b.shape) == 4 and b.shape[0] == 1 and b.shape[1] == 1:
+                new_shape = b.shape[3:] if b.shape[2] == 1 else b.shape[2:]
+                b = Blob(new_shape, b.data.reshape(new_shape))
+            canon.append(b)
+        blobs = canon
         b0 = blobs[0]
         entry: Dict[str, np.ndarray] = {}
         if len(b0.shape) == 4:
@@ -174,23 +184,59 @@ def load_deepercut_params(path: str) -> Dict[str, Dict[str, np.ndarray]]:
 # --------------------------------------------------------------------------
 
 
+def _encode_blob(arr: np.ndarray, *, legacy: bool = False) -> wire.Encoder:
+    arr = np.asarray(arr, np.float32)
+    blob = wire.Encoder()
+    if legacy:
+        # V0-era BlobProto: num/channels/height/width fields, always 4-D
+        # (blob.cpp legacy shape; 1-D params stored as (1,1,1,C)).
+        dims = (1,) * (4 - arr.ndim) + arr.shape if arr.ndim < 4 else arr.shape
+        for f, d in zip((1, 2, 3, 4), dims):
+            blob.varint(f, int(d))
+    else:
+        shape = wire.Encoder()
+        shape.packed_int64s(1, arr.shape)
+        blob.message(7, shape)
+    blob.packed_floats(5, arr.reshape(-1))
+    return blob
+
+
 def encode_netparameter(
-    layers: "OrderedDict[str, List[np.ndarray]]", *, net_name: str = "net"
+    layers: "OrderedDict[str, List[np.ndarray]]", *, net_name: str = "net",
+    container: str = "v2",
 ) -> bytes:
+    """Serialise weights as a binary NetParameter.
+
+    container: 'v2' (LayerParameter, field 100 — what the reference writes
+    today), 'v1' (V1LayerParameter, field 2, blobs at 6), or 'v0' (V1 entry
+    nesting a V0LayerParameter at field 1 with blobs at 50, legacy 4-D blob
+    shapes) — the three generations UpgradeNetAsNeeded accepts
+    (upgrade_proto.cpp:19-67)."""
+    assert container in ("v2", "v1", "v0")
     enc = wire.Encoder()
     enc.string(1, net_name)
     for name, blobs in layers.items():
-        layer = wire.Encoder()
-        layer.string(1, name)
-        layer.string(2, "")
-        for arr in blobs:
-            blob = wire.Encoder()
-            shape = wire.Encoder()
-            shape.packed_int64s(1, np.asarray(arr).shape)
-            blob.message(7, shape)
-            blob.packed_floats(5, np.asarray(arr, np.float32).reshape(-1))
-            layer.message(7, blob)
-        enc.message(100, layer)
+        if container == "v2":
+            layer = wire.Encoder()
+            layer.string(1, name)
+            layer.string(2, "")
+            for arr in blobs:
+                layer.message(7, _encode_blob(arr))
+            enc.message(100, layer)
+        elif container == "v1":
+            layer = wire.Encoder()
+            layer.string(4, name)
+            for arr in blobs:
+                layer.message(6, _encode_blob(arr))
+            enc.message(2, layer)
+        else:
+            v0 = wire.Encoder()
+            v0.string(1, name)
+            for arr in blobs:
+                v0.message(50, _encode_blob(arr, legacy=True))
+            layer = wire.Encoder()
+            layer.message(1, v0)
+            enc.message(2, layer)
     return enc.tobytes()
 
 
@@ -250,7 +296,8 @@ def load_hdf5_weights(path: str) -> "OrderedDict[str, List[Blob]]":
     return out
 
 
-def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *, net_name: str = "net") -> None:
+def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *,
+                    net_name: str = "net", container: str = "v2") -> None:
     """Write the native pytree back to a reference-readable .caffemodel."""
     layers: "OrderedDict[str, List[np.ndarray]]" = OrderedDict()
     for name, entry in params.items():
@@ -258,4 +305,5 @@ def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *, net_
         if blobs:
             layers[name] = blobs
     with open(path, "wb") as f:
-        f.write(encode_netparameter(layers, net_name=net_name))
+        f.write(encode_netparameter(layers, net_name=net_name,
+                                    container=container))

@@ -249,26 +249,31 @@ def extract_features(args) -> int:
 
 
 def upgrade_net_proto(args) -> int:
-    """upgrade_net_proto_text analog: parse (accepting legacy V1 `layers` +
-    enum type names) and re-emit normalised V2 prototxt."""
-    from deepcut_tpu.proto.text_format import parse_file, dump, PbNode
+    """upgrade_net_proto_text analog: V0 nested / V1 enum-typed `layers`
+    definitions -> normalised V2 prototxt (upgrade_proto.cpp:19-67)."""
+    from deepcut_tpu.proto.text_format import parse_file, dump
+    from deepcut_tpu.proto.upgrade import upgrade_net
     from deepcut_tpu.core.graph import _V1_TYPE_NAMES
 
-    net = parse_file(args.input)
-    if net.get_list("layers") and not net.get_list("layer"):
-        for old in net.get_list("layers"):
-            t = old.get_str("type", "")
-            if t in _V1_TYPE_NAMES:
-                old.fields["type"] = [_V1_TYPE_NAMES[t]]
-            net.add("layer", old)
-        del net.fields["layers"]
-    else:
-        for layer in net.get_list("layer"):
-            t = layer.get_str("type", "")
-            if t in _V1_TYPE_NAMES:
-                layer.fields["type"] = [_V1_TYPE_NAMES[t]]
+    net = upgrade_net(parse_file(args.input))
+    for layer in net.get_list("layer"):
+        t = layer.get_str("type", "")
+        if t in _V1_TYPE_NAMES:
+            layer.fields["type"] = [_V1_TYPE_NAMES[t]]
     with open(args.output, "w") as f:
         f.write(dump(net) + "\n")
+    print(f"wrote {args.output}")
+    return 0
+
+
+def upgrade_solver_proto(args) -> int:
+    """upgrade_solver_proto_text analog (tools/upgrade_solver_proto_text.cpp):
+    legacy `solver_type: ENUM` -> `type: "Name"`."""
+    from deepcut_tpu.proto.text_format import parse_file, dump
+    from deepcut_tpu.proto.upgrade import upgrade_solver
+
+    with open(args.output, "w") as f:
+        f.write(dump(upgrade_solver(parse_file(args.input))) + "\n")
     print(f"wrote {args.output}")
     return 0
 
@@ -317,6 +322,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(fn=upgrade_net_proto)
+
+    p = sub.add_parser("upgrade_solver_proto",
+                       help="legacy solver_type enum -> type string")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=upgrade_solver_proto)
 
     args = parser.parse_args(argv)
     return args.fn(args)

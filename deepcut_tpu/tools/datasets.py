@@ -19,17 +19,22 @@ import numpy as np
 
 
 def convert_imageset(args) -> int:
-    from deepcut_tpu.data.lmdb_store import LMDBWriter
     from deepcut_tpu.data.datum import Datum
     from deepcut_tpu.data.pipeline import load_image_bgr
     from PIL import Image
+
+    # -backend flag of tools/convert_imageset.cpp: lmdb (default) | leveldb
+    if getattr(args, "backend", "lmdb").lower() == "leveldb":
+        from deepcut_tpu.data.leveldb_store import LevelDBWriter as Writer
+    else:
+        from deepcut_tpu.data.lmdb_store import LMDBWriter as Writer
 
     with open(args.listfile) as f:
         lines = [l.split() for l in f if l.strip()]
     if args.shuffle:
         np.random.RandomState(0).shuffle(lines)
     count = 0
-    with LMDBWriter(args.db_path) as w:
+    with Writer(args.db_path) as w:
         for path, label in lines:
             full = args.root + path
             if args.encoded and not args.resize:
@@ -49,11 +54,18 @@ def convert_imageset(args) -> int:
 
 
 def compute_image_mean(args) -> int:
-    from deepcut_tpu.data.lmdb_store import LMDBReader
+    import os
+
     from deepcut_tpu.data.datum import Datum
     from deepcut_tpu.io import array_to_blobproto_bytes
 
-    reader = LMDBReader(args.db_path)
+    # auto-detect backend the way db.cpp would be told: a LevelDB dir has a
+    # CURRENT file, an LMDB dir a data.mdb.
+    if os.path.exists(os.path.join(args.db_path, "CURRENT")):
+        from deepcut_tpu.data.leveldb_store import LevelDBReader as Reader
+    else:
+        from deepcut_tpu.data.lmdb_store import LMDBReader as Reader
+    reader = Reader(args.db_path)
     total: Optional[np.ndarray] = None
     n = 0
     for _, raw in reader.items():
@@ -82,6 +94,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--resize", type=int, nargs=2, default=None)
     p.add_argument("--encoded", action="store_true")
     p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--backend", default="lmdb", choices=["lmdb", "leveldb"])
     p.set_defaults(fn=convert_imageset)
 
     p = sub.add_parser("compute_image_mean")

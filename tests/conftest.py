@@ -28,11 +28,27 @@ import pytest
 
 
 def _needs_reexec() -> bool:
+    # DEEPCUT_TPU_REAL=1 keeps the live (TPU) platform: used for the opt-in
+    # `-m tpu` hardware pass (`DEEPCUT_TPU_REAL=1 pytest -m tpu`).
     return (os.environ.get(_MARK) != "1"
+            and os.environ.get("DEEPCUT_TPU_REAL") != "1"
             and os.environ.get("JAX_PLATFORMS", "") != "cpu")
 
 
+def pytest_collection_modifyitems(config, items):
+    import jax
+
+    if jax.default_backend() == "cpu":
+        skip = pytest.mark.skip(
+            reason="needs real TPU hardware (DEEPCUT_TPU_REAL=1 pytest -m tpu)")
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
+
+
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: opt-in tests that must run on real TPU hardware")
     if _needs_reexec():
         # Suspend pytest's fd capture so the re-exec'd run owns the real
         # stdout/stderr (otherwise its output lands in this process's

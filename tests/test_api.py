@@ -108,3 +108,51 @@ def test_oversample():
     crops = dio.oversample(ims, (8, 8))
     assert crops.shape == (10, 8, 8, 3)
     np.testing.assert_array_equal(crops[5], crops[0][:, ::-1, :])
+
+
+PARTIAL_PROTO = """
+name: "partial"
+input: "data"
+input_shape { dim: 2 dim: 4 }
+layer { name: "a" type: "Power" bottom: "data" top: "a"
+        power_param { scale: 2.0 } }
+layer { name: "b" type: "Power" bottom: "a" top: "b"
+        power_param { shift: 1.0 } }
+layer { name: "c" type: "Power" bottom: "b" top: "c"
+        power_param { scale: 10.0 } }
+"""
+
+
+def test_compat_forward_start_end(tmp_path):
+    """Partial execution semantics of pycaffe _Net_forward (pycaffe.py:62-107):
+    forward(end=) stops there; forward(start=) resumes from staged blobs."""
+    proto_path = tmp_path / "partial.prototxt"
+    proto_path.write_text(PARTIAL_PROTO)
+    net = caffe.Net(str(proto_path), caffe.TEST)
+    x = np.arange(8, dtype=np.float32).reshape(2, 4)
+    net.blobs["data"].data[...] = x
+
+    out = net.forward(end="b")
+    np.testing.assert_allclose(out["b"], 2 * x + 1)
+    assert "c" not in out  # later layers did not run
+
+    # edit the intermediate and resume from layer "c" — net surgery style
+    net.blobs["b"].data[...] = np.ones((2, 4), np.float32)
+    out = net.forward(start="c")
+    np.testing.assert_allclose(out["c"], 10.0 * np.ones((2, 4)))
+
+    # full forward still works and overwrites staged edits
+    out = net.forward()
+    np.testing.assert_allclose(net.blobs["c"].data, (2 * x + 1) * 10)
+
+
+def test_graph_forward_start_end_validation():
+    from deepcut_tpu.core.graph import Net
+
+    net = Net(text_format.parse(PARTIAL_PROTO), compute_dtype=None)
+    with pytest.raises(ValueError):
+        net.plan_slice("c", "a")
+    x = np.ones((2, 4), np.float32)
+    net.forward(data=x)
+    outs = net.forward(start="b", end="b")
+    np.testing.assert_allclose(outs["b"], 2 * x + 1)

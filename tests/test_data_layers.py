@@ -148,3 +148,124 @@ def test_graph_hdf5_layers(tmp_path):
     with h5py.File(outfile, "r") as f:
         assert f["data"].shape == (4, 2, 4, 4)
         np.testing.assert_allclose(f["label"][:], [0, 1, 2, 3])
+
+
+# -- LevelDB backend (reference: db_leveldb.cpp; test_data_layer.cpp runs the
+# same layer tests over both backends) ---------------------------------------
+
+
+def test_leveldb_roundtrip_log_mode(tmp_path):
+    from deepcut_tpu.data.leveldb_store import LevelDBReader, LevelDBWriter
+
+    path = str(tmp_path / "ldb")
+    with LevelDBWriter(path) as w:
+        for i in range(10):
+            w.put(f"{i:08d}".encode(), f"value-{i}".encode() * (i + 1))
+    r = LevelDBReader(path)
+    items = list(r.items())
+    assert len(items) == 10 == len(r)
+    assert items[0][0] == b"00000000"
+    assert items[3][1] == b"value-3" * 4
+    assert r.get(b"00000007") == b"value-7" * 8
+    assert r.get(b"nope") is None
+
+
+def test_leveldb_roundtrip_table_mode_large(tmp_path):
+    from deepcut_tpu.data.leveldb_store import LevelDBReader, LevelDBWriter
+
+    path = str(tmp_path / "ldb")
+    rng = np.random.RandomState(0)
+    blobs = {}
+    with LevelDBWriter(path, mode="table") as w:
+        for i in range(300):
+            val = rng.bytes(int(rng.randint(10, 400)))
+            blobs[f"k{i:06d}".encode()] = val
+            w.put(f"k{i:06d}".encode(), val)
+        big = rng.bytes(90000)  # record > one 32KiB log block / many blocks
+        blobs[b"zz_big"] = big
+        w.put(b"zz_big", big)
+    assert dict(LevelDBReader(path).items()) == blobs
+
+
+def test_leveldb_log_mode_large_record_fragmentation(tmp_path):
+    from deepcut_tpu.data.leveldb_store import LevelDBReader, LevelDBWriter
+
+    path = str(tmp_path / "ldb")
+    big = np.random.RandomState(1).bytes(100000)  # FIRST/MIDDLE/LAST spans
+    with LevelDBWriter(path) as w:
+        w.put(b"big", big)
+        w.put(b"small", b"x")
+    r = LevelDBReader(path)
+    assert r.get(b"big") == big
+    assert r.get(b"small") == b"x"
+
+
+def test_leveldb_crc_detects_corruption(tmp_path):
+    from deepcut_tpu.data.leveldb_store import LevelDBReader, LevelDBWriter
+
+    path = str(tmp_path / "ldb")
+    with LevelDBWriter(path) as w:
+        w.put(b"k", b"v" * 100)
+    logf = os.path.join(path, "000003.log")
+    buf = bytearray(open(logf, "rb").read())
+    buf[40] ^= 0xFF  # flip a payload byte
+    open(logf, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="crc"):
+        LevelDBReader(path)
+
+
+def test_graph_leveldb_data_layer(tmp_path):
+    from deepcut_tpu.data.leveldb_store import LevelDBWriter
+
+    path = str(tmp_path / "train_ldb")
+    rng = np.random.RandomState(0)
+    with LevelDBWriter(path) as w:
+        for i in range(8):
+            arr = rng.randint(0, 255, (1, 8, 8), np.uint8)
+            w.put(f"{i:08d}".encode(), Datum.from_array(arr, label=i % 3).encode())
+    proto = text_format.parse(f"""
+        name: "lenet-ish"
+        layer {{
+          name: "data" type: "Data" top: "data" top: "label"
+          data_param {{ source: "{path}" batch_size: 4 backend: LEVELDB }}
+          transform_param {{ scale: 0.00390625 }}
+        }}
+        layer {{
+          name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+          inner_product_param {{ num_output: 3
+            weight_filler {{ type: "gaussian" std: 0.1 }} }}
+        }}
+        layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }}
+        """)
+    net = Net(proto, phase="TRAIN", compute_dtype=None)
+    out1 = net.forward()
+    assert np.isfinite(out1["loss"])
+    out2 = net.forward()
+    assert out2["data"].shape == (4, 1, 8, 8)
+    assert not np.array_equal(out1["data"], out2["data"])
+
+
+def test_leveldb_deletion_and_overwrite_semantics(tmp_path):
+    """Later sequence numbers shadow earlier ones; deletions hide values —
+    the view a real leveldb iterator presents after mixed writes."""
+    from deepcut_tpu.data import leveldb_store as ldb
+
+    path = str(tmp_path / "db")
+    os.makedirs(path)
+    log = ldb.LogWriter()
+    log.add_record(ldb.encode_batch(1, [(ldb.TYPE_VALUE, b"a", b"old")]))
+    log.add_record(ldb.encode_batch(2, [
+        (ldb.TYPE_VALUE, b"a", b"new"),
+        (ldb.TYPE_VALUE, b"b", b"gone"),
+    ]))
+    log.add_record(ldb.encode_batch(4, [(ldb.TYPE_DELETION, b"b", b"")]))
+    with open(os.path.join(path, "000003.log"), "wb") as f:
+        f.write(log.data())
+    mlog = ldb.LogWriter()
+    mlog.add_record(ldb.encode_version_edit(log_number=3, next_file=4, last_seq=4))
+    with open(os.path.join(path, "MANIFEST-000002"), "wb") as f:
+        f.write(mlog.data())
+    with open(os.path.join(path, "CURRENT"), "w") as f:
+        f.write("MANIFEST-000002\n")
+    r = ldb.LevelDBReader(path)
+    assert dict(r.items()) == {b"a": b"new"}

@@ -134,3 +134,104 @@ def test_classifier_predict(tmp_path):
     np.testing.assert_allclose(preds.sum(axis=1), 1.0, rtol=1e-4)
     preds2 = clf.predict(ims, oversample=False)
     assert preds2.shape == (3, 5)
+
+
+# -- V0 *text* prototxt upgrade (upgrade_proto.cpp UpgradeV0Net; fixture
+# modeled on src/caffe/test/test_upgrade_proto.cpp's V0 CaffeNet) ------------
+
+V0_TEXT_NET = """
+name: "v0-caffenet-ish"
+input: "data"
+input_dim: 2 input_dim: 3 input_dim: 14 input_dim: 14
+layers {
+  layer {
+    name: "conv1" type: "conv" num_output: 4 kernelsize: 3 stride: 1
+    group: 1 biasterm: true
+    weight_filler { type: "gaussian" std: 0.1 }
+    blobs_lr: 1. blobs_lr: 2. weight_decay: 1. weight_decay: 0.
+  }
+  bottom: "data" top: "conv1"
+}
+layers {
+  layer { name: "relu1" type: "relu" }
+  bottom: "conv1" top: "conv1"
+}
+layers {
+  layer { name: "pad2" type: "padding" pad: 1 }
+  bottom: "conv1" top: "pad2"
+}
+layers {
+  layer { name: "conv2" type: "conv" num_output: 4 kernelsize: 3
+          weight_filler { type: "gaussian" std: 0.1 } }
+  bottom: "pad2" top: "conv2"
+}
+layers {
+  layer { name: "pool1" type: "pool" pool: MAX kernelsize: 2 stride: 2 }
+  bottom: "conv2" top: "pool1"
+}
+layers {
+  layer { name: "drop" type: "dropout" dropout_ratio: 0.5 }
+  bottom: "pool1" top: "pool1"
+}
+layers {
+  layer { name: "ip" type: "innerproduct" num_output: 5
+          weight_filler { type: "gaussian" std: 0.1 }
+          blobs_lr: 1. blobs_lr: 2. }
+  bottom: "pool1" top: "ip"
+}
+layers {
+  layer { name: "loss" type: "softmax_loss" }
+  bottom: "ip" bottom: "label" top: "loss"
+}
+input: "label"
+input_dim: 2 input_dim: 1 input_dim: 1 input_dim: 1
+"""
+
+
+def test_v0_text_net_upgrades_and_runs():
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.proto.upgrade import upgrade_net, is_v0_net
+    from deepcut_tpu.core.graph import Net
+
+    proto = text_format.parse(V0_TEXT_NET)
+    assert is_v0_net(proto)
+    up = upgrade_net(proto)
+    layers = up.get_list("layer")
+    types = [l.get_str("type") for l in layers]
+    # padding layer folded away, types modernised
+    assert types == ["Convolution", "ReLU", "Convolution", "Pooling",
+                     "Dropout", "InnerProduct", "SoftmaxWithLoss"]
+    conv2 = layers[2]
+    assert conv2.get_list("bottom") == ["conv1"]  # rewired past the padding
+    assert conv2.get("convolution_param").get_int("pad") == 1
+    # blobs_lr/weight_decay became ParamSpecs
+    conv1 = layers[0]
+    ps = conv1.get_list("param")
+    assert ps[0].get_float("lr_mult") == 1.0 and ps[1].get_float("lr_mult") == 2.0
+    assert ps[0].get_float("decay_mult") == 1.0 and ps[1].get_float("decay_mult") == 0.0
+
+    # and the Net loads the V0 text directly (upgrade runs inside __init__)
+    net = Net(text_format.parse(V0_TEXT_NET), phase="TEST", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    out = net.forward(data=rng.randn(2, 3, 14, 14).astype(np.float32),
+                      label=np.zeros(2, np.float32))
+    # conv1 k3 s0p -> 12; conv2 k3 p1 -> 12; pool k2 s2 -> 6
+    assert out["pool1"].shape == (2, 4, 6, 6)
+    assert np.isfinite(out["loss"])
+
+
+def test_upgrade_solver_proto_cli(tmp_path):
+    from deepcut_tpu.tools import cli
+    from deepcut_tpu.proto import text_format
+
+    src = tmp_path / "old_solver.prototxt"
+    src.write_text("base_lr: 0.01\nsolver_type: NESTEROV\nmax_iter: 100\n")
+    dst = tmp_path / "new_solver.prototxt"
+    assert cli.main(["upgrade_solver_proto", str(src), str(dst)]) == 0
+    up = text_format.parse_file(str(dst))
+    assert up.get_str("type") == "Nesterov"
+    assert not up.has("solver_type")
+    # numeric legacy enum form too
+    src.write_text("base_lr: 0.01\nsolver_type: 4\n")
+    assert cli.main(["upgrade_solver_proto", str(src), str(dst)]) == 0
+    assert text_format.parse_file(str(dst)).get_str("type") == "AdaDelta"

@@ -119,3 +119,63 @@ def test_blobs_to_params_layout():
     np.testing.assert_array_equal(
         params["conv1"]["w"][1, 2, 0, 5], layers["conv1"][0][5, 0, 1, 2]
     )
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PROTOTXT), reason="reference not mounted")
+def test_full_resnet152_caffemodel_roundtrip(tmp_path):
+    """De-risk the converter the way a real pretrained file would: encode ALL
+    680 layers' blobs of a synthetic ResNet-152 (Net::ToProto layouts), load
+    through Net(prototxt, weights=...), and require the graph forward to
+    match the native forward with the same weights
+    (reference: net.cpp:805-846 CopyTrainedLayersFrom)."""
+    import jax
+    import jax.numpy as jnp
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.models.resnet import deepercut_config, init_params, forward
+    from deepcut_tpu.proto.caffemodel import save_caffemodel, load_caffemodel
+
+    cfg = deepercut_config(152, compute_dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "r152.caffemodel")
+    save_caffemodel(path, jax.tree_util.tree_map(np.asarray, params))
+
+    net = Net(REF_PROTOTXT, weights=path, compute_dtype=None)
+    # 161 convs (155 trunk + 6 head) + 155 BN + 155 Scale = 471 param layers
+    assert len(net.params) == 471
+    x = np.random.RandomState(0).randn(1, 3, 64, 64).astype(np.float32) * 10
+    out_graph = net.forward(data=x)
+    out_native = forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), cfg)
+    for blob in ("prob", "loc_pred", "next_pred"):
+        g = out_graph[blob].transpose(0, 2, 3, 1)
+        n = np.asarray(out_native[blob])
+        np.testing.assert_allclose(g, n, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PROTOTXT), reason="reference not mounted")
+def test_full_resnet152_legacy_containers_decode_identically(tmp_path):
+    """The same full-size model encoded in V1 and V0 containers must decode
+    blob-for-blob identically to the V2 form (UpgradeNetAsNeeded,
+    upgrade_proto.cpp:19-67; legacy 4-D blob shapes)."""
+    import jax
+    import jax.numpy as jnp
+    from deepcut_tpu.models.resnet import deepercut_config, init_params
+    from deepcut_tpu.proto.caffemodel import (
+        save_caffemodel, load_caffemodel, blobs_to_params)
+
+    cfg = deepercut_config(152, compute_dtype=jnp.float32)
+    params = jax.tree_util.tree_map(
+        np.asarray, init_params(jax.random.PRNGKey(1), cfg))
+    paths = {}
+    for container in ("v2", "v1", "v0"):
+        paths[container] = str(tmp_path / f"r152.{container}.caffemodel")
+        save_caffemodel(paths[container], params, container=container)
+    deconvs = [n for n in params if n.startswith("res5c_up_")]
+    ref = blobs_to_params(load_caffemodel(paths["v2"]), deconv_names=deconvs)
+    for container in ("v1", "v0"):
+        got = blobs_to_params(load_caffemodel(paths[container]),
+                              deconv_names=deconvs)
+        assert list(got) == list(ref)
+        for name in ref:
+            assert set(got[name]) == set(ref[name]), name
+            for key in ref[name]:
+                np.testing.assert_array_equal(got[name][key], ref[name][key])
