@@ -4,12 +4,21 @@ Measures images/sec of the BN-folded bf16 single-scale forward (the
 reference's north-star path: pose_demo.py -> estimate_pose -> 680-layer
 forward) on the available accelerator, sweeping batch size.
 
+Timing methodology (important on relay-attached TPUs): dispatch through the
+axon relay is fully asynchronous and `block_until_ready` can acknowledge
+before execution completes, so naive loops under-measure by orders of
+magnitude. Each step therefore reduces its outputs to ONE scalar on device,
+and the loop is timed by the difference between an N1-iteration and an
+N2-iteration run, each ended by a scalar fetch that forces completion (TPU
+programs execute in dispatch order, so the last step's completion implies
+all are done). The fetch constant cancels in the subtraction.
+
 `vs_baseline` is reported against an estimated Caffe-CPU throughput of
-0.1 images/sec for this model/resolution. Derivation: the reference publishes
-no DeeperCut numbers (BASELINE.md); dilated ResNet-152 at 688x688 is ~190
-GFLOPs/image (ResNet-152@224 is 11.3 GFLOPs, scaled by (688/224)^2 with res5
-undecimated and the three heads), and a multicore CPU running Caffe's
-im2col+OpenBLAS sustains ~20 GFLOP/s => ~0.1 img/s. The driver target is
+0.1 images/sec for this model/resolution. Derivation: the reference
+publishes no DeeperCut numbers (BASELINE.md); dilated ResNet-152 at 688x688
+is ~285 GFLOP/image (per-stage count: conv1 2.2 + res2 12.6 + res3 34.4 +
+res4 149.8 + res5 55.3 + heads 30.8), and a multicore CPU running Caffe's
+im2col+OpenBLAS sustains ~20-30 GFLOP/s => ~0.1 img/s. The driver target is
 50x Caffe-CPU, i.e. vs_baseline >= 50.
 
 Prints one JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -23,33 +32,44 @@ import jax
 import jax.numpy as jnp
 
 CAFFE_CPU_IPS_EST = 0.1  # images/sec, see module docstring
+GFLOP_PER_IMAGE = 285.0
 
 
-def bench_forward(batch_sizes=(1, 4), size=688, iters=20, warmup=3):
-    # batch 32 reaches ~384 img/s (vs ~380 at batch 4) but costs minutes of
-    # extra compile; the default sweep keeps the driver run fast.
+def bench_forward(batch_sizes=(1, 4), size=688, n1=5, n2=25, repeats=2):
     from deepcut_tpu.models.resnet import (
         deepercut_config, init_params, fold_bn, cast_params, make_forward)
 
     cfg = deepercut_config(152)
     params = cast_params(fold_bn(init_params(jax.random.PRNGKey(0), cfg), cfg))
-    fn = jax.jit(make_forward(cfg, folded=True))
-    best = 0.0
-    best_bs = None
+    fwd = make_forward(cfg, folded=True)
+
+    @jax.jit
+    def step(params, x):
+        outs = fwd(params, x)
+        # scalar reduce keeps the D2H fetch tiny and forces full execution
+        return jnp.sum(outs["prob"]) + jnp.sum(outs["loc_pred"])
+
+    best, best_bs = 0.0, None
     for bs in batch_sizes:
         try:
             x = jnp.zeros((bs, size, size, 3), jnp.bfloat16)
-            for _ in range(warmup):
-                out = fn(params, x)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = fn(params, x)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            ips = bs * iters / dt
-            print(f"# batch={bs}: {ips:.2f} img/s ({1000*dt/(iters*bs):.2f} ms/img)",
-                  file=sys.stderr)
+            _ = float(step(params, x))  # compile + warm fetch path
+
+            def run(n):
+                t0 = time.perf_counter()
+                acc = None
+                for _ in range(n):
+                    acc = step(params, x)
+                _ = float(acc)  # force completion of the whole chain
+                return (time.perf_counter() - t0) * 1000.0
+
+            t_n1 = min(run(n1) for _ in range(repeats))
+            t_n2 = min(run(n2) for _ in range(repeats))
+            per_step = (t_n2 - t_n1) / (n2 - n1)
+            ips = bs * 1000.0 / per_step
+            tfs = GFLOP_PER_IMAGE * ips / 1000.0
+            print(f"# batch={bs}: {ips:.2f} img/s ({per_step/bs:.2f} ms/img, "
+                  f"~{tfs:.0f} TFLOP/s)", file=sys.stderr)
             if ips > best:
                 best, best_bs = ips, bs
         except Exception as e:  # OOM at large batch: keep best so far

@@ -217,22 +217,29 @@ class PoseEstimator:
         """Multi-scale pyramid with SCOREMAP AVERAGING: each scale's maps are
         resampled to the scale-1 grid and averaged before a single decode
         (the DeeperCut TF-style fusion; the reference CLI instead keeps the
-        best single scale — see estimate_pose)."""
+        best single scale — see estimate_pose).
+
+        Everything stays on device: per-scale maps are resampled by
+        interpolation-matrix matmuls and accumulated as device arrays; only
+        the final 5xJ pose crosses to the host (the host-numpy resample of
+        round 1 cost two full-map D2H fetches per scale)."""
         h, w = image.shape[:2]
         gh = canvas_size(h, 1.0) // int(STRIDE)
         gw = canvas_size(w, 1.0) // int(STRIDE)
         acc_sm = acc_loc = None
         for s in scales:
-            sm, loc = self.scoremaps(image, s)
-            Ah = _bilinear_matrix(sm.shape[0], gh)
-            Aw = _bilinear_matrix(sm.shape[1], gw)
-            sm_r = np.einsum("oh,hwc->owc", Ah, np.einsum("ow,hwc->hoc", Aw, sm))
-            loc_r = np.einsum("oh,hwc->owc", Ah, np.einsum("ow,hwc->hoc", Aw, loc)) / s
-            acc_sm = sm_r if acc_sm is None else acc_sm + sm_r
-            acc_loc = loc_r if acc_loc is None else acc_loc + loc_r
-        acc_sm /= len(scales)
-        acc_loc /= len(scales)
-        return np.asarray(decode_pose(jnp.asarray(acc_sm), jnp.asarray(acc_loc)))
+            sm, loc = self._scoremaps_dev(image, s)
+            Ah = jnp.asarray(_bilinear_matrix(int(sm.shape[0]), gh))
+            Aw = jnp.asarray(_bilinear_matrix(int(sm.shape[1]), gw))
+
+            def resample(m):
+                m = jnp.einsum("ow,hwc->hoc", Aw, m)
+                return jnp.einsum("oh,hwc->owc", Ah, m)
+            acc_sm = resample(sm) if acc_sm is None else acc_sm + resample(sm)
+            lr = resample(loc) / s
+            acc_loc = lr if acc_loc is None else acc_loc + lr
+        n = float(len(scales))
+        return np.asarray(decode_pose(acc_sm / n, acc_loc / n))
 
     def _max_dims(self):
         nsp = 1
@@ -256,17 +263,27 @@ class PoseEstimator:
                   jnp.float32(scale))
         return np.asarray(pose)
 
-    def scoremaps(self, image: np.ndarray, scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
-        """Full scoremaps + locref for an image. HD frames run spatially
-        sharded over the mesh when one is configured, else host-tiled."""
+    def scoremaps(self, image: np.ndarray, scale: float = 1.0, *,
+                  exact: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        """Full scoremaps + locref for an image (host numpy). HD frames run
+        spatially sharded over the mesh when one is configured, else
+        host-tiled. exact=True forces the bit-exact path (host tiling with
+        the reference's seam arithmetic) when mesh sharding would need
+        boundary padding — see _scoremaps_dev."""
+        sm, loc = self._scoremaps_dev(image, scale, exact=exact)
+        return np.asarray(sm, np.float32), np.asarray(loc, np.float32)
+
+    def _scoremaps_dev(self, image: np.ndarray, scale: float = 1.0, *,
+                       exact: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """Device-resident scoremaps (no D2H fetch)."""
         h, w = image.shape[:2]
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
         max_h, max_w = self._max_dims()
         if ch > max_h or cw > max_w:
-            return self._scoremaps_tiled(image, scale)
+            sm, loc = self._scoremaps_tiled(image, scale)
+            return jnp.asarray(sm), jnp.asarray(loc)
         out_h = int(round((h + PAD_SIZE) * scale))
         out_w = int(round((w + PAD_SIZE) * scale))
-        canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)
         pad_h = ch
         if self.mesh is not None:
             # canvas rows must divide evenly across the 'spatial' axis. When
@@ -275,15 +292,20 @@ class PoseEstimator:
             # perturb scoremap rows within the receptive field of the bottom
             # edge (ceil-mode pooling pads -inf, zeros differ) — same class
             # of boundary effect the reference's tiling seam-trim accepts.
+            # Callers needing exactness pass exact=True: non-dividing frames
+            # then take the host-tiled path instead.
             nsp = self._max_dims()[0] // self.max_size
             step = int(STRIDE) * max(nsp, 1)
             pad_h = -(-ch // step) * step
-            if pad_h != ch:
-                canvas = jnp.pad(canvas, ((0, 0), (0, pad_h - ch), (0, 0), (0, 0)))
+            if pad_h != ch and exact:
+                sm, loc = self._scoremaps_tiled(image, scale)
+                return jnp.asarray(sm), jnp.asarray(loc)
+        canvas = preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)
+        if pad_h != ch:
+            canvas = jnp.pad(canvas, ((0, 0), (0, pad_h - ch), (0, 0), (0, 0)))
         sm, loc = self._forward_maps(pad_h, cw)(self.params, canvas)
         gh = ch // int(STRIDE)
-        return (np.asarray(sm[0], np.float32)[:gh],
-                np.asarray(loc[0], np.float32)[:gh])
+        return sm[0][:gh], loc[0][:gh]
 
     # -- tiling (reference arithmetic: estimate_pose.py:146-221) ----------
     def _scoremaps_tiled(self, image: np.ndarray, scale: float) -> Tuple[np.ndarray, np.ndarray]:

@@ -156,3 +156,38 @@ def test_graph_forward_start_end_validation():
     net.forward(data=x)
     outs = net.forward(start="b", end="b")
     np.testing.assert_allclose(outs["b"], 2 * x + 1)
+
+
+FILTER_PROTO = """
+name: "filternet"
+input: "data"
+input_shape { dim: 4 dim: 3 }
+input: "sel"
+input_shape { dim: 4 }
+layer { name: "filt" type: "Filter" bottom: "data" bottom: "sel" top: "filt" }
+layer {
+  name: "ip" type: "InnerProduct" bottom: "filt" top: "ip"
+  inner_product_param { num_output: 2 bias_term: false
+    weight_filler { type: "gaussian" std: 0.5 } }
+}
+"""
+
+
+def test_filter_consumer_contract():
+    """Filter under XLA static shapes: kept items compact to the FRONT and
+    dropped rows are zeroed (documented deviation from filter_layer.cpp's
+    shrinking batch). A downstream consumer therefore sees zero rows — this
+    test pins that contract so consumers can rely on it."""
+    from deepcut_tpu.core.graph import Net
+
+    net = Net(text_format.parse(FILTER_PROTO), compute_dtype=None)
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 3).astype(np.float32) + 5.0
+    sel = np.array([0.0, 1.0, 0.0, 1.0], np.float32)
+    out = net.forward(data=x, sel=sel)
+    # kept rows (1, 3) first and in order, dropped rows zero
+    np.testing.assert_allclose(out["filt"][:2], x[[1, 3]], rtol=1e-6)
+    np.testing.assert_allclose(out["filt"][2:], 0.0)
+    # the consumer computes real values on kept rows, exact zeros on dropped
+    assert np.abs(out["ip"][:2]).min() > 0
+    np.testing.assert_allclose(out["ip"][2:], 0.0)

@@ -43,10 +43,11 @@ def test_pallas_joint_argmax_compiled():
     from deepcut_tpu.ops.pallas_decode import joint_argmax
 
     rng = np.random.RandomState(1)
-    sm = rng.randn(14, 86 * 86).astype(np.float32)
+    sm = rng.randn(86, 86, 14).astype(np.float32)
     maxv, idx = joint_argmax(jnp.asarray(sm), interpret=False)
-    np.testing.assert_allclose(np.asarray(maxv), sm.max(axis=1), rtol=1e-6)
-    np.testing.assert_array_equal(np.asarray(idx), sm.argmax(axis=1))
+    flat = sm.reshape(-1, 14)
+    np.testing.assert_allclose(np.asarray(maxv), flat.max(axis=0), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), flat.argmax(axis=0))
 
 
 def test_pallas_decode_matches_xla_decode():
@@ -84,9 +85,9 @@ def test_int8_path_close_to_fp_on_tpu():
                           num_joints=3, compute_dtype=jnp.bfloat16)
     params = fold_bn(init_params(jax.random.PRNGKey(0), cfg), cfg)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 20
-    qparams = prepare_int8(params, cfg, x)
+    qparams, act_scales = prepare_int8(params, cfg, x)
     fp = np.asarray(forward(params, x, cfg, folded=True)["prob"], np.float32)
-    q = np.asarray(forward_int8(qparams, x, cfg)["prob"], np.float32)
+    q = np.asarray(forward_int8(qparams, act_scales, x, cfg)["prob"], np.float32)
     np.testing.assert_allclose(q, fp, atol=0.12)
 
 
