@@ -319,6 +319,112 @@ class Net:
             self.load_weights(self._pending_weights)
             self._pending_weights = None
 
+    def fold_bn(self) -> int:
+        """Fold inference-mode BatchNorm (+ Scale) layers into the preceding
+        Convolution/Deconvolution (the serving transform models/resnet.py's
+        fold_bn applies to the native model; reference users pay BN+Scale as
+        separate kernels every forward — batch_norm_layer.cpp,
+        scale_layer.cpp). Returns the number of folded BN layers.
+
+        Pattern folded: conv -> in-place BatchNorm(use_global) -> optional
+        in-place Scale. y = conv(x, w*g) + ((b - mean)*g + beta),
+        g = gamma * rsqrt(var/sf + eps). The BN/Scale param entries are
+        removed so an exported .caffemodel cannot double-apply them; fold
+        only nets you don't intend to re-save with BN blobs.
+        """
+        if not self.params:
+            raise RuntimeError("fold_bn: materialise params first (run forward "
+                               "once or declare input shapes)")
+        plan = self._plan
+        new_plan: List[Tuple[Callable, LayerSpec]] = []
+        folded = 0
+        i = 0
+        while i < len(plan):
+            fn, spec = plan[i]
+            top = spec.tops[0] if spec.tops else None
+            bn_item = sc_item = None
+            if spec.type in ("Convolution", "Deconvolution") and top is not None:
+                j = i + 1
+                if j < len(plan):
+                    f2, s2 = plan[j]
+                    if (s2.type == "BatchNorm" and not getattr(f2, "bn_train", False)
+                            and s2.bottoms == [top] and s2.tops == [top]
+                            and self.params.get(s2.name)):
+                        bn_item = (f2, s2)
+                        j += 1
+                        if j < len(plan):
+                            f3, s3 = plan[j]
+                            if (s3.type == "Scale" and s3.bottoms == [top]
+                                    and s3.tops == [top]
+                                    and "gamma" in self.params.get(s3.name, {})):
+                                sc_item = (f3, s3)
+            if bn_item is not None:
+                bn_spec = bn_item[1]
+                bn = self.params[bn_spec.name]
+                eps = bn_spec.param("batch_norm_param").get_float("eps", 1e-5)
+                sf = jnp.asarray(bn.get("scale_factor", jnp.ones((1,)))).reshape(())
+                inv = jnp.where(sf == 0, 0.0, 1.0 / jnp.where(sf == 0, 1.0, sf))
+                mean = jnp.asarray(bn["mean"]) * inv
+                var = jnp.asarray(bn["var"]) * inv
+                if sc_item is not None:
+                    sc = self.params[sc_item[1].name]
+                    gamma = jnp.asarray(sc["gamma"])
+                    beta = jnp.asarray(sc.get("beta", jnp.zeros_like(gamma)))
+                else:
+                    gamma, beta = 1.0, 0.0
+                g = gamma * jax.lax.rsqrt(var + eps)
+                conv_p = self.params[spec.name]
+                b0 = jnp.asarray(conv_p.get("b", jnp.zeros(g.shape, jnp.float32)))
+                self.params[spec.name] = {
+                    "w": jnp.asarray(conv_p["w"]) * g,  # Cout is last in both layouts
+                    "b": (b0 - mean) * g + beta,
+                }
+                del self.params[bn_spec.name]
+                if sc_item is not None:
+                    del self.params[sc_item[1].name]
+                new_plan.append((fn, spec))
+                folded += 1
+                i += 2 + (1 if sc_item is not None else 0)
+                continue
+            new_plan.append((fn, spec))
+            i += 1
+        self._plan = new_plan
+        self._jitted.clear()
+        return folded
+
+    def cast_weights(self, dtype=jnp.bfloat16) -> None:
+        """Pre-cast matrix/conv weights (ndim >= 2) to the compute dtype so
+        each step reads them from HBM at 2 bytes instead of casting f32 per
+        forward. 1-D blobs (biases, BN stats) stay f32 — they ride the f32
+        epilogue. Serving transform; pair with fold_bn()."""
+        self.params = {
+            name: {k: (jnp.asarray(v).astype(dtype)
+                       if getattr(v, "ndim", 0) >= 2 else jnp.asarray(v))
+                   for k, v in entry.items()}
+            for name, entry in self.params.items()
+        }
+        self._jitted.clear()
+
+    def make_forward(self, outputs: Optional[Sequence[str]] = None):
+        """Jitted serving forward: (params, {name: NHWC device arrays}) ->
+        {output: device array}. Only `outputs` (default: the net's terminal
+        blobs) are returned, so XLA dead-code-eliminates every intermediate —
+        unlike `forward()`, whose pycaffe contract materialises all ~N blobs
+        to HBM. On the 680-layer DeeperCut prototxt this is the difference
+        between 7.1 and 2.15 ms/img (see docs/performance.md).
+
+        Typical serving setup:
+            net = Net(prototxt, weights=...)   # TEST phase
+            net.fold_bn(); net.cast_weights()
+            fwd = net.make_forward(["prob", "loc_pred"])
+        """
+        outs = list(outputs) if outputs else self.output_names()
+
+        def fn(params, inputs):
+            blobs = self._execute(params, inputs)
+            return {k: blobs[k] for k in outs}
+        return jax.jit(fn)
+
     # -- execution --------------------------------------------------------
     def _entry(self, params, name: str):
         """Layer's param entry with shared-name aliases resolved."""

@@ -767,14 +767,17 @@ def _python_param_spec(spec, bottom_shapes):
     return []
 
 
-_PYTHON_INSTANCES: Dict[int, Any] = {}
+# keyed by id(spec) with a strong reference to the spec itself — without it,
+# a garbage-collected spec's id can be reused by a NEW spec and hand the new
+# layer a stale instance of a different class.
+_PYTHON_INSTANCES: Dict[int, Tuple[Any, Any]] = {}
 
 
 def _python_instance(spec):
     """One layer instance per LayerSpec (setup runs once, like LayerSetUp)."""
     key = id(spec)
     if key in _PYTHON_INSTANCES:
-        return _PYTHON_INSTANCES[key]
+        return _PYTHON_INSTANCES[key][1]
     pp = spec.param("python_param")
     module = pp.get_str("module", "")
     layer = pp.get_str("layer", "")
@@ -795,7 +798,7 @@ def _python_instance(spec):
         pass
     if hasattr(inst, "setup"):
         inst.setup(pp.get_str("param_str", ""))
-    _PYTHON_INSTANCES[key] = inst
+    _PYTHON_INSTANCES[key] = (spec, inst)
     return inst
 
 

@@ -170,20 +170,44 @@ def time_cmd(args) -> int:
               compute_dtype=None if args.fp32 else jnp.bfloat16)
     shapes = net.input_shapes
     inputs = {nm: np.zeros(sh, np.float32) for nm, sh in shapes.items()}
+    net._pull_data_layers(inputs)  # data-layer nets: time one staged batch
     print(f"Timing {net.name}: {len(net._plan)} layers, "
           f"{args.iterations} iterations")
-    # Fused whole-graph timing (the real number).
-    net.forward(**inputs)  # compile
+    # Fused whole-graph timing via the serving path (only terminal blobs
+    # computed) and the delta method — on relay-attached TPUs, dispatch is
+    # async and block_until_ready is not a sync barrier (docs/performance.md).
+    dev_inputs = {}
+    for nm, arr in inputs.items():
+        a = jnp.asarray(arr)
+        dev_inputs[nm] = jnp.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
+    net._ensure_params({nm: tuple(v.shape) for nm, v in dev_inputs.items()})
+    if getattr(args, "fold_bn", False):
+        print(f"folded {net.fold_bn()} BN chains; weights cast to "
+              f"{'f32' if args.fp32 else 'bf16'}")
+        net.cast_weights(jnp.float32 if args.fp32 else jnp.bfloat16)
+    fwd = net.make_forward()
+    step = jax.jit(lambda p, i: sum(
+        jnp.sum(v.astype(jnp.float32)) for v in fwd(p, i).values()))
+    _ = float(step(net.params, dev_inputs))  # compile + warm fetch
     if args.trace:
-        import jax
         with jax.profiler.trace(args.trace):
             for _ in range(max(args.iterations, 3)):
-                net.forward(**inputs)
+                acc = step(net.params, dev_inputs)
+            _ = float(acc)
         print(f"profiler trace written to {args.trace} (view with xprof/tensorboard)")
-    t0 = _time.perf_counter()
-    for _ in range(args.iterations):
-        out = net.forward(**inputs)
-    dt = (_time.perf_counter() - t0) / args.iterations
+
+    def _run(n):
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            acc = step(net.params, dev_inputs)
+        _ = float(acc)
+        return (_time.perf_counter() - t0) * 1000
+
+    n1 = max(args.iterations // 5, 1)
+    n2 = n1 + args.iterations
+    t1 = min(_run(n1) for _ in range(2))
+    t2 = min(_run(n2) for _ in range(2))
+    dt = (t2 - t1) / args.iterations / 1000
     print(f"Average fused forward: {dt * 1000:.3f} ms")
 
     if args.per_layer:
@@ -307,6 +331,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-top", type=int, default=30)
     p.add_argument("-fp32", action="store_true")
     p.add_argument("-trace", default="", help="write a jax profiler trace here")
+    p.add_argument("-fold_bn", action="store_true",
+                   help="fold BN/Scale into convs + cast weights (serving)")
     p.set_defaults(fn=time_cmd)
 
     p = sub.add_parser("extract_features", help="dump named blobs to HDF5")

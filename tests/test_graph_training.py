@@ -284,3 +284,74 @@ def test_decay_mult_zero_disables_weight_decay():
                                np.asarray(pb["ip2"]["w"]), rtol=1e-6)
     # ip1 blobs (default decay_mult 1): decay must have changed the update
     assert not np.allclose(np.asarray(pa["ip1"]["w"]), np.asarray(pb["ip1"]["w"]))
+
+
+def test_graph_fold_bn_inference_equivalence():
+    """Net.fold_bn folds conv->BN->Scale chains; outputs must match the
+    unfolded net (the graph analog of models/resnet.fold_bn)."""
+    proto = """
+    input: "data"
+    input_shape { dim: 2 dim: 3 dim: 10 dim: 10 }
+    layer { name: "conv" type: "Convolution" bottom: "data" top: "c"
+            convolution_param { num_output: 6 kernel_size: 3 pad: 1
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "bn" type: "BatchNorm" bottom: "c" top: "c" }
+    layer { name: "sc" type: "Scale" bottom: "c" top: "c"
+            scale_param { bias_term: true } }
+    layer { name: "relu" type: "ReLU" bottom: "c" top: "c" }
+    layer { name: "conv2" type: "Convolution" bottom: "c" top: "d"
+            convolution_param { num_output: 4 kernel_size: 1 bias_term: true
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "bn2" type: "BatchNorm" bottom: "d" top: "d" }
+    """
+    rng = np.random.RandomState(0)
+    net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    # perturb BN/Scale away from identity so folding is exercised
+    net.params["bn"] = {"mean": jnp.asarray(rng.randn(6).astype(np.float32) * 0.2),
+                        "var": jnp.asarray(1.0 + rng.rand(6).astype(np.float32)),
+                        "scale_factor": jnp.asarray([0.998], jnp.float32)}
+    net.params["sc"] = {"gamma": jnp.asarray(1 + 0.3 * rng.randn(6).astype(np.float32)),
+                        "beta": jnp.asarray(0.1 * rng.randn(6).astype(np.float32))}
+    net.params["bn2"] = {"mean": jnp.asarray(rng.randn(4).astype(np.float32) * 0.2),
+                         "var": jnp.asarray(1.0 + rng.rand(4).astype(np.float32)),
+                         "scale_factor": jnp.asarray([1.0], jnp.float32)}
+    x = rng.randn(2, 3, 10, 10).astype(np.float32)
+    ref = net.forward(data=x)
+    n = net.fold_bn()
+    assert n == 2
+    assert "bn" not in net.params and "sc" not in net.params
+    assert [s.type for _, s in net._plan] == ["Convolution", "ReLU", "Convolution"]
+    out = net.forward(data=x)
+    np.testing.assert_allclose(out["d"], ref["d"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out["c"], ref["c"], rtol=2e-5, atol=2e-5)
+
+
+def test_graph_make_forward_serving_path():
+    """fold_bn + cast_weights + make_forward: the pruned serving entry must
+    match forward()'s outputs and return only the requested blobs."""
+    proto = """
+    input: "data"
+    input_shape { dim: 2 dim: 3 dim: 8 dim: 8 }
+    layer { name: "conv" type: "Convolution" bottom: "data" top: "c"
+            convolution_param { num_output: 4 kernel_size: 3 pad: 1
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "bn" type: "BatchNorm" bottom: "c" top: "c" }
+    layer { name: "sc" type: "Scale" bottom: "c" top: "c"
+            scale_param { bias_term: true } }
+    layer { name: "relu" type: "ReLU" bottom: "c" top: "c" }
+    layer { name: "prob" type: "Sigmoid" bottom: "c" top: "p" }
+    """
+    rng = np.random.RandomState(1)
+    net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    net.params["bn"] = {"mean": jnp.asarray(rng.randn(4).astype(np.float32) * 0.3),
+                        "var": jnp.asarray(1.0 + rng.rand(4).astype(np.float32)),
+                        "scale_factor": jnp.asarray([1.0], jnp.float32)}
+    x = rng.randn(2, 3, 8, 8).astype(np.float32)
+    ref = net.forward(data=x)
+    net.fold_bn()
+    net.cast_weights(jnp.float32)
+    fwd = net.make_forward()
+    outs = fwd(net.params, {"data": jnp.asarray(x.transpose(0, 2, 3, 1))})
+    assert set(outs) == {"p"}
+    np.testing.assert_allclose(
+        np.asarray(outs["p"]).transpose(0, 3, 1, 2), ref["p"], rtol=2e-5, atol=2e-5)

@@ -64,3 +64,14 @@ def test_cli_parsing():
     from deepcut_tpu.tools.cli import main
     with pytest.raises(SystemExit):
         main([])  # no verb
+
+
+def test_net_surgery_example_runs():
+    """examples/net_surgery.py (reference net_surgery.ipynb analog) must run
+    end-to-end: filter edit + fully-convolutional cast with exact parity."""
+    import subprocess, sys
+    proc = subprocess.run(
+        [sys.executable, "examples/net_surgery.py"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "surgery exact" in proc.stdout
