@@ -195,7 +195,8 @@ class Net:
 
         # Execution plan: (fn, name, bottoms, tops) per non-input layer.
         # Data layers become host-side batch producers; HDF5Output a sink.
-        from deepcut_tpu.data.layers import DATA_SOURCES, HDF5OutputSink
+        from deepcut_tpu.data.layers import (
+            DATA_SOURCES, HDF5OutputSink, PrefetchedSource, PREFETCHED_TYPES)
 
         self._plan: List[Tuple[Callable, LayerSpec]] = []
         self.data_sources: Dict[str, Any] = {}
@@ -205,7 +206,10 @@ class Net:
             if spec.type in ("Input", "Silence"):
                 continue
             if spec.type in DATA_SOURCES:
-                self.data_sources[spec.name] = DATA_SOURCES[spec.type](spec, phase)
+                src = DATA_SOURCES[spec.type](spec, phase)
+                if spec.type in PREFETCHED_TYPES:
+                    src = PrefetchedSource(src)
+                self.data_sources[spec.name] = src
                 continue
             if spec.type == "HDF5Output":
                 self.hdf5_sinks.append(HDF5OutputSink(spec))
@@ -499,9 +503,15 @@ class Net:
             raise ValueError("net has no loss layers")
         return total
 
-    def make_train_step(self, solver_cfg, *, lr_mults: bool = True):
+    def make_train_step(self, solver_cfg, *, lr_mults: bool = True, mesh=None):
         """Jitted (params, state, inputs) -> (params, state, loss): forward,
-        backward, and the Caffe update rule over this graph."""
+        backward, and the Caffe update rule over this graph.
+
+        mesh: optional jax.sharding.Mesh with a 'data' axis — inputs are
+        batch-sharded across it and XLA all-reduces the gradients over ICI
+        (the `caffe train -gpu 0,1,...` P2PSync analog, parallel.cpp:382-431,
+        for ANY prototxt model). Params/optimizer state stay replicated, like
+        the reference's per-GPU full copies."""
         from deepcut_tpu.solver import update_rules
 
         mults = None
@@ -544,7 +554,16 @@ class Net:
                 merged.update(jax.lax.stop_gradient(upd))
                 params2[name] = merged
             return params2, state2, loss
-        return jax.jit(step)
+        if mesh is None:
+            return jax.jit(step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P("data"))
+        # pytree-prefix shardings: replicate params/state, shard every input
+        # array's leading (batch) dim over 'data'.
+        return jax.jit(step, in_shardings=(repl, repl, batch_sh),
+                       out_shardings=(repl, repl, repl))
 
     def backward(self, **inputs) -> Dict[str, np.ndarray]:
         """Gradients of the total loss w.r.t. the net inputs (pycaffe
@@ -656,6 +675,22 @@ class Net:
         for sink in self.hdf5_sinks:
             sink.append([result[b] for b in sink.bottoms if b in result])
         return result
+
+    def debug_info(self, **inputs) -> Dict[str, float]:
+        """Per-blob mean-abs activation after a forward — the `debug_info:
+        true` stream of the reference (Net::ForwardDebugInfo, net.cpp:647-735)
+        as a returned dict instead of glog lines. Params are included as
+        'param:<layer>/<key>' entries."""
+        outs = self.forward(**inputs)
+        info: Dict[str, float] = {
+            nm: float(np.mean(np.abs(np.asarray(v, np.float32))))
+            for nm, v in outs.items()
+        }
+        for lname, entry in self.params.items():
+            for k, v in entry.items():
+                arr = np.asarray(v, np.float32)
+                info[f"param:{lname}/{k}"] = float(np.mean(np.abs(arr)))
+        return info
 
     def output_names(self) -> List[str]:
         """Blobs produced but never consumed (reference: net.cpp:267-274)."""

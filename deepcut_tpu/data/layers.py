@@ -304,6 +304,39 @@ class HDF5OutputSink:
                     f.create_dataset(name, data=np.concatenate(chunks))
 
 
+class PrefetchedSource(DataLayerSource):
+    """3-deep background prefetch ring around a batch producer (reference:
+    BasePrefetchingDataLayer / MultiBasePrefetchingDataLayer,
+    PREFETCH_COUNT=3, pose_layers.hpp:40). The producer thread starts lazily
+    on first use and keeps the accelerator fed while the previous step runs;
+    FIFO order preserves the underlying cursor semantics exactly."""
+
+    def __init__(self, src: DataLayerSource, depth: int = 3):
+        self.src = src
+        self.tops = list(src.tops)
+        self.depth = depth
+        self._pf = None
+
+    def next_batch(self) -> List[np.ndarray]:
+        if self._pf is None:
+            from deepcut_tpu.data.pipeline import Prefetcher
+
+            self._pf = Prefetcher(self.src.next_batch, depth=self.depth)
+        return self._pf.get()
+
+    def stop(self) -> None:
+        if self._pf is not None:
+            self._pf.stop()
+            self._pf = None
+
+    def __getattr__(self, name):  # delegate set_arrays etc.
+        return getattr(self.src, name)
+
+
+# MemoryData is the one reference data layer WITHOUT a prefetch thread
+# (arrays arrive synchronously via set_input_arrays).
+PREFETCHED_TYPES = {"Data", "ImageData", "WindowData", "HDF5Data", "PoseData"}
+
 DATA_SOURCES = {
     "Data": LMDBDataSource,
     "ImageData": ImageDataSource,

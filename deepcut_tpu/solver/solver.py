@@ -173,13 +173,19 @@ class GraphSolver:
     `caffe train` path for non-pose models (LeNet/CaffeNet-style recipes).
     """
 
-    def __init__(self, params: SolverParams, net, *,
+    def __init__(self, params: SolverParams, net, *, mesh=None,
                  handle_signals: bool = True, log: Callable[[str], None] = print):
+        """mesh: optional ('data', ...) Mesh — data-parallel training of any
+        prototxt model (the reference CLI's `-gpu 0,1,...`); the per-step
+        batch (from the data layers) is split across the 'data' axis, so
+        batch_size plays the reference's total-batch role here rather than
+        the per-device one (docs/multigpu.md:9-11 semantics differ)."""
         from deepcut_tpu.core.graph import Net
 
         self.params_cfg = params
         self.net = net if isinstance(net, Net) else Net(net, phase="TRAIN",
                                                         compute_dtype=None)
+        self.mesh = mesh
         self.log = log
         self.signals = SignalHandler(handle_signals)
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
@@ -196,7 +202,7 @@ class GraphSolver:
             for name, src in self.net.data_sources.items():
                 self.net._peeked[name] = [inputs[t] for t in src.tops]
             self.net._ensure_params(shapes)
-        self._step_fn = self.net.make_train_step(params.config)
+        self._step_fn = self.net.make_train_step(params.config, mesh=mesh)
         self.state = update_rules.init_state(params.config, self.net.params)
 
     @property

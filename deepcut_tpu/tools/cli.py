@@ -87,10 +87,15 @@ def train(args) -> int:
         if layer.get_str("type") == "PoseData":
             data_layer = layer
             break
+    mesh = None
+    if getattr(args, "mesh", 0):
+        # data-parallel training over N chips (the `-gpu 0,1,...` analog)
+        from deepcut_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh, spatial=1)
     if data_layer is None:
         # Generic graph training (LeNet/CaffeNet-style recipes).
         from deepcut_tpu.solver.solver import GraphSolver
-        solver = GraphSolver(sp, sp.train_net)
+        solver = GraphSolver(sp, sp.train_net, mesh=mesh)
         if args.snapshot:
             solver.restore(args.snapshot)
         solver.solve()
@@ -123,7 +128,8 @@ def train(args) -> int:
         base = init_params(jr.PRNGKey(0), model_cfg)
         base.update({k: v for k, v in net_params.items() if k in base})
         net_params = base
-    solver = PoseSolver(sp, model_cfg, prefetch.get, net_params=net_params)
+    solver = PoseSolver(sp, model_cfg, prefetch.get, net_params=net_params,
+                        mesh=mesh)
     if args.snapshot:
         solver.restore(args.snapshot)
     try:
@@ -315,6 +321,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-weights", default="", help="finetune from .caffemodel")
     p.add_argument("-batch_size", type=int, default=1)
     p.add_argument("-resnet", type=int, default=152, choices=(50, 101, 152))
+    p.add_argument("-mesh", type=int, default=0,
+                   help="data-parallel over N devices (the -gpu 0,1,.. analog)")
     p.set_defaults(fn=train)
 
     p = sub.add_parser("test", help="score a model")

@@ -269,3 +269,40 @@ def test_leveldb_deletion_and_overwrite_semantics(tmp_path):
         f.write("MANIFEST-000002\n")
     r = ldb.LevelDBReader(path)
     assert dict(r.items()) == {b"a": b"new"}
+
+
+def test_prefetched_source_preserves_order():
+    """Graph data layers run behind a 3-deep prefetch thread (reference
+    PREFETCH_COUNT=3); FIFO order must equal the synchronous cursor."""
+    from deepcut_tpu.data.layers import PrefetchedSource, DataLayerSource
+
+    class Counter(DataLayerSource):
+        tops = ["data"]
+
+        def __init__(self):
+            self.i = 0
+
+        def next_batch(self):
+            self.i += 1
+            return [np.full((1,), self.i, np.float32)]
+
+    src = PrefetchedSource(Counter())
+    got = [int(src.next_batch()[0][0]) for _ in range(10)]
+    assert got == list(range(1, 11))
+    src.stop()
+
+
+def test_net_debug_info():
+    from deepcut_tpu.core.graph import Net
+
+    proto = text_format.parse("""
+        input: "data"
+        input_shape { dim: 1 dim: 2 }
+        layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+                inner_product_param { num_output: 3
+                  weight_filler { type: "gaussian" std: 0.5 } } }
+        """)
+    net = Net(proto, compute_dtype=None)
+    info = net.debug_info(data=np.ones((1, 2), np.float32))
+    assert "ip" in info and info["ip"] >= 0
+    assert "param:ip/w" in info and info["param:ip/w"] > 0

@@ -105,3 +105,59 @@ print('MESH-ESTIMATOR-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=4)
     assert "MESH-ESTIMATOR-MATCH" in out
+
+
+def test_graph_solver_mesh_dp_matches_single_device(run_in_cpu_mesh):
+    """GraphSolver with a 4-device 'data' mesh must follow the exact same
+    trajectory as single-device training (gradient all-reduce == full-batch
+    gradient) — the generic-prototxt analog of P2PSync (parallel.cpp)."""
+    run_in_cpu_mesh("""
+import numpy as np
+import jax, jax.numpy as jnp
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+from deepcut_tpu.parallel.mesh import make_mesh
+
+PROTO = '''
+input: "data"
+input_shape { dim: 8 dim: 12 }
+input: "label"
+input_shape { dim: 8 }
+layer { name: "ip1" type: "InnerProduct" bottom: "data" top: "ip1"
+        inner_product_param { num_output: 16 weight_filler { type: "xavier" } } }
+layer { name: "relu1" type: "ReLU" bottom: "ip1" top: "ip1" }
+layer { name: "ip2" type: "InnerProduct" bottom: "ip1" top: "ip2"
+        inner_product_param { num_output: 4 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label" top: "loss" }
+'''
+SOLVER = '''
+base_lr: 0.1
+momentum: 0.9
+weight_decay: 0.0005
+lr_policy: "fixed"
+display: 0
+max_iter: 5
+snapshot: 0
+snapshot_prefix: "/tmp/dp"
+'''
+rng = np.random.RandomState(0)
+x = rng.randn(8, 12).astype(np.float32)
+y = rng.randint(0, 4, (8,)).astype(np.int32)
+
+def train(mesh):
+    net = Net(text_format.parse(PROTO), phase="TRAIN", compute_dtype=None)
+    sp = SolverParams.from_prototxt(SOLVER)
+    s = GraphSolver(sp, net, mesh=mesh, handle_signals=False, log=lambda *_: None)
+    s._next_inputs = lambda: {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+    s.solve()
+    return net.params
+
+p1 = train(None)
+p2 = train(make_mesh(4, spatial=1))
+for name in p1:
+    for k in p1[name]:
+        np.testing.assert_allclose(np.asarray(p1[name][k]), np.asarray(p2[name][k]),
+                                   rtol=1e-5, atol=1e-6)
+print("graph mesh DP == single device")
+""")
