@@ -179,6 +179,27 @@ class Net:
     def layer_dict(self):
         return OrderedDict((s.name, s) for _, s in self._net._plan)
 
+    @property
+    def _layer_names(self) -> List[str]:
+        """pycaffe's net._layer_names (aligned with net.layers)."""
+        return [s.name for _, s in self._net._plan]
+
+    @property
+    def layers(self):
+        """pycaffe's net.layers: per-layer view with .type and .blobs
+        (python/caffe/_caffe.cpp Layer bindings)."""
+
+        class _LayerView:
+            __slots__ = ("type", "blobs")
+
+            def __init__(self, typ, blobs):
+                self.type = typ
+                self.blobs = blobs
+
+        params = self.params
+        return [_LayerView(s.type, params.get(s.name, []))
+                for _, s in self._net._plan]
+
 
 def get_solver(path: str):
     from deepcut_tpu.solver.solver import SolverParams

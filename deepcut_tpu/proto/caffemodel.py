@@ -296,6 +296,35 @@ def load_hdf5_weights(path: str) -> "OrderedDict[str, List[Blob]]":
     return out
 
 
+def encode_solverstate(it: int, history: List[np.ndarray], *,
+                       learned_net: str = "", current_step: int = 0) -> bytes:
+    """SolverState binaryproto (caffe.proto:246-251): iter, learned_net,
+    repeated history BlobProto, current_step — the reference's
+    SGDSolver::SnapshotSolverStateToBinaryProto layout. `history` is a flat
+    blob list; deepcut_tpu writes solver-state pytree leaves in
+    jax.tree_util order (SGD/Nesterov/AdaGrad/RMSProp: history; AdaDelta:
+    history then update_sq; Adam: m then v — mirroring how the reference's
+    solvers stack their state into history_)."""
+    enc = wire.Encoder()
+    enc.varint(1, int(it))
+    if learned_net:
+        enc.string(2, learned_net)
+    for arr in history:
+        enc.message(3, _encode_blob(np.asarray(arr, np.float32)))
+    enc.varint(4, int(current_step))
+    return enc.tobytes()
+
+
+def decode_solverstate(buf: bytes) -> Tuple[int, str, List[Blob], int]:
+    """-> (iter, learned_net, history blobs, current_step)."""
+    fields = wire.decode(buf)
+    it = int(fields[1][0][1]) if 1 in fields else 0
+    learned = wire.read_string(fields[2][0]) if 2 in fields else ""
+    history = [_decode_blob(v) for _, v in fields.get(3, [])]
+    step = int(fields[4][0][1]) if 4 in fields else 0
+    return it, learned, history, step
+
+
 def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *,
                     net_name: str = "net", container: str = "v2") -> None:
     """Write the native pytree back to a reference-readable .caffemodel."""

@@ -44,6 +44,8 @@ class SolverParams:
     test_iter: int = 0
     random_seed: int = -1
     train_net: str = ""
+    test_net: str = ""
+    net: str = ""
 
     @staticmethod
     def from_prototxt(path_or_text: str) -> "SolverParams":
@@ -94,6 +96,9 @@ class SolverParams:
             test_iter=int(node.get_list("test_iter")[0]) if node.get_list("test_iter") else 0,
             random_seed=node.get_int("random_seed", -1),
             train_net=node.get_str("train_net", node.get_str("net", "")),
+            test_net=(str(node.get_list("test_net")[0])
+                      if node.get_list("test_net") else ""),
+            net=node.get_str("net", ""),
         )
 
 
@@ -204,6 +209,38 @@ class GraphSolver:
             self.net._ensure_params(shapes)
         self._step_fn = self.net.make_train_step(params.config, mesh=mesh)
         self.state = update_rules.init_state(params.config, self.net.params)
+        self._test_net = None
+
+    def _get_test_net(self):
+        """TEST-phase net sharing the live params (Solver::InitTestNets,
+        solver.cpp:104-191: test_net file, or the shared `net` with TEST
+        phase filtering)."""
+        if self._test_net is None:
+            from deepcut_tpu.core.graph import Net
+
+            source = self.params_cfg.test_net or self.params_cfg.net
+            if not source:
+                return None
+            self._test_net = Net(source, phase="TEST", compute_dtype=None)
+        self._test_net.params = self.net.params
+        self._test_net._params_ready = True
+        return self._test_net
+
+    def test(self) -> Dict[str, float]:
+        """Run test_iter forwards on the TEST net, averaging each output
+        blob (Solver::Test, solver.cpp:335-409)."""
+        tnet = self._get_test_net()
+        if tnet is None or self.params_cfg.test_iter <= 0:
+            return {}
+        sums: Dict[str, float] = {}
+        for _ in range(self.params_cfg.test_iter):
+            outs = tnet.forward()
+            for nm in tnet.output_names():
+                sums[nm] = sums.get(nm, 0.0) + float(np.mean(outs[nm]))
+        avgs = {nm: s / self.params_cfg.test_iter for nm, s in sums.items()}
+        for nm, v in avgs.items():
+            self.log(f"    Test net output: {nm} = {v:.6g}")
+        return avgs
 
     @property
     def iter(self) -> int:
@@ -229,6 +266,10 @@ class GraphSolver:
             if self.signals.stop_requested:
                 self.log(f"Optimization stopped by signal at iter {self.iter}.")
                 break
+            if cfg.test_interval and self.iter % cfg.test_interval == 0:
+                self.net.params = params
+                self.log(f"Iteration {self.iter}, Testing net")
+                self.test()
             params, self.state, loss = self._step_fn(params, self.state,
                                                      self._next_inputs())
             self._loss_window.append(float(loss))
@@ -247,18 +288,57 @@ class GraphSolver:
         if self.params_cfg.snapshot:
             self.snapshot()
 
+    _STATE_KEYS = ("history", "update_sq", "m", "v")
+
+    def _state_blobs(self) -> List[np.ndarray]:
+        blobs: List[np.ndarray] = []
+        for k in self._STATE_KEYS:
+            if k in self.state:
+                blobs.extend(np.asarray(x) for x in
+                             jax.tree_util.tree_leaves(self.state[k]))
+        return blobs
+
     def snapshot(self, export_caffemodel: bool = True) -> str:
+        """Dual-format snapshot, mirroring the reference's model/state split
+        (solver.cpp:411-469): native .npz plus reference-readable
+        .caffemodel + .solverstate binaryprotos."""
         path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
         save_checkpoint(path, self.net.params, self.state)
         self.log(f"Snapshotting to {path}")
         if export_caffemodel:
-            from deepcut_tpu.proto.caffemodel import save_caffemodel
-            cm = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.caffemodel"
-            save_caffemodel(cm, jax.tree_util.tree_map(np.asarray, self.net.params))
+            from deepcut_tpu.proto.caffemodel import (
+                save_caffemodel, encode_solverstate)
+            prefix = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}"
+            save_caffemodel(f"{prefix}.caffemodel",
+                            jax.tree_util.tree_map(np.asarray, self.net.params))
+            with open(f"{prefix}.solverstate", "wb") as f:
+                f.write(encode_solverstate(
+                    self.iter, self._state_blobs(),
+                    learned_net=f"{prefix}.caffemodel"))
         return path
 
     def restore(self, path: str) -> None:
-        self.net.params, self.state = load_checkpoint(path)
+        """Resume training. Dispatches on extension like Solver::Restore
+        (solver.cpp:471-481): `.solverstate` binaryproto (history blobs in
+        canonical pytree order + the learned_net caffemodel) or native .npz."""
+        if path.endswith(".solverstate"):
+            import os
+            from deepcut_tpu.proto.caffemodel import decode_solverstate
+
+            it, learned, blobs, _ = decode_solverstate(open(path, "rb").read())
+            idx = 0
+            for k in self._STATE_KEYS:
+                if k in self.state:
+                    leaves, treedef = jax.tree_util.tree_flatten(self.state[k])
+                    new = [jnp.asarray(b.data.reshape(np.asarray(l).shape))
+                           for b, l in zip(blobs[idx:idx + len(leaves)], leaves)]
+                    self.state[k] = jax.tree_util.tree_unflatten(treedef, new)
+                    idx += len(leaves)
+            self.state["iter"] = jnp.asarray(it, jnp.int32)
+            if learned and os.path.exists(learned):
+                self.net.load_weights(learned)
+        else:
+            self.net.params, self.state = load_checkpoint(path)
         self.log(f"Restored from {path} at iter {self.iter}")
 
 

@@ -191,3 +191,21 @@ def test_filter_consumer_contract():
     # the consumer computes real values on kept rows, exact zeros on dropped
     assert np.abs(out["ip"][:2]).min() > 0
     np.testing.assert_allclose(out["ip"][2:], 0.0)
+
+
+def test_compat_layers_view(tmp_path):
+    """pycaffe net.layers / net._layer_names parity (_caffe.cpp Layer)."""
+    proto_path = tmp_path / "n.prototxt"
+    proto_path.write_text("""
+    input: "data"
+    input_shape { dim: 1 dim: 4 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+            inner_product_param { num_output: 3
+              weight_filler { type: "gaussian" std: 0.1 } } }
+    layer { name: "relu" type: "ReLU" bottom: "ip" top: "ip" }
+    """)
+    net = caffe.Net(str(proto_path), caffe.TEST)
+    assert net._layer_names == ["ip", "relu"]
+    assert [l.type for l in net.layers] == ["InnerProduct", "ReLU"]
+    assert net.layers[0].blobs[0].data.shape == (3, 4)
+    assert net.layers[1].blobs == []

@@ -183,3 +183,122 @@ def test_solver_prototxt_parsing():
     assert sp.train_net == "train.prototxt"
     from deepcut_tpu.solver.update_rules import learning_rate
     assert float(learning_rate(sp.config, 300000)) == pytest.approx(0.002)
+
+
+def test_graph_solver_test_interval(tmp_path):
+    """Solver::Test parity (solver.cpp:335-409): at test_interval the TEST-
+    phase net (shared `net` file, phase filtering) runs test_iter forwards
+    with the LIVE params and logs averaged outputs (incl. Accuracy)."""
+    import numpy as np
+    from deepcut_tpu.data.lmdb_store import LMDBWriter
+    from deepcut_tpu.data.datum import Datum
+    from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+
+    db = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    with LMDBWriter(db) as w:
+        for i in range(24):
+            arr = np.zeros((1, 6, 6), np.uint8)
+            cls = i % 2
+            arr[0, :, :3 + 3 * cls] = 200  # trivially separable classes
+            w.put(f"{i:08d}".encode(), Datum.from_array(arr, cls).encode())
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(f"""
+name: "testable"
+layer {{ name: "data" type: "Data" top: "data" top: "label"
+        include {{ phase: TRAIN }}
+        transform_param {{ scale: 0.005 }}
+        data_param {{ source: "{db}" batch_size: 8 }} }}
+layer {{ name: "data" type: "Data" top: "data" top: "label"
+        include {{ phase: TEST }}
+        transform_param {{ scale: 0.005 }}
+        data_param {{ source: "{db}" batch_size: 8 }} }}
+layer {{ name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+        inner_product_param {{ num_output: 2
+          weight_filler {{ type: "gaussian" std: 0.1 }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+        top: "loss" }}
+layer {{ name: "accuracy" type: "Accuracy" bottom: "ip" bottom: "label"
+        top: "accuracy" include {{ phase: TEST }} }}
+""")
+    sp = SolverParams.from_prototxt(f"""
+        net: "{net_path}"
+        base_lr: 0.3
+        momentum: 0.9
+        lr_policy: "fixed"
+        display: 0
+        max_iter: 40
+        test_interval: 20
+        test_iter: 3
+        snapshot: 0
+        snapshot_prefix: "{tmp_path}/t"
+    """)
+    logs = []
+    solver = GraphSolver(sp, str(net_path), handle_signals=False,
+                         log=logs.append)
+    solver.solve()
+    final = solver.test()
+    assert "accuracy" in final and "loss" in final  # both phases emit loss
+    assert final["accuracy"] > 0.9, final
+    assert any("Testing net" in l for l in logs)
+    assert any("Test net output: accuracy" in l for l in logs)
+
+
+def test_graph_solver_solverstate_restore_equivalence(tmp_path):
+    """Snapshot/restore through the reference-format .solverstate +
+    .caffemodel pair must continue the exact trajectory (the reference's
+    test_gradient_based_solver.cpp snapshot-equivalence pattern)."""
+    import glob
+    import numpy as np
+    import jax.numpy as jnp
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+
+    PROTO = """
+    input: "data"
+    input_shape { dim: 6 dim: 5 }
+    input: "label"
+    input_shape { dim: 6 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+            inner_product_param { num_output: 3
+              weight_filler { type: "gaussian" std: 0.2 } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+    """
+    rng = np.random.RandomState(0)
+    x = rng.randn(6, 5).astype(np.float32)
+    y = rng.randint(0, 3, (6,)).astype(np.int32)
+
+    def make(max_iter):
+        sp = SolverParams.from_prototxt(f"""
+            base_lr: 0.2
+            momentum: 0.9
+            lr_policy: "fixed"
+            display: 0
+            max_iter: {max_iter}
+            snapshot: 0
+            snapshot_prefix: "{tmp_path}/ss"
+        """)
+        net = Net(text_format.parse(PROTO), phase="TRAIN", compute_dtype=None)
+        s = GraphSolver(sp, net, handle_signals=False, log=lambda *_: None)
+        s._next_inputs = lambda: {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+        return s
+
+    ref = make(6)
+    ref.solve()
+
+    a = make(3)
+    a.solve()
+    a.snapshot()
+    state_path = f"{tmp_path}/ss_iter_3.solverstate"
+    assert glob.glob(state_path)
+
+    b = make(6)
+    b.restore(state_path)
+    assert b.iter == 3
+    b.solve()
+    for name in ref.net.params:
+        for k in ref.net.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(b.net.params[name][k]),
+                np.asarray(ref.net.params[name][k]), rtol=1e-5, atol=1e-6)
