@@ -1,11 +1,10 @@
 """int8 serving mode: post-training quantization of the folded model.
 
-Measured on v5e: int8 wins ~1.4x on an isolated 3x3/512ch conv, but the
-END-TO-END graph runs at 2.75 ms/img vs bf16's 2.60 — the f32 inter-layer
-activations double HBM traffic and the requantize epilogues offset the MXU
-gain. bf16 therefore remains the default serving config; this path is for
-memory-constrained serving (4x smaller weights: 58 MB vs 233 MB) and as the
-substrate for a future int8-activations-end-to-end pipeline. Scheme:
+Honest delta-timed on v5e (round 2 — round 1's "int8 loses" used a broken
+timing harness and is retracted): **1.68-1.70 ms/img vs bf16's 2.16 at
+688/batch 4, a 24% end-to-end win**, plus 4x smaller weights (58 MB vs
+233 MB). bf16 stays the default because it is the reference-parity numerics;
+int8 is the throughput/memory mode (prob within ~0.1 abs of bf16). Scheme:
 
 - weights: per-output-channel absmax symmetric int8 (one-time);
 - activations: per-conv-input static scales from a calibration pass
@@ -101,6 +100,9 @@ def forward_int8(
 
     outs: Dict[str, jax.Array] = {}
 
+    # NOTE: unlike the bf16 path, head fusion (one 406-channel deconv+skip)
+    # was A/B-measured SLOWER here (2.07 vs 1.70 ms/img @688 batch 4), so the
+    # int8 heads stay per-head. See docs/performance.md.
     def head(name):
         p = qparams[f"res5c_up_{name}"]
         up = deconv2d(res5c.astype(cfg.compute_dtype), p["w"], p["b"], stride=2,

@@ -56,6 +56,11 @@ class DeeperCutConfig:
     naming: str = "numbered"
     bn_eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
+    # Rematerialise each residual block under autodiff (jax.checkpoint):
+    # activations are recomputed in the backward pass instead of stored,
+    # trading ~33% extra forward FLOPs for O(depth) -> O(1) per-stage
+    # activation memory — lifts the max trainable batch at 688px.
+    remat: bool = False
 
     @property
     def stride(self) -> int:
@@ -261,14 +266,17 @@ def forward(
         d = cfg.stage_dilations[stage]
         for bi, block in enumerate(_block_names(cfg, stage)):
             bs = s if bi == 0 else 1
-            if bi == 0:
-                shortcut = cbr(y, f"res{block}_branch1", stride=bs, act=False)
-            else:
-                shortcut = y
-            z = cbr(y, f"res{block}_branch2a", stride=bs)
-            z = cbr(z, f"res{block}_branch2b", pad=d, dilation=d)
-            z = cbr(z, f"res{block}_branch2c", act=False)
-            y = relu(shortcut + z)
+
+            def one_block(y, *, block=block, bi=bi, bs=bs, d=d):
+                if bi == 0:
+                    shortcut = cbr(y, f"res{block}_branch1", stride=bs, act=False)
+                else:
+                    shortcut = y
+                z = cbr(y, f"res{block}_branch2a", stride=bs)
+                z = cbr(z, f"res{block}_branch2b", pad=d, dilation=d)
+                z = cbr(z, f"res{block}_branch2c", act=False)
+                return relu(shortcut + z)
+            y = jax.checkpoint(one_block)(y) if cfg.remat else one_block(y)
             if block == skip_name:
                 taps["skip"] = y
     res5c = y

@@ -107,3 +107,29 @@ def test_grad_flows():
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0
     )
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_remat_forward_and_grads_equal():
+    """cfg.remat=True (jax.checkpoint per residual block) must not change
+    forward values or gradients — only the memory/FLOPs trade."""
+    import dataclasses
+
+    cfg = TINY
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = _rand_params(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 32, 3))
+    a = forward(params, x, cfg)
+    b = forward(params, x, cfg_r)
+    np.testing.assert_allclose(np.asarray(a["fc_pose"]), np.asarray(b["fc_pose"]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p, c):
+        return jnp.sum(forward(p, x, c)["fc_pose"] ** 2)
+
+    ga = jax.grad(lambda p: loss(p, cfg))(params)
+    gb = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for name in ga:
+        for k in ga[name]:
+            np.testing.assert_allclose(np.asarray(ga[name][k]),
+                                       np.asarray(gb[name][k]),
+                                       rtol=1e-5, atol=1e-6)
