@@ -530,19 +530,44 @@ class Net:
                 for name, entry in self.params.items()
             }
         base_rng = self._rng
+        iter_size = max(int(getattr(solver_cfg, "iter_size", 1)), 1)
 
-        def step(params, state, inputs):
-            # Fresh dropout/stochastic-pool masks every iteration,
-            # deterministic given (seed, iter) — survives snapshot/restore.
-            step_rng = jax.random.fold_in(base_rng, state["iter"])
-
+        def one_grad(params, inputs, step_rng):
             def loss_fn(p):
                 updates: Dict[str, Dict[str, jax.Array]] = {}
                 blobs = self._execute(p, inputs, collect_updates=updates,
                                       rng=step_rng)
                 return self.total_loss(blobs), updates
-            (loss, bn_updates), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        def step(params, state, inputs):
+            # Fresh dropout/stochastic-pool masks every iteration,
+            # deterministic given (seed, iter) — survives snapshot/restore.
+            base = jax.random.fold_in(base_rng, state["iter"])
+            if iter_size == 1:
+                (loss, bn_updates), grads = one_grad(params, inputs, base)
+            else:
+                # iter_size gradient accumulation (Solver::Step,
+                # solver.cpp:218-226): inputs carry a leading iter_size dim;
+                # grads SUM over micro-batches, the update rule divides by
+                # iter_size (preprocess_grads). BN moving averages take the
+                # last micro-batch's stats, like the reference's per-forward
+                # updates.
+                first = jax.tree_util.tree_map(lambda a: a[0], inputs)
+                (loss0, upd0), g0 = one_grad(params, first, base)
+
+                def body(carry, xs):
+                    gsum, losssum, _ = carry
+                    inp, micro = xs
+                    (loss, upd), g = one_grad(
+                        params, inp, jax.random.fold_in(base, micro))
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                    return (gsum, losssum + loss, upd), None
+                rest = jax.tree_util.tree_map(lambda a: a[1:], inputs)
+                (grads, loss_sum, bn_updates), _ = jax.lax.scan(
+                    body, (g0, loss0, upd0),
+                    (rest, jnp.arange(1, iter_size)))
+                loss = loss_sum / iter_size
             params2, state2 = update_rules.step(
                 solver_cfg, params, grads, state, lr_mults=mults,
                 decay_mults=dmults)

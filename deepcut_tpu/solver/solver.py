@@ -249,15 +249,24 @@ class GraphSolver:
     def _next_inputs(self):
         import jax.numpy as jnp
 
-        inputs: Dict[str, Any] = {}
-        self.net._pull_data_layers(inputs)
-        dev = {}
-        for nm, arr in inputs.items():
-            a = jnp.asarray(arr)
-            if a.ndim == 4:
-                a = jnp.transpose(a, (0, 2, 3, 1))
-            dev[nm] = a
-        return dev
+        def pull_one():
+            inputs: Dict[str, Any] = {}
+            self.net._pull_data_layers(inputs)
+            dev = {}
+            for nm, arr in inputs.items():
+                a = jnp.asarray(arr)
+                if a.ndim == 4:
+                    a = jnp.transpose(a, (0, 2, 3, 1))
+                dev[nm] = a
+            return dev
+
+        k = max(self.params_cfg.config.iter_size, 1)
+        if k == 1:
+            return pull_one()
+        # iter_size accumulation: stack k successive data-layer batches on a
+        # new leading axis; the train step scans over it summing gradients.
+        batches = [pull_one() for _ in range(k)]
+        return {nm: jnp.stack([b[nm] for b in batches]) for nm in batches[0]}
 
     def step(self, iters: int) -> None:
         cfg = self.params_cfg

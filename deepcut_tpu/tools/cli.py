@@ -96,6 +96,9 @@ def train(args) -> int:
         # Generic graph training (LeNet/CaffeNet-style recipes).
         from deepcut_tpu.solver.solver import GraphSolver
         solver = GraphSolver(sp, sp.train_net, mesh=mesh)
+        if args.weights:
+            # finetune: copy matching layers by name (CopyTrainedLayersFrom)
+            solver.net.load_weights(args.weights)
         if args.snapshot:
             solver.restore(args.snapshot)
         solver.solve()

@@ -75,3 +75,50 @@ def test_net_surgery_example_runs():
         capture_output=True, text=True, cwd="/root/repo", timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "surgery exact" in proc.stdout
+
+
+def test_cli_train_finetune_weights(tmp_path):
+    """`caffe train -weights x.caffemodel` must finetune the generic graph
+    path (tools/caffe.cpp:154-225 CopyTrainedLayersFrom semantics)."""
+    import numpy as np
+    import sys
+    from deepcut_tpu.data.lmdb_store import LMDBWriter
+    from deepcut_tpu.data.datum import Datum
+    from deepcut_tpu.proto.caffemodel import save_caffemodel, load_caffemodel
+
+    db = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    with LMDBWriter(db) as w:
+        for i in range(8):
+            w.put(f"{i:08d}".encode(),
+                  Datum.from_array(rng.randint(0, 255, (1, 4, 4), np.uint8),
+                                   i % 2).encode())
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(f"""
+layer {{ name: "data" type: "Data" top: "data" top: "label"
+        data_param {{ source: "{db}" batch_size: 4 }} }}
+layer {{ name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+        inner_product_param {{ num_output: 2
+          weight_filler {{ type: "constant" value: 0 }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }}
+""")
+    # pretrained weights: a distinctive nonzero matrix
+    w0 = np.full((2, 16), 0.625, np.float32)
+    weights_path = str(tmp_path / "pre.caffemodel")
+    save_caffemodel(weights_path, {"ip": {"w": w0, "b": np.zeros(2, np.float32)}})
+    solver_path = tmp_path / "solver.prototxt"
+    solver_path.write_text(f"""
+net: "{net_path}"
+base_lr: 0.0
+lr_policy: "fixed"
+display: 0
+max_iter: 1
+snapshot: 1
+snapshot_prefix: "{tmp_path}/ft"
+""")
+    from deepcut_tpu.tools import cli
+    assert cli.main(["train", "-solver", str(solver_path),
+                     "-weights", weights_path]) == 0
+    out = load_caffemodel(str(tmp_path / "ft_iter_1.caffemodel"))
+    # lr 0: weights must be exactly the finetune source, not the zero filler
+    np.testing.assert_allclose(out["ip"][0].data, w0)

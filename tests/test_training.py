@@ -302,3 +302,65 @@ def test_graph_solver_solverstate_restore_equivalence(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(b.net.params[name][k]),
                 np.asarray(ref.net.params[name][k]), rtol=1e-5, atol=1e-6)
+
+
+def test_graph_solver_iter_size_equivalence():
+    """test_gradient_based_solver.cpp's iter_size check: batch 2 with
+    iter_size 2 must follow the same trajectory as batch 4 with iter_size 1
+    when normalising losses don't depend on batch size (EuclideanLoss sums /
+    N, so use momentum-only SGD with matching effective lr scaling... we use
+    SoftmaxWithLoss whose VALID normaliser makes iter_size=2 average the two
+    half-batch means — matching Caffe's accumulate-then-divide exactly)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+
+    PROTO = """
+    input: "data"
+    input_shape { dim: %d dim: 5 }
+    input: "label"
+    input_shape { dim: %d }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+            inner_product_param { num_output: 3
+              weight_filler { type: "gaussian" std: 0.2 } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+    """
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 5).astype(np.float32)
+    y = rng.randint(0, 3, (4,)).astype(np.int32)
+
+    def run(batch, iter_size):
+        sp = SolverParams.from_prototxt(f"""
+            base_lr: 0.2
+            momentum: 0.9
+            lr_policy: "fixed"
+            iter_size: {iter_size}
+            display: 0
+            max_iter: 4
+            snapshot: 0
+            snapshot_prefix: "/tmp/is"
+        """)
+        net = Net(text_format.parse(PROTO % (batch, batch)), phase="TRAIN",
+                  compute_dtype=None)
+        s = GraphSolver(sp, net, handle_signals=False, log=lambda *_: None)
+        if iter_size == 1:
+            s._next_inputs = lambda: {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+        else:
+            s._next_inputs = lambda: {
+                "data": jnp.asarray(np.stack([x[:2], x[2:]])),
+                "label": jnp.asarray(np.stack([y[:2], y[2:]])),
+            }
+        s.solve()
+        return net.params
+
+    p_full = run(4, 1)
+    p_accum = run(2, 2)
+    # VALID-normalised softmax loss: full-batch grad = mean over 4; accum =
+    # (mean over first 2 + mean over last 2) / 2 — identical for equal halves
+    for name in p_full:
+        for k in p_full[name]:
+            np.testing.assert_allclose(np.asarray(p_accum[name][k]),
+                                       np.asarray(p_full[name][k]),
+                                       rtol=1e-5, atol=1e-6)
