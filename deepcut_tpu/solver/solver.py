@@ -383,13 +383,23 @@ class PoseSolver:
         self.state = update_rules.init_state(params.config, self.net_params)
         self.signals = SignalHandler(handle_signals)
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
-        self._grad_fn = jax.jit(
-            jax.value_and_grad(lambda p, b: loss_fn(p, b, model_cfg), has_aux=True)
-        )
         scfg = params.config
-        self._update_fn = jax.jit(
-            lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
-        )
+        vg = jax.value_and_grad(lambda p, b: loss_fn(p, b, model_cfg), has_aux=True)
+        upd = lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
+        if mesh is None:
+            self._grad_fn = jax.jit(vg)
+            self._update_fn = jax.jit(upd)
+        else:
+            # data-parallel: batch sharded over the 'data' axis, params and
+            # optimizer state replicated; XLA all-reduces the gradients over
+            # ICI (P2PSync analog, parallel.cpp:382-431).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            self._grad_fn = jax.jit(vg, in_shardings=(repl, bsh))
+            self._update_fn = jax.jit(upd, in_shardings=(repl, repl, repl),
+                                      out_shardings=(repl, repl))
 
     @property
     def iter(self) -> int:

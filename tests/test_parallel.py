@@ -161,3 +161,57 @@ for name in p1:
                                    rtol=1e-5, atol=1e-6)
 print("graph mesh DP == single device")
 """)
+
+
+def test_pose_solver_mesh_dp_matches_single_device(run_in_cpu_mesh):
+    """PoseSolver(mesh=...) must shard the batch and follow the single-device
+    trajectory exactly (it previously accepted mesh and silently ignored it)."""
+    run_in_cpu_mesh("""
+import numpy as np
+import jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig
+from deepcut_tpu.solver.solver import SolverParams, PoseSolver
+from deepcut_tpu.parallel.mesh import make_mesh
+
+cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(8, 8, 16, 16),
+                      num_joints=3, compute_dtype=jnp.float32)
+rng = np.random.RandomState(0)
+n, h, w = 4, 32, 32
+hh, ww, J = h // 8, w // 8, cfg.num_joints
+batch = {
+    "image": rng.randn(n, h, w, 3).astype(np.float32) * 0.3,
+    "part_score_targets": np.zeros((n, hh, ww, J), np.float32),
+    "part_score_weights": np.ones((n, hh, ww, J), np.float32),
+    "locref_targets": np.zeros((n, hh, ww, 2 * J), np.float32),
+    "locref_weights": np.ones((n, hh, ww, 2 * J), np.float32),
+    "pairwise_targets": np.zeros((n, hh, ww, cfg.pairwise_channels), np.float32),
+    "pairwise_weights": np.ones((n, hh, ww, cfg.pairwise_channels), np.float32),
+}
+batch["part_score_targets"][:, 1, 1, :] = 1.0
+
+SOLVER = '''
+base_lr: 0.02
+momentum: 0.9
+lr_policy: "fixed"
+display: 0
+max_iter: 3
+snapshot: 0
+snapshot_prefix: "/tmp/pdp"
+random_seed: 0
+'''
+
+def run(mesh):
+    sp = SolverParams.from_prototxt(SOLVER)
+    s = PoseSolver(sp, cfg, lambda: batch, mesh=mesh,
+                   handle_signals=False, log=lambda *_: None)
+    s.solve()
+    return s.net_params
+
+p1 = run(None)
+p2 = run(make_mesh(4, spatial=1))
+for name in p1:
+    for k in p1[name]:
+        np.testing.assert_allclose(np.asarray(p1[name][k]), np.asarray(p2[name][k]),
+                                   rtol=1e-5, atol=1e-6)
+print("pose solver mesh DP == single device")
+""")
