@@ -66,13 +66,31 @@ def forward_int8(
     act_scales: Dict[str, jax.Array],
     x: jax.Array,
     cfg: DeeperCutConfig = DeeperCutConfig(),
+    *,
+    int8_residual: bool = False,
 ) -> Dict[str, jax.Array]:
-    """Quantized inference forward. x: (N,H,W,3) float (mean-subtracted)."""
+    """Quantized inference forward. x: (N,H,W,3) float (mean-subtracted).
+
+    int8_residual=True additionally keeps the RESIDUAL STREAM int8-resident:
+    each block boundary is quantized once (static per-boundary scale from
+    calibration, key "res{block}#out") and consumed as int8 by the next
+    block's convs and by the identity shortcut — the inter-block activation
+    tensors cost 1 byte/elem of HBM instead of 4."""
+
+    def quant(xf, s):
+        return jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
 
     def qconv(xf, name, *, stride=1, pad=0, dilation=1, act=True):
         p = qparams[name]
         s_x = act_scales[name]
-        x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        acc = _conv_i8(quant(xf, s_x), p["w_q"], stride=stride, pad=pad,
+                       dilation=dilation)
+        y = acc.astype(jnp.float32) * (s_x * p["w_scale"]) + p["b"]
+        return relu(y) if act else y
+
+    def qconv_pre(x_q, s_x, name, *, stride=1, pad=0, dilation=1, act=True):
+        """Conv on an already-quantized input at scale s_x."""
+        p = qparams[name]
         acc = _conv_i8(x_q, p["w_q"], stride=stride, pad=pad, dilation=dilation)
         y = acc.astype(jnp.float32) * (s_x * p["w_scale"]) + p["b"]
         return relu(y) if act else y
@@ -81,22 +99,47 @@ def forward_int8(
     y = max_pool2d(y, kernel=3, stride=2)
     skip_name = _skip_block(cfg)
     skip = None
-    for stage in range(4):
-        s = cfg.stage_strides[stage]
-        d = cfg.stage_dilations[stage]
-        for bi, block in enumerate(_block_names(cfg, stage)):
-            bs = s if bi == 0 else 1
-            if bi == 0:
-                shortcut = qconv(y, f"res{block}_branch1", stride=bs, act=False)
-            else:
-                shortcut = y
-            z = qconv(y, f"res{block}_branch2a", stride=bs)
-            z = qconv(z, f"res{block}_branch2b", pad=d, dilation=d)
-            z = qconv(z, f"res{block}_branch2c", act=False)
-            y = relu(shortcut + z)
-            if block == skip_name:
-                skip = y
-    res5c = y
+    if not int8_residual:
+        for stage in range(4):
+            s = cfg.stage_strides[stage]
+            d = cfg.stage_dilations[stage]
+            for bi, block in enumerate(_block_names(cfg, stage)):
+                bs = s if bi == 0 else 1
+                if bi == 0:
+                    shortcut = qconv(y, f"res{block}_branch1", stride=bs, act=False)
+                else:
+                    shortcut = y
+                z = qconv(y, f"res{block}_branch2a", stride=bs)
+                z = qconv(z, f"res{block}_branch2b", pad=d, dilation=d)
+                z = qconv(z, f"res{block}_branch2c", act=False)
+                y = relu(shortcut + z)
+                if block == skip_name:
+                    skip = y
+        res5c = y
+    else:
+        y_q, s_y = None, None  # int8 stream (post first quantization)
+        for stage in range(4):
+            s = cfg.stage_strides[stage]
+            d = cfg.stage_dilations[stage]
+            for bi, block in enumerate(_block_names(cfg, stage)):
+                bs = s if bi == 0 else 1
+                if y_q is None:  # stem output: quantize once
+                    s_y = act_scales[f"res{block}_branch2a"]
+                    y_q = quant(y, s_y)
+                if bi == 0:
+                    shortcut = qconv_pre(y_q, s_y, f"res{block}_branch1",
+                                         stride=bs, act=False)
+                else:
+                    shortcut = y_q.astype(jnp.float32) * s_y
+                z = qconv_pre(y_q, s_y, f"res{block}_branch2a", stride=bs)
+                z = qconv(z, f"res{block}_branch2b", pad=d, dilation=d)
+                z = qconv(z, f"res{block}_branch2c", act=False)
+                yf = relu(shortcut + z)
+                s_y = act_scales[f"res{block}#out"]
+                y_q = quant(yf, s_y)
+                if block == skip_name:
+                    skip = y_q.astype(jnp.float32) * s_y
+        res5c = y_q.astype(jnp.float32) * s_y
 
     outs: Dict[str, jax.Array] = {}
 
@@ -166,6 +209,7 @@ def calibrate_act_scales(
             z = cbr(z, f"res{block}_branch2b", pad=d, dilation=d)
             z = cbr(z, f"res{block}_branch2c", act=False)
             y = relu(shortcut + z)
+            record(f"res{block}#out", y)  # int8-resident stream boundary
             if block == skip_name:
                 skip = y
     for headname in ("pose",) + (("locref",) if cfg.location_refinement else ()) \

