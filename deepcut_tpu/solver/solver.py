@@ -40,6 +40,7 @@ class SolverParams:
     average_loss: int = 1
     snapshot: int = 0
     snapshot_prefix: str = "snapshot"
+    snapshot_format: str = "BINARYPROTO"  # or HDF5 (caffe.proto:199)
     test_interval: int = 0
     test_iter: int = 0
     random_seed: int = -1
@@ -92,6 +93,7 @@ class SolverParams:
             average_loss=node.get_int("average_loss", 1),
             snapshot=node.get_int("snapshot", 0),
             snapshot_prefix=node.get_str("snapshot_prefix", "snapshot"),
+            snapshot_format=node.get_str("snapshot_format", "BINARYPROTO"),
             test_interval=node.get_int("test_interval", 0),
             test_iter=int(node.get_list("test_iter")[0]) if node.get_list("test_iter") else 0,
             random_seed=node.get_int("random_seed", -1),
@@ -316,14 +318,18 @@ class GraphSolver:
         self.log(f"Snapshotting to {path}")
         if export_caffemodel:
             from deepcut_tpu.proto.caffemodel import (
-                save_caffemodel, encode_solverstate)
+                save_caffemodel, save_hdf5_weights, encode_solverstate)
             prefix = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}"
-            save_caffemodel(f"{prefix}.caffemodel",
-                            jax.tree_util.tree_map(np.asarray, self.net.params))
+            host_params = jax.tree_util.tree_map(np.asarray, self.net.params)
+            if self.params_cfg.snapshot_format.upper() == "HDF5":
+                model_path = f"{prefix}.caffemodel.h5"
+                save_hdf5_weights(model_path, host_params)
+            else:
+                model_path = f"{prefix}.caffemodel"
+                save_caffemodel(model_path, host_params)
             with open(f"{prefix}.solverstate", "wb") as f:
                 f.write(encode_solverstate(
-                    self.iter, self._state_blobs(),
-                    learned_net=f"{prefix}.caffemodel"))
+                    self.iter, self._state_blobs(), learned_net=model_path))
         return path
 
     def restore(self, path: str) -> None:

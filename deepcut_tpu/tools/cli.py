@@ -299,6 +299,20 @@ def upgrade_net_proto(args) -> int:
     return 0
 
 
+def upgrade_net_proto_binary(args) -> int:
+    """upgrade_net_proto_binary analog: legacy binary NetParameter
+    (V0 nested / V1 layers containers) -> modern V2 binary."""
+    from collections import OrderedDict
+    from deepcut_tpu.proto.caffemodel import load_caffemodel, encode_netparameter
+
+    blobs = load_caffemodel(args.input)  # decodes V0/V1/V2 transparently
+    layers = OrderedDict((name, [b.data for b in bs]) for name, bs in blobs.items())
+    with open(args.output, "wb") as f:
+        f.write(encode_netparameter(layers))
+    print(f"wrote {args.output} ({len(layers)} layers)")
+    return 0
+
+
 def upgrade_solver_proto(args) -> int:
     """upgrade_solver_proto_text analog (tools/upgrade_solver_proto_text.cpp):
     legacy `solver_type: ENUM` -> `type: "Name"`."""
@@ -359,6 +373,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("input")
     p.add_argument("output")
     p.set_defaults(fn=upgrade_net_proto)
+
+    p = sub.add_parser("upgrade_net_proto_binary",
+                       help="legacy binary NetParameter -> V2 binary")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.set_defaults(fn=upgrade_net_proto_binary)
 
     p = sub.add_parser("upgrade_solver_proto",
                        help="legacy solver_type enum -> type string")

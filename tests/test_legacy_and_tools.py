@@ -235,3 +235,70 @@ def test_upgrade_solver_proto_cli(tmp_path):
     src.write_text("base_lr: 0.01\nsolver_type: 4\n")
     assert cli.main(["upgrade_solver_proto", str(src), str(dst)]) == 0
     assert text_format.parse_file(str(dst)).get_str("type") == "AdaDelta"
+
+
+def test_upgrade_net_proto_binary_cli(tmp_path):
+    """V0-container binary caffemodel -> V2 binary via the CLI verb
+    (tools/upgrade_net_proto_binary.cpp analog)."""
+    from collections import OrderedDict
+    from deepcut_tpu.proto.caffemodel import (
+        encode_netparameter, decode_netparameter)
+    from deepcut_tpu.tools import cli
+
+    rng = np.random.RandomState(0)
+    layers = OrderedDict()
+    layers["conv"] = [rng.randn(4, 3, 3, 3).astype(np.float32),
+                      rng.randn(4).astype(np.float32)]
+    layers["ip"] = [rng.randn(5, 36).astype(np.float32)]
+    src = tmp_path / "old.caffemodel"
+    src.write_bytes(encode_netparameter(layers, container="v0"))
+    dst = tmp_path / "new.caffemodel"
+    assert cli.main(["upgrade_net_proto_binary", str(src), str(dst)]) == 0
+    out = decode_netparameter(dst.read_bytes())
+    assert list(out) == ["conv", "ip"]
+    np.testing.assert_array_equal(out["conv"][0].data.reshape(4, 3, 3, 3),
+                                  layers["conv"][0])
+
+
+def test_graph_solver_hdf5_snapshot_format(tmp_path):
+    """solver `snapshot_format: HDF5` writes .caffemodel.h5 (Net::ToHDF5
+    layout) and the solverstate names it as learned_net."""
+    import jax.numpy as jnp
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+    from deepcut_tpu.proto.caffemodel import load_hdf5_weights, decode_solverstate
+
+    PROTO = """
+    input: "data"
+    input_shape { dim: 2 dim: 4 }
+    input: "label"
+    input_shape { dim: 2 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+            inner_product_param { num_output: 2
+              weight_filler { type: "gaussian" std: 0.2 } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+    """
+    sp = SolverParams.from_prototxt(f"""
+        base_lr: 0.1
+        lr_policy: "fixed"
+        display: 0
+        max_iter: 2
+        snapshot: 0
+        snapshot_prefix: "{tmp_path}/h5s"
+        snapshot_format: HDF5
+    """)
+    net = Net(text_format.parse(PROTO), phase="TRAIN", compute_dtype=None)
+    s = GraphSolver(sp, net, handle_signals=False, log=lambda *_: None)
+    x = np.random.RandomState(0).randn(2, 4).astype(np.float32)
+    y = np.array([0, 1], np.int32)
+    s._next_inputs = lambda: {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+    s.solve()
+    s.snapshot()
+    h5 = f"{tmp_path}/h5s_iter_2.caffemodel.h5"
+    blobs = load_hdf5_weights(h5)
+    np.testing.assert_allclose(blobs["ip"][0].data,
+                               np.asarray(net.params["ip"]["w"]), rtol=1e-6)
+    _, learned, _, _ = decode_solverstate(
+        open(f"{tmp_path}/h5s_iter_2.solverstate", "rb").read())
+    assert learned.endswith(".caffemodel.h5")
