@@ -353,7 +353,10 @@ class Net:
                     f2, s2 = plan[j]
                     if (s2.type == "BatchNorm" and not getattr(f2, "bn_train", False)
                             and s2.bottoms == [top] and s2.tops == [top]
-                            and self.params.get(s2.name)):
+                            and self.params.get(s2.name)
+                            # weight-shared convs alias another layer's blobs;
+                            # folding would corrupt the owner — leave unfolded
+                            and "w" in self.params.get(spec.name, {})):
                         bn_item = (f2, s2)
                         j += 1
                         if j < len(plan):
@@ -584,9 +587,13 @@ class Net:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())
-        batch_sh = NamedSharding(mesh, P("data"))
-        # pytree-prefix shardings: replicate params/state, shard every input
-        # array's leading (batch) dim over 'data'.
+        # pytree-prefix shardings: replicate params/state, shard the batch
+        # dim over 'data' — with iter_size accumulation the batch dim sits
+        # BEHIND the leading iter_size axis.
+        if iter_size == 1:
+            batch_sh = NamedSharding(mesh, P("data"))
+        else:
+            batch_sh = NamedSharding(mesh, P(None, "data"))
         return jax.jit(step, in_shardings=(repl, repl, batch_sh),
                        out_shardings=(repl, repl, repl))
 

@@ -330,6 +330,8 @@ class PrefetchedSource(DataLayerSource):
             self._pf = None
 
     def __getattr__(self, name):  # delegate set_arrays etc.
+        if name == "src":  # avoid recursion before __init__ sets it
+            raise AttributeError(name)
         return getattr(self.src, name)
 
 

@@ -215,3 +215,63 @@ for name in p1:
                                    rtol=1e-5, atol=1e-6)
 print("pose solver mesh DP == single device")
 """)
+
+
+def test_graph_solver_mesh_with_iter_size(run_in_cpu_mesh):
+    """mesh DP combined with iter_size accumulation: the batch dim (axis 1
+    behind the iter_size axis) must be the sharded one; trajectory equals
+    the unsharded, un-accumulated full-batch run."""
+    run_in_cpu_mesh("""
+import numpy as np
+import jax, jax.numpy as jnp
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+from deepcut_tpu.parallel.mesh import make_mesh
+
+PROTO = '''
+input: "data"
+input_shape { dim: %d dim: 5 }
+input: "label"
+input_shape { dim: %d }
+layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+        inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+'''
+rng = np.random.RandomState(0)
+x = rng.randn(8, 5).astype(np.float32)
+y = rng.randint(0, 3, (8,)).astype(np.int32)
+
+def run(batch, iter_size, mesh):
+    sp = SolverParams.from_prototxt(f'''
+        base_lr: 0.2
+        momentum: 0.9
+        lr_policy: "fixed"
+        iter_size: {iter_size}
+        display: 0
+        max_iter: 3
+        snapshot: 0
+        snapshot_prefix: "/tmp/mis"
+    ''')
+    net = Net(text_format.parse(PROTO % (batch, batch)), phase="TRAIN",
+              compute_dtype=None)
+    s = GraphSolver(sp, net, mesh=mesh, handle_signals=False, log=lambda *_: None)
+    if iter_size == 1:
+        s._next_inputs = lambda: {"data": jnp.asarray(x), "label": jnp.asarray(y)}
+    else:
+        s._next_inputs = lambda: {
+            "data": jnp.asarray(np.stack([x[:4], x[4:]])),
+            "label": jnp.asarray(np.stack([y[:4], y[4:]])),
+        }
+    s.solve()
+    return net.params
+
+p_ref = run(8, 1, None)
+p_mis = run(4, 2, make_mesh(4, spatial=1))
+for name in p_ref:
+    for k in p_ref[name]:
+        np.testing.assert_allclose(np.asarray(p_mis[name][k]),
+                                   np.asarray(p_ref[name][k]),
+                                   rtol=1e-5, atol=1e-6)
+print("mesh + iter_size == full batch")
+""")
