@@ -167,10 +167,16 @@ class Net:
         self._net.load_weights(weights_path)
 
     def save(self, path: str) -> None:
+        """Write weights; extension dispatch like Net::Snapshot — `.h5` /
+        `.hdf5` uses the Caffe HDF5 layout (net.cpp:948-980), else binary
+        NetParameter."""
         import jax
-        from deepcut_tpu.proto.caffemodel import save_caffemodel
-        save_caffemodel(path, jax.tree_util.tree_map(np.asarray, self._net.params),
-                        net_name=self._net.name)
+        from deepcut_tpu.proto.caffemodel import save_caffemodel, save_hdf5_weights
+        host = jax.tree_util.tree_map(np.asarray, self._net.params)
+        if path.endswith((".h5", ".hdf5")):
+            save_hdf5_weights(path, host)
+        else:
+            save_caffemodel(path, host, net_name=self._net.name)
 
     def reshape(self) -> None:  # shape inference is automatic under jit
         pass

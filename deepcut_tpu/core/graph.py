@@ -404,13 +404,92 @@ class Net:
         each step reads them from HBM at 2 bytes instead of casting f32 per
         forward. 1-D blobs (biases, BN stats) stay f32 — they ride the f32
         epilogue. Serving transform; pair with fold_bn()."""
-        self.params = {
-            name: {k: (jnp.asarray(v).astype(dtype)
-                       if getattr(v, "ndim", 0) >= 2 else jnp.asarray(v))
-                   for k, v in entry.items()}
-            for name, entry in self.params.items()
-        }
+        def cast(v):
+            a = jnp.asarray(v)
+            if a.ndim >= 2 and jnp.issubdtype(a.dtype, jnp.floating):
+                return a.astype(dtype)  # int8 w_q etc. stay as-is
+            return a
+        self.params = {name: {k: cast(v) for k, v in entry.items()}
+                       for name, entry in self.params.items()}
         self._jitted.clear()
+
+    def quantize_int8(self, **calibration_inputs) -> int:
+        """Post-training int8 quantization of the Convolution layers (the
+        graph-engine version of models/quantize.py; the reference has no
+        quantized path at all). Run fold_bn() first for best results.
+
+        calibration_inputs: one representative batch, NCHW numpy like
+        forward(). One eager pass records each conv input's absmax -> static
+        activation scales (static so XLA fuses the quantize into the
+        producer's epilogue); weights get per-output-channel symmetric int8.
+        Grouped convolutions and parameter-less/shared convs stay float.
+        Returns the number of quantized layers.
+        """
+        from deepcut_tpu.models.quantize import _conv_i8
+
+        dev_inputs = {}
+        for nm, arr in calibration_inputs.items():
+            a = jnp.asarray(arr)
+            dev_inputs[nm] = jnp.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
+        if not self.params:
+            self._ensure_params({nm: tuple(v.shape) for nm, v in dev_inputs.items()})
+
+        # 1. eager calibration pass, recording conv input absmax
+        blobs: Dict[str, jax.Array] = dict(dev_inputs)
+        act_scales: Dict[str, float] = {}
+        for fn, spec in self._plan:
+            bottoms = [blobs[b] for b in spec.bottoms]
+            geom = (L.conv_geometry(spec.param("convolution_param"))
+                    if spec.type == "Convolution" else None)
+            if (geom is not None
+                    and "w" in self.params.get(spec.name, {})
+                    and geom["groups"] == 1
+                    # _conv_i8 takes square geometry; rectangular stays float
+                    and geom["stride"][0] == geom["stride"][1]
+                    and geom["pad"][0] == geom["pad"][1]
+                    and geom["dilation"][0] == geom["dilation"][1]):
+                amax = float(jnp.max(jnp.abs(bottoms[0].astype(jnp.float32))))
+                act_scales[spec.name] = max(amax / 127.0, 1e-8)
+            entry = self._entry(self.params, spec.name)
+            outs = (fn(entry, bottoms, rng=None)
+                    if getattr(fn, "needs_rng", False) else fn(entry, bottoms))
+            if not isinstance(outs, (list, tuple)):
+                outs = [outs]
+            for top_name, val in zip(spec.tops, outs):
+                blobs[top_name] = val
+
+        # 2. swap quantized layers into the plan
+        new_plan: List[Tuple[Callable, LayerSpec]] = []
+        for fn, spec in self._plan:
+            if spec.name not in act_scales:
+                new_plan.append((fn, spec))
+                continue
+            g = L.conv_geometry(spec.param("convolution_param"))
+            p = self.params[spec.name]
+            w = np.asarray(p["w"], np.float32)
+            s_w = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+            s_w[s_w == 0] = 1.0
+            self.params[spec.name] = {
+                "w_q": jnp.asarray(np.clip(np.round(w / s_w), -127, 127)
+                                   .astype(np.int8)),
+                "w_scale": jnp.asarray(s_w, jnp.float32),
+                "b": jnp.asarray(np.asarray(p["b"], np.float32) if "b" in p
+                                 else np.zeros(w.shape[-1], np.float32)),
+                "act_scale": jnp.asarray(act_scales[spec.name], jnp.float32),
+            }
+
+            def qfn(p, bottoms, g=g):
+                x = bottoms[0]
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["act_scale"]),
+                              -127, 127).astype(jnp.int8)
+                acc = _conv_i8(xq, p["w_q"], stride=g["stride"][0],
+                               pad=g["pad"][0], dilation=g["dilation"][0])
+                y = acc.astype(jnp.float32) * (p["act_scale"] * p["w_scale"]) + p["b"]
+                return y.astype(x.dtype)
+            new_plan.append((qfn, spec))
+        self._plan = new_plan
+        self._jitted.clear()
+        return len(act_scales)
 
     def make_forward(self, outputs: Optional[Sequence[str]] = None):
         """Jitted serving forward: (params, {name: NHWC device arrays}) ->

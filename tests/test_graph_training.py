@@ -355,3 +355,42 @@ def test_graph_make_forward_serving_path():
     assert set(outs) == {"p"}
     np.testing.assert_allclose(
         np.asarray(outs["p"]).transpose(0, 3, 1, 2), ref["p"], rtol=2e-5, atol=2e-5)
+
+
+def test_graph_quantize_int8_serving():
+    """Net.quantize_int8: post-training int8 for any prototxt — outputs stay
+    close to float, conv params become w_q/w_scale/act_scale, non-conv and
+    grouped layers stay float."""
+    proto = """
+    input: "data"
+    input_shape { dim: 2 dim: 3 dim: 12 dim: 12 }
+    layer { name: "conv" type: "Convolution" bottom: "data" top: "c"
+            convolution_param { num_output: 8 kernel_size: 3 pad: 1
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "bn" type: "BatchNorm" bottom: "c" top: "c" }
+    layer { name: "sc" type: "Scale" bottom: "c" top: "c"
+            scale_param { bias_term: true } }
+    layer { name: "relu" type: "ReLU" bottom: "c" top: "c" }
+    layer { name: "conv2" type: "Convolution" bottom: "c" top: "d"
+            convolution_param { num_output: 4 kernel_size: 1 bias_term: true
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "gconv" type: "Convolution" bottom: "d" top: "e"
+            convolution_param { num_output: 4 kernel_size: 1 group: 2
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    """
+    rng = np.random.RandomState(0)
+    net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    x = (rng.randn(2, 3, 12, 12) * 2).astype(np.float32)
+    ref = net.forward(data=x)
+    net.fold_bn()
+    n = net.quantize_int8(data=x)
+    assert n == 2  # conv + conv2; gconv is grouped -> stays float
+    assert set(net.params["conv"]) == {"w_q", "w_scale", "b", "act_scale"}
+    assert net.params["conv"]["w_q"].dtype == jnp.int8
+    assert "w" in net.params["gconv"]
+    out = net.forward(data=x)
+    # int8 absmax quantization on a 2-conv stack: a few percent of range
+    scale_c = np.abs(ref["c"]).max()
+    scale_e = np.abs(ref["e"]).max()
+    assert np.abs(out["c"] - ref["c"]).max() < 0.05 * scale_c
+    assert np.abs(out["e"] - ref["e"]).max() < 0.10 * scale_e
