@@ -480,7 +480,8 @@ class Net:
 
             def qfn(p, bottoms, g=g):
                 x = bottoms[0]
-                xq = jnp.clip(jnp.round(x.astype(jnp.float32) / p["act_scale"]),
+                xq = jnp.clip(jnp.round(x.astype(jnp.float32)
+                                        * (1.0 / p["act_scale"])),
                               -127, 127).astype(jnp.int8)
                 acc = _conv_i8(xq, p["w_q"], stride=g["stride"][0],
                                pad=g["pad"][0], dilation=g["dilation"][0])

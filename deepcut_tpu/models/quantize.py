@@ -81,7 +81,9 @@ def forward_int8(
     # vs the f32 intermediates of round 1 (A/B: 1.72 -> ~1.45 ms/img @688 b4)
 
     def quant(xf, s):
-        return jnp.clip(jnp.round(xf.astype(jnp.float32) / s),
+        # multiply by the (scalar, hoisted) reciprocal instead of a
+        # per-element divide: ~4% end-to-end (A/B'd on v5e)
+        return jnp.clip(jnp.round(xf.astype(jnp.float32) * (1.0 / s)),
                         -127, 127).astype(jnp.int8)
 
     def qconv(xf, name, *, stride=1, pad=0, dilation=1, act=True):
