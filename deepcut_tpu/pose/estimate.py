@@ -88,10 +88,13 @@ def preprocess_on_device(image_u8: jax.Array, out_h: int, out_w: int,
     if (out_h, out_w) != (ph, pw):
         Ah = jnp.asarray(_bilinear_matrix(ph, out_h))
         Aw = jnp.asarray(_bilinear_matrix(pw, out_w))
-        img = jnp.einsum("oh,hwc->owc", Ah, img)
+        # The reference resizes via PIL on uint8 (scipy.misc.imresize): PIL
+        # runs a horizontal pass, rounds to uint8, then a vertical pass.
+        # Emulating the INTERMEDIATE rounding too cuts the mean deviation
+        # 2-4x vs rounding once at the end (measured vs Pillow).
         img = jnp.einsum("ow,hwc->hoc", Aw, img)
-        # The reference resizes via PIL on uint8 (scipy.misc.imresize), which
-        # rounds to integers; replicate so scale != 1 stays close.
+        img = jnp.clip(jnp.round(img), 0.0, 255.0)
+        img = jnp.einsum("oh,hwc->owc", Ah, img)
         img = jnp.clip(jnp.round(img), 0.0, 255.0)
     img = img - jnp.asarray(MEAN_BGR, jnp.float32)
     ch = min(canvas_h, out_h)

@@ -71,3 +71,25 @@ def test_multiscale_averaging():
     import jax.numpy as jnp
     ref = np.asarray(decode_pose(jnp.asarray(sm), jnp.asarray(loc)))
     np.testing.assert_allclose(pose1, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_preprocess_resize_close_to_pil():
+    """scale != 1 resize parity vs the reference's PIL-backed imresize
+    (estimate_pose.py:92 scipy.misc.imresize): per-pixel within 1 uint8 ulp,
+    mean deviation < 0.1 (two-pass rounding emulation)."""
+    from PIL import Image
+    import jax.numpy as jnp
+    from deepcut_tpu.pose.estimate import preprocess_on_device, PAD_SIZE, MEAN_BGR
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (96, 72, 3), np.uint8)
+    scale = 0.8
+    padded = np.pad(img, ((0, PAD_SIZE), (0, PAD_SIZE), (0, 0)), mode="edge")
+    ph, pw = padded.shape[:2]
+    oh, ow = int(round(ph * scale)), int(round(pw * scale))
+    ref = np.asarray(Image.fromarray(padded).resize((ow, oh), Image.BILINEAR),
+                     np.float32) - np.asarray(MEAN_BGR, np.float32)
+    canvas = np.asarray(preprocess_on_device(jnp.asarray(img), oh, ow, oh, ow))[0]
+    diff = np.abs(canvas - ref)
+    assert diff.max() <= 1.0 + 1e-5, diff.max()
+    assert diff.mean() < 0.1, diff.mean()
