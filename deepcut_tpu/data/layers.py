@@ -34,7 +34,18 @@ class LMDBDataSource(DataLayerSource):
 
     def __init__(self, spec, phase: str):
         dp = spec.param("data_param")
-        backend = str(dp.get_str("backend", "LMDB")).upper()
+        backend = str(dp.get_str("backend", "")).upper()
+        if not backend:
+            # caffe.proto:632 defaults DataParameter.backend to LEVELDB;
+            # detect from the directory so either store opens without an
+            # explicit field (a LevelDB dir has CURRENT, an LMDB a data.mdb)
+            src = dp.get_str("source", "")
+            if os.path.exists(os.path.join(src, "CURRENT")):
+                backend = "LEVELDB"
+            elif os.path.exists(os.path.join(src, "data.mdb")) or os.path.isfile(src):
+                backend = "LMDB"
+            else:
+                backend = "LEVELDB"  # the reference default
         if backend == "LEVELDB":
             from deepcut_tpu.data.leveldb_store import LevelDBReader
 
