@@ -215,6 +215,43 @@ class PoseEstimator:
                 best_conf, best_pose = minconf, pose
         return best_pose
 
+    def estimate_pose_batch(self, images: Sequence[np.ndarray],
+                            scale: float = 1.0) -> np.ndarray:
+        """Batched inference for same-size frames (video serving): one
+        batched CNN forward + fused on-device decode; returns (N, 5, J).
+        Throughput: batch 4 @688 runs at 2.16 ms/img vs 2.55 single-image
+        (docs/performance.md). All frames must share H x W."""
+        h, w = images[0].shape[:2]
+        for im in images:
+            assert im.shape[:2] == (h, w), "estimate_pose_batch needs equal sizes"
+        ch, cw = canvas_size(h, scale), canvas_size(w, scale)
+        bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)
+        out_h = int(round((h + PAD_SIZE) * scale))
+        out_w = int(round((w + PAD_SIZE) * scale))
+        canvases = jnp.concatenate(
+            [preprocess_on_device(jnp.asarray(im), out_h, out_w, bh, bw)
+             for im in images], axis=0)
+        key = ("batch", len(images), bh, bw)
+        if key not in self._fwd_cache:
+            cfg, folded = self.cfg, self.folded
+
+            @jax.jit
+            def fn(params, canvases, valid_h, valid_w, s):
+                outs = forward(params, canvases.astype(
+                    cfg.compute_dtype if folded else jnp.float32), cfg,
+                    folded=folded)
+                vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                vw = (valid_w + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                def one(sm, loc):
+                    pose = decode_pose(sm, loc, scale=1.0, valid_hw=(vh, vw))
+                    pose = pose.at[0].divide(s).at[1].divide(s)
+                    return pose.at[3].divide(s).at[4].divide(s)
+                return jax.vmap(one)(outs["prob"], outs["loc_pred"])
+            self._fwd_cache[key] = fn
+        poses = self._fwd_cache[key](self.params, canvases, jnp.int32(ch),
+                                     jnp.int32(cw), jnp.float32(scale))
+        return np.asarray(poses)
+
     def estimate_pose_avg(self, image: np.ndarray,
                           scales: Sequence[float]) -> np.ndarray:
         """Multi-scale pyramid with SCOREMAP AVERAGING: each scale's maps are

@@ -93,3 +93,23 @@ def test_preprocess_resize_close_to_pil():
     diff = np.abs(canvas - ref)
     assert diff.max() <= 1.0 + 1e-5, diff.max()
     assert diff.mean() < 0.1, diff.mean()
+
+
+def test_estimate_pose_batch_matches_single():
+    """Batched serving API: per-frame results equal the single-image path."""
+    import jax
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.pose.estimate import PoseEstimator
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                          num_joints=3, compute_dtype=jnp.float32)
+    est = PoseEstimator(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                        folded=False)
+    est.cfg = cfg
+    rng = np.random.RandomState(0)
+    frames = [(rng.rand(60, 44, 3) * 255).astype(np.uint8) for _ in range(3)]
+    batch = est.estimate_pose_batch(frames)
+    assert batch.shape == (3, 5, 3)
+    for i, f in enumerate(frames):
+        single = est._estimate_single_scale(f, 1.0)
+        np.testing.assert_allclose(batch[i], single, rtol=1e-4, atol=1e-4)
