@@ -151,6 +151,15 @@ class Net:
         wanted |= set(blobs or [])
         return {nm: self.blobs[nm].data for nm in wanted if nm in self.blobs}
 
+    def backward(self, **kwargs) -> Dict[str, np.ndarray]:
+        """pycaffe _Net_backward analog: gradients of the total loss w.r.t.
+        the input blobs (there is no persistent diff_ state in the
+        functional core — parameter gradients live in Net.make_train_step)."""
+        inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
+                  if nm in self.blobs}
+        inputs.update({nm: np.asarray(v, np.float32) for nm, v in kwargs.items()})
+        return self._net.backward(**inputs)
+
     def forward_all(self, blobs=None, **kwargs) -> Dict[str, np.ndarray]:
         """Batched forward over the leading axis (pycaffe.py:170-201)."""
         num = next(iter(kwargs.values())).shape[0]

@@ -209,3 +209,25 @@ def test_compat_layers_view(tmp_path):
     assert [l.type for l in net.layers] == ["InnerProduct", "ReLU"]
     assert net.layers[0].blobs[0].data.shape == (3, 4)
     assert net.layers[1].blobs == []
+
+
+def test_compat_backward(tmp_path):
+    """pycaffe net.backward() returns input-blob gradients."""
+    proto_path = tmp_path / "b.prototxt"
+    proto_path.write_text("""
+    input: "data"
+    input_shape { dim: 2 dim: 4 }
+    input: "label"
+    input_shape { dim: 2 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+            inner_product_param { num_output: 3
+              weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+    """)
+    net = caffe.Net(str(proto_path), caffe.TRAIN)
+    rng = np.random.RandomState(0)
+    net.blobs["data"].data[...] = rng.randn(2, 4)
+    net.blobs["label"].data[...] = np.array([0.0, 2.0])
+    grads = net.backward()
+    assert grads["data"].shape == (2, 4)
+    assert np.abs(grads["data"]).sum() > 0
