@@ -61,6 +61,12 @@ class DeeperCutConfig:
     # trading ~33% extra forward FLOPs for O(depth) -> O(1) per-stage
     # activation memory — lifts the max trainable batch at 688px.
     remat: bool = False
+    # Mixed-precision training: the UNfolded (training) forward computes
+    # convs in compute_dtype (bf16) with f32 accumulation while parameters,
+    # BN statistics, losses, and updates stay f32 — the MXU runs at its
+    # native rate instead of the multi-pass f32 decomposition. The reference
+    # trains pure f32; leave False for bit-faithful trajectories.
+    mixed_train: bool = False
 
     @property
     def stride(self) -> int:
@@ -237,7 +243,12 @@ def forward(
     enabled 'loc_pred' (N,h,w,2J), 'next_pred'; h = H/8 + 1 off-by-ceil grid
     identical to the reference.
     """
-    cdt = cfg.compute_dtype if folded else None
+    cdt = cfg.compute_dtype if (folded or cfg.mixed_train) else None
+    # preferred_element_type=f32 with bf16 operands breaks the conv transpose
+    # rule under autodiff; mixed TRAINING therefore lets the output round to
+    # bf16 (the MXU still accumulates f32 internally) — standard mixed
+    # precision. Folded inference keeps the explicit f32 accumulate.
+    acc = None if (cfg.mixed_train and not folded) else jnp.float32
 
     def cbr(x, name, *, stride=1, pad=0, dilation=1, act=True):
         p = params[name]
@@ -246,7 +257,7 @@ def forward(
                        dilation=dilation, compute_dtype=cdt)
         else:
             y = conv2d(x, p["w"], p.get("b"), stride=stride, pad=pad,
-                       dilation=dilation, compute_dtype=None)
+                       dilation=dilation, compute_dtype=cdt, accum_dtype=acc)
             bn_key = "_conv1" if name == "conv1" else name[len("res"):]
             bn = params[f"bn{bn_key}"]
             sc = params[f"scale{bn_key}"]
@@ -255,7 +266,8 @@ def forward(
             y = scale_op(y, sc["gamma"], sc["beta"])
         return relu(y) if act else y
 
-    x = x.astype(cfg.compute_dtype) if folded else x.astype(jnp.float32)
+    x = (x.astype(cfg.compute_dtype) if (folded or cfg.mixed_train)
+         else x.astype(jnp.float32))
     y = cbr(x, "conv1", stride=2, pad=3)
     y = max_pool2d(y, kernel=3, stride=2)
 
@@ -298,8 +310,8 @@ def forward(
     bup = jnp.concatenate([params[f"res5c_up_{n}"]["b"] for n, _ in head_list])
     wsk = jnp.concatenate([params[f"res3d_{n}"]["w"] for n, _ in head_list], axis=3)
     bsk = jnp.concatenate([params[f"res3d_{n}"]["b"] for n, _ in head_list])
-    up = deconv2d(res5c, wup, bup, stride=2, compute_dtype=cdt)
-    sk = conv2d(skip, wsk, bsk, compute_dtype=cdt)
+    up = deconv2d(res5c, wup, bup, stride=2, compute_dtype=cdt, accum_dtype=acc)
+    sk = conv2d(skip, wsk, bsk, compute_dtype=cdt, accum_dtype=acc)
     fused = crop_like(up, sk.shape, axis=1) + sk
 
     off = 0
@@ -307,8 +319,10 @@ def forward(
     for n, ch in head_list:
         per_head[n] = fused[..., off:off + ch]
         off += ch
-    outs["fc_pose"] = per_head["pose"]
-    outs["prob"] = sigmoid(per_head["pose"].astype(jnp.float32))
+    # heads always emit f32: losses (custom_vjp, f32 cotangents) and decode
+    # run in f32 regardless of the trunk's compute dtype
+    outs["fc_pose"] = per_head["pose"].astype(jnp.float32)
+    outs["prob"] = sigmoid(outs["fc_pose"])
     if cfg.location_refinement:
         outs["loc_pred"] = per_head["locref"].astype(jnp.float32)
     if cfg.pairwise:

@@ -133,3 +133,32 @@ def test_remat_forward_and_grads_equal():
             np.testing.assert_allclose(np.asarray(ga[name][k]),
                                        np.asarray(gb[name][k]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_mixed_train_grads_close_to_f32():
+    """mixed_train=True (bf16 conv compute, f32 params/losses) must produce
+    gradients within bf16 tolerance of the f32 path, and the heads/losses
+    must stay f32."""
+    import dataclasses
+
+    cfg = TINY
+    cfg_m = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16, mixed_train=True)
+    params = _rand_params(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 32, 32, 3)) * 0.5
+
+    def loss(p, c):
+        outs = forward(p, x, c, folded=False)
+        assert outs["fc_pose"].dtype == jnp.float32
+        return jnp.mean(outs["fc_pose"] ** 2)
+
+    gf = jax.grad(lambda p: loss(p, cfg))(params)
+    gm = jax.grad(lambda p: loss(p, cfg_m))(params)
+    # bf16-appropriate tolerances; note the CPU backend rounds every conv
+    # output to bf16 with no f32 internal accumulation, so this OVERSTATES
+    # the deviation vs real TPU MXU behavior. conv1 (earliest layer, longest
+    # backward chain) accumulates the most rounding.
+    for name, tol in (("conv1", 0.2), ("res2a_branch2b", 0.05),
+                      ("res5c_up_pose", 0.05)):
+        a, b = np.asarray(gf[name]["w"]), np.asarray(gm[name]["w"])
+        scale = np.abs(a).max() + 1e-12
+        assert np.abs(a - b).max() < tol * scale, (name, np.abs(a - b).max() / scale)
