@@ -427,8 +427,10 @@ class Net:
         """
         from deepcut_tpu.models.quantize import _conv_i8
 
+        host_inputs = dict(calibration_inputs)
+        self._pull_data_layers(host_inputs)  # data-layer nets calibrate on a batch
         dev_inputs = {}
-        for nm, arr in calibration_inputs.items():
+        for nm, arr in host_inputs.items():
             a = jnp.asarray(arr)
             dev_inputs[nm] = jnp.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
         if not self.params:

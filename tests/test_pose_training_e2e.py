@@ -95,3 +95,51 @@ def test_hdf5_weight_interchange(tmp_path):
         for key, val in params[name].items():
             np.testing.assert_allclose(back[name][key], np.asarray(val), rtol=1e-6,
                                        err_msg=f"{name}/{key}")
+
+
+def test_pose_solver_mixed_precision_trains(tmp_path):
+    """PoseSolver with mixed_train=True (bf16 conv compute) converges on the
+    synthetic pose task like the f32 path."""
+    import dataclasses
+    import jax.numpy as jnp
+    from deepcut_tpu.models.resnet import DeeperCutConfig
+    from deepcut_tpu.solver.solver import SolverParams, PoseSolver
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(8, 8, 16, 16),
+                          num_joints=3, compute_dtype=jnp.bfloat16,
+                          mixed_train=True)
+    rng = np.random.RandomState(0)
+    n, h, w = 2, 32, 32
+    hh, ww, J = h // 8, w // 8, cfg.num_joints
+    batch = {
+        "image": rng.randn(n, h, w, 3).astype(np.float32) * 0.3,
+        "part_score_targets": np.zeros((n, hh, ww, J), np.float32),
+        "part_score_weights": np.ones((n, hh, ww, J), np.float32),
+        "locref_targets": np.zeros((n, hh, ww, 2 * J), np.float32),
+        "locref_weights": np.ones((n, hh, ww, 2 * J), np.float32),
+        "pairwise_targets": np.zeros((n, hh, ww, cfg.pairwise_channels), np.float32),
+        "pairwise_weights": np.ones((n, hh, ww, cfg.pairwise_channels), np.float32),
+    }
+    batch["part_score_targets"][:, 1, 1, :] = 1.0
+    sp = SolverParams.from_prototxt(f"""
+        base_lr: 0.02
+        momentum: 0.9
+        lr_policy: "fixed"
+        display: 0
+        max_iter: 25
+        snapshot: 0
+        snapshot_prefix: "{tmp_path}/mp"
+    """)
+    losses = []
+    solver = PoseSolver(sp, cfg, lambda: batch, handle_signals=False,
+                        log=lambda *_: None)
+    import jax
+    for _ in range(25):
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        (loss, _), g = solver._grad_fn(solver.net_params, b)
+        g = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), g)
+        solver.net_params, solver.state = solver._update_fn(
+            solver.net_params, g, solver.state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses[::5]
