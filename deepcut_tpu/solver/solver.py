@@ -225,6 +225,12 @@ class GraphSolver:
                 return None
             self._test_net = Net(source, phase="TEST", compute_dtype=None)
         self._test_net.params = self.net.params
+        # share the train net's named-param alias table too (layer names
+        # match across phases) — without it a shared-weight TEST net (e.g.
+        # siamese twins) would look up empty param entries
+        self._test_net._aliases = getattr(self.net, "_aliases", {})
+        self._test_net._lr_mults = getattr(self.net, "_lr_mults", {})
+        self._test_net._decay_mults = getattr(self.net, "_decay_mults", {})
         self._test_net._params_ready = True
         return self._test_net
 

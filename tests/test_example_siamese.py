@@ -54,13 +54,18 @@ def test_siamese_training_from_reference_prototxt(tmp_path):
     text = text.replace("examples/siamese/mnist_siamese_test_leveldb", db)
     net = Net(text_format.parse(text), phase="TRAIN", compute_dtype=None)
 
+    net_file = tmp_path / "siamese.prototxt"
+    net_file.write_text(text)
     sp = SolverParams.from_prototxt(f"""
+        net: "{net_file}"
         base_lr: 0.01
         momentum: 0.9
         weight_decay: 0.0
         lr_policy: "fixed"
         display: 0
         max_iter: 60
+        test_interval: 0
+        test_iter: 2
         snapshot: 0
         snapshot_prefix: "{tmp_path}/siam"
     """)
@@ -79,6 +84,13 @@ def test_siamese_training_from_reference_prototxt(tmp_path):
     first = np.mean(losses[:10])
     last = np.mean(losses[-10:])
     assert last < first * 0.8, (first, last)
+
+    # Solver::Test over the TEST-phase twin net (shared-weight aliases must
+    # carry over to the cached test net)
+    net.params = params
+    solver.state = state
+    results = solver.test()
+    assert "loss" in results and np.isfinite(results["loss"])
 
     # the trained embedding separates same/different pairs on fresh data
     net.params = params
