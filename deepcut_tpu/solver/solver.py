@@ -254,6 +254,14 @@ class GraphSolver:
     def iter(self) -> int:
         return int(self.state["iter"])
 
+    @property
+    def smoothed_loss(self) -> float:
+        """Average loss over the last `average_loss` iterations
+        (Solver::UpdateSmoothedLoss, solver.cpp:483-495)."""
+        if not self._loss_window:
+            return float("nan")
+        return sum(self._loss_window) / len(self._loss_window)
+
     def _next_inputs(self):
         import jax.numpy as jnp
 
@@ -416,6 +424,14 @@ class PoseSolver:
     @property
     def iter(self) -> int:
         return int(self.state["iter"])
+
+    @property
+    def smoothed_loss(self) -> float:
+        """Average loss over the last `average_loss` iterations
+        (Solver::UpdateSmoothedLoss, solver.cpp:483-495)."""
+        if not self._loss_window:
+            return float("nan")
+        return sum(self._loss_window) / len(self._loss_window)
 
     def step(self, iters: int) -> None:
         """Reference Solver::Step (solver.cpp:193-275): iter_size

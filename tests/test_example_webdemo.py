@@ -1,0 +1,76 @@
+"""examples/web_demo round-trip: start the stdlib HTTP classifier app
+in-process, POST a multipart image upload, check the JSON top-5 response."""
+
+import importlib.util
+import io as _io
+import json
+import urllib.request
+
+import numpy as np
+
+
+DEPLOY = """
+name: "tinyweb"
+input: "data"
+input_dim: 1 input_dim: 3 input_dim: 16 input_dim: 16
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 4 kernel_size: 3 stride: 2
+    weight_filler { type: "gaussian" std: 0.2 } } }
+layer { name: "fc" type: "InnerProduct" bottom: "conv1" top: "fc"
+  inner_product_param { num_output: 6
+    weight_filler { type: "gaussian" std: 0.2 } } }
+layer { name: "prob" type: "Softmax" bottom: "fc" top: "prob" }
+"""
+
+
+def test_web_demo_roundtrip(tmp_path):
+    from PIL import Image
+
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.proto.caffemodel import save_caffemodel
+
+    deploy = tmp_path / "deploy.prototxt"
+    deploy.write_text(DEPLOY)
+    net = Net(text_format.parse(DEPLOY), phase="TEST", compute_dtype=None)
+    net._ensure_params({"data": (1, 16, 16, 3)})
+    weights = str(tmp_path / "w.caffemodel")
+    save_caffemodel(weights, {n: {k: np.asarray(v) for k, v in e.items()}
+                              for n, e in net.params.items()})
+
+    spec = importlib.util.spec_from_file_location(
+        "ex_webdemo", "/root/repo/examples/web_demo/app.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    labels = [f"thing_{i}" for i in range(6)]
+    app = mod.ClassifierApp(str(deploy), weights, labels=labels)
+    httpd = mod.serve(app, port=0, background=True)  # port 0: OS-assigned
+    try:
+        port = httpd.server_address[1]
+        # index page
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"Classification demo" in r.read()
+        # multipart upload
+        buf = _io.BytesIO()
+        Image.fromarray(np.random.RandomState(0).randint(
+            0, 255, (20, 20, 3), np.uint8)).save(buf, format="PNG")
+        boundary = "xyzboundary"
+        body = (f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="image"; '
+                f'filename="t.png"\r\n'
+                f"Content-Type: image/png\r\n\r\n").encode() + buf.getvalue() \
+            + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/classify_upload", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        assert resp["ok"], resp
+        assert len(resp["top5"]) == 5
+        assert resp["top5"][0]["label"].startswith("thing_")
+        probs = [t["prob"] for t in resp["top5"]]
+        assert probs == sorted(probs, reverse=True)
+    finally:
+        httpd.shutdown()
