@@ -122,3 +122,25 @@ snapshot_prefix: "{tmp_path}/ft"
     out = load_caffemodel(str(tmp_path / "ft_iter_1.caffemodel"))
     # lr 0: weights must be exactly the finetune source, not the zero filler
     np.testing.assert_allclose(out["ip"][0].data, w0)
+
+
+def test_deprecated_tool_verbs(tmp_path, capsys):
+    """The reference's deprecated single-purpose tools (tools/train_net.cpp,
+    test_net.cpp, finetune_net.cpp, net_speed_benchmark.cpp) exist as verbs
+    that warn and delegate to the modern ones."""
+    from deepcut_tpu.tools import cli
+
+    model = tmp_path / "m.prototxt"
+    model.write_text("""
+    name: "t"
+    input: "data"
+    input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+    layer { name: "c" type: "Convolution" bottom: "data" top: "c"
+      convolution_param { num_output: 2 kernel_size: 3
+        weight_filler { type: "gaussian" std: 0.1 } } }
+    """)
+    assert cli.main(["net_speed_benchmark", str(model), "2"]) == 0
+    assert cli.main(["test_net", str(model), "", "1"]) == 0
+    err = capsys.readouterr().err
+    assert "net_speed_benchmark is deprecated" in err
+    assert "test_net is deprecated" in err
