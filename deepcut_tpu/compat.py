@@ -106,6 +106,18 @@ class Net:
             self.blobs[nm] = Blob(np.zeros(sh, np.float32))
         self._params_dirty = False
 
+    @classmethod
+    def _from_graph(cls, graph_net) -> "Net":
+        """Wrap an existing core.graph.Net (shared, not copied) — used by the
+        Solver facade so `solver.net` views the live training params."""
+        obj = cls.__new__(cls)
+        obj._net = graph_net
+        obj.blobs = OrderedDict()
+        for nm, sh in graph_net.input_shapes.items():
+            obj.blobs[nm] = Blob(np.zeros(sh, np.float32))
+        obj._params_dirty = False
+        return obj
+
     # -- pycaffe surface ---------------------------------------------------
     @property
     def params(self) -> "OrderedDict[str, List[Blob]]":
@@ -215,7 +227,139 @@ class Net:
         return [_LayerView(s.type, params.get(s.name, []))
                 for _, s in self._net._plan]
 
+    @property
+    def top_names(self) -> "OrderedDict[str, List[str]]":
+        """pycaffe's net.top_names: layer name -> top blob names."""
+        return OrderedDict((s.name, list(s.tops)) for _, s in self._net._plan)
 
-def get_solver(path: str):
-    from deepcut_tpu.solver.solver import SolverParams
-    return SolverParams.from_prototxt(path)
+    @property
+    def bottom_names(self) -> "OrderedDict[str, List[str]]":
+        """pycaffe's net.bottom_names: layer name -> bottom blob names."""
+        return OrderedDict((s.name, list(s.bottoms))
+                           for _, s in self._net._plan)
+
+    @property
+    def blob_loss_weights(self) -> "OrderedDict[str, float]":
+        """pycaffe's net.blob_loss_weights: loss weight per blob
+        (net.cpp: loss layers default 1, others 0, `loss_weight:` overrides)."""
+        out: "OrderedDict[str, float]" = OrderedDict()
+        for nm in self._net.input_names:
+            out[nm] = 0.0
+        for _, s in self._net._plan:
+            declared = [float(v) for v in s.node.get_list("loss_weight")]
+            for i, top in enumerate(s.tops):
+                if i < len(declared):
+                    out[top] = declared[i]
+                else:
+                    out[top] = 1.0 if (s.type.endswith("Loss") and i == 0) else 0.0
+        return out
+
+    def set_input_arrays(self, data: np.ndarray, labels: np.ndarray) -> None:
+        """Feed the MemoryData layer (pycaffe _Net_set_input_arrays)."""
+        self._net.set_input_arrays(data, labels)
+
+    def share_with(self, other: "Net") -> None:
+        """Share parameters with another net, by layer name
+        (Net::ShareTrainedLayersWith, net.cpp:782-803): matching layers
+        reference the SAME arrays afterwards (jax arrays are immutable, so
+        sharing is aliasing the param entries)."""
+        src = other._net.params
+        for name in list(self._net.params):
+            if name in src:
+                self._net.params[name] = src[name]
+
+    def forward_backward_all(self, blobs=None, diffs=None, **kwargs):
+        """pycaffe _Net_forward_backward_all: batched forward + backward;
+        returns ({blob: outputs}, {input: gradients})."""
+        fwd_out = self.forward_all(blobs=blobs, **kwargs)
+        num = next(iter(kwargs.values())).shape[0]
+        batch = self.blobs[self.inputs[0]].data.shape[0] if self.inputs else 1
+        grads: Dict[str, List[np.ndarray]] = {}
+        for i in range(0, num, batch):
+            chunk = {k: np.asarray(v[i:i + batch], np.float32)
+                     for k, v in kwargs.items()}
+            g = self._net.backward(**chunk)
+            for nm, val in g.items():
+                grads.setdefault(nm, []).append(np.asarray(val))
+        bwd_out = {nm: np.concatenate(vals) for nm, vals in grads.items()}
+        return fwd_out, bwd_out
+
+
+class Solver:
+    """pycaffe Solver facade (`caffe.get_solver` / `caffe.SGDSolver`):
+    `.net` (live compat view), `.test_nets`, `.step(n)`, `.solve()`,
+    `.iter`, `.snapshot()`, `.restore(state)` — backed by GraphSolver.
+
+    PoseData recipes need the target-config plumbing of the CLI; construct
+    `deepcut_tpu.solver.solver.PoseSolver` directly for those.
+    """
+
+    def __init__(self, path: str, solver_type: Optional[str] = None):
+        import dataclasses
+
+        from deepcut_tpu.solver.solver import GraphSolver, SolverParams
+
+        sp = SolverParams.from_prototxt(path)
+        if solver_type is not None:
+            sp.config = dataclasses.replace(sp.config, solver_type=solver_type)
+        if not sp.train_net:
+            raise ValueError("solver prototxt declares no net/train_net")
+        self._solver = GraphSolver(sp, sp.train_net, handle_signals=False)
+        self.net = Net._from_graph(self._solver.net)
+
+    @property
+    def test_nets(self) -> List[Net]:
+        tnet = self._solver._get_test_net()
+        return [Net._from_graph(tnet)] if tnet is not None else []
+
+    @property
+    def iter(self) -> int:
+        return self._solver.iter
+
+    def step(self, iters: int) -> None:
+        self._solver.step(iters)
+
+    def solve(self) -> None:
+        self._solver.solve()
+
+    def snapshot(self) -> str:
+        return self._solver.snapshot()
+
+    def restore(self, state_path: str) -> None:
+        self._solver.restore(state_path)
+
+
+def get_solver(path: str) -> Solver:
+    """pycaffe caffe.get_solver: dispatch on the prototxt's `type:` field
+    (SolverRegistry analog)."""
+    return Solver(path)
+
+
+class SGDSolver(Solver):
+    def __init__(self, path: str):
+        super().__init__(path, solver_type="SGD")
+
+
+class NesterovSolver(Solver):
+    def __init__(self, path: str):
+        super().__init__(path, solver_type="Nesterov")
+
+
+class AdaGradSolver(Solver):
+    def __init__(self, path: str):
+        super().__init__(path, solver_type="AdaGrad")
+
+
+class RMSPropSolver(Solver):
+    def __init__(self, path: str):
+        super().__init__(path, solver_type="RMSProp")
+
+
+class AdaDeltaSolver(Solver):
+    def __init__(self, path: str):
+        super().__init__(path, solver_type="AdaDelta")
+
+
+class AdamSolver(Solver):
+    def __init__(self, path: str):
+        super().__init__(path, solver_type="Adam")

@@ -1,0 +1,136 @@
+"""pycaffe Solver facade + the remaining _caffe.cpp/pycaffe.py Net surface:
+get_solver/SGDSolver classes, solver.net live view, top/bottom_names,
+blob_loss_weights, share_with, set_input_arrays, forward_backward_all."""
+
+import numpy as np
+import pytest
+
+import deepcut_tpu.compat as caffe
+
+
+NET = """
+name: "t"
+layer { name: "data" type: "DummyData" top: "data" top: "label"
+  dummy_data_param {
+    shape { dim: 4 dim: 6 } shape { dim: 4 }
+    data_filler { type: "gaussian" std: 1.0 }
+    data_filler { type: "constant" value: 1 } } }
+layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+  inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+  top: "loss" }
+"""
+
+
+@pytest.fixture
+def solver_file(tmp_path):
+    net = tmp_path / "net.prototxt"
+    net.write_text(NET)
+    sol = tmp_path / "solver.prototxt"
+    sol.write_text(f"""
+        net: "{net}"
+        base_lr: 0.1
+        lr_policy: "fixed"
+        display: 0
+        max_iter: 50
+        snapshot: 0
+        snapshot_prefix: "{tmp_path}/s"
+    """)
+    return str(sol)
+
+
+def test_get_solver_step_and_live_net(solver_file):
+    solver = caffe.get_solver(solver_file)
+    assert solver.iter == 0
+    w0 = solver.net.params["ip"][0].data.copy()
+    solver.step(10)
+    assert solver.iter == 10
+    w1 = solver.net.params["ip"][0].data
+    assert not np.allclose(w0, w1), "solver.net is not a live view"
+    solver.solve()
+    assert solver.iter == 50
+    # snapshot/restore round-trip through the facade
+    path = solver.snapshot()
+    solver2 = caffe.get_solver(solver_file)
+    solver2.restore(path)
+    assert solver2.iter == 50
+    np.testing.assert_allclose(solver2.net.params["ip"][0].data,
+                               solver.net.params["ip"][0].data)
+
+
+def test_typed_solver_classes(solver_file):
+    assert caffe.SGDSolver(solver_file)._solver.params_cfg.config.solver_type == "SGD"
+    assert caffe.AdamSolver(solver_file)._solver.params_cfg.config.solver_type == "Adam"
+    assert caffe.NesterovSolver(solver_file)._solver.params_cfg.config.solver_type == "Nesterov"
+    assert caffe.RMSPropSolver(solver_file)._solver.params_cfg.config.solver_type == "RMSProp"
+    adam = caffe.AdamSolver(solver_file)
+    adam.step(3)
+    assert adam.iter == 3
+
+
+DEPLOY = """
+name: "d"
+input: "data"
+input_shape { dim: 2 dim: 5 }
+layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+  inner_product_param { num_output: 3 weight_filler { type: "gaussian" std: 0.4 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "ip" bottom: "tgt"
+  top: "loss" loss_weight: 2.0 }
+input: "tgt"
+input_shape { dim: 2 dim: 3 }
+"""
+
+
+def test_net_names_and_loss_weights(tmp_path):
+    p = tmp_path / "d.prototxt"
+    p.write_text(DEPLOY)
+    net = caffe.Net(str(p), caffe.TEST)
+    assert net.top_names["ip"] == ["ip"]
+    assert net.bottom_names["loss"] == ["ip", "tgt"]
+    lw = net.blob_loss_weights
+    assert lw["loss"] == 2.0 and lw["ip"] == 0.0 and lw["data"] == 0.0
+
+
+def test_share_with_and_forward_backward_all(tmp_path):
+    p = tmp_path / "d.prototxt"
+    p.write_text(DEPLOY)
+    a = caffe.Net(str(p), caffe.TEST)
+    b = caffe.Net(str(p), caffe.TEST)
+    x = np.random.RandomState(0).randn(2, 5).astype(np.float32)
+    t = np.random.RandomState(1).randn(2, 3).astype(np.float32)
+    # fillers are deterministically seeded -> perturb b to differ first
+    b._net.params["ip"]["w"] = b._net.params["ip"]["w"] * 2.0
+    assert not np.allclose(a.forward(blobs=["ip"], data=x, tgt=t)["ip"],
+                           b.forward(blobs=["ip"], data=x, tgt=t)["ip"])
+    b.share_with(a)
+    np.testing.assert_allclose(a.forward(blobs=["ip"], data=x, tgt=t)["ip"],
+                               b.forward(blobs=["ip"], data=x, tgt=t)["ip"])
+
+    # batched forward+backward: gradients arrive per input blob
+    X = np.random.RandomState(2).randn(6, 5).astype(np.float32)
+    T = np.random.RandomState(3).randn(6, 3).astype(np.float32)
+    outs, diffs = a.forward_backward_all(blobs=["ip"], data=X, tgt=T)
+    assert outs["ip"].shape == (6, 3)
+    assert diffs["data"].shape == (6, 5)
+    # chain check on one batch: d(2*loss)/d data is nonzero
+    assert np.abs(diffs["data"]).max() > 0
+
+
+MEMNET = """
+name: "m"
+layer { name: "data" type: "MemoryData" top: "data" top: "label"
+  memory_data_param { batch_size: 2 channels: 1 height: 4 width: 4 } }
+layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+  inner_product_param { num_output: 2 weight_filler { type: "gaussian" std: 0.3 } } }
+"""
+
+
+def test_set_input_arrays(tmp_path):
+    p = tmp_path / "m.prototxt"
+    p.write_text(MEMNET)
+    net = caffe.Net(str(p), caffe.TEST)
+    data = np.random.RandomState(0).randn(2, 1, 4, 4).astype(np.float32)
+    labels = np.zeros(2, np.float32)
+    net.set_input_arrays(data, labels)
+    out = net.forward()
+    assert out["ip"].shape == (2, 2)
