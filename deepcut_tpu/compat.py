@@ -258,11 +258,31 @@ class Net:
         """Feed the MemoryData layer (pycaffe _Net_set_input_arrays)."""
         self._net.set_input_arrays(data, labels)
 
+    def _materialize_params(self) -> None:
+        """Force parameter materialization for data-layer nets (the graph
+        engine inits lazily; GraphSolver does this same peek at startup)."""
+        if self._net.params:
+            return
+        inputs: Dict[str, Any] = {}
+        self._net._pull_data_layers(inputs)
+        shapes = {}
+        peeked = {}
+        for name, src in self._net.data_sources.items():
+            peeked[name] = [inputs[t] for t in src.tops]
+        for nm, arr in inputs.items():
+            a = np.asarray(arr)
+            shapes[nm] = (a.shape[0], a.shape[2], a.shape[3], a.shape[1]) \
+                if a.ndim == 4 else a.shape
+        self._net._peeked = peeked  # first forward reuses the peeked batch
+        self._net._ensure_params(shapes)
+
     def share_with(self, other: "Net") -> None:
         """Share parameters with another net, by layer name
         (Net::ShareTrainedLayersWith, net.cpp:782-803): matching layers
         reference the SAME arrays afterwards (jax arrays are immutable, so
         sharing is aliasing the param entries)."""
+        self._materialize_params()
+        other._materialize_params()
         src = other._net.params
         for name in list(self._net.params):
             if name in src:
@@ -270,10 +290,22 @@ class Net:
 
     def forward_backward_all(self, blobs=None, diffs=None, **kwargs):
         """pycaffe _Net_forward_backward_all: batched forward + backward;
-        returns ({blob: outputs}, {input: gradients})."""
+        returns ({blob: outputs}, {input: gradients}).
+
+        `diffs` (extra diff blobs to return) is accepted for signature
+        compatibility but only INPUT-blob gradients exist in the functional
+        core (see `backward`); requesting intermediate diffs raises."""
+        if diffs:
+            extra = [d for d in diffs if d not in self._net.input_names]
+            if extra:
+                raise NotImplementedError(
+                    f"only input-blob diffs are available, not {extra} "
+                    "(no persistent per-blob diff_ state under jit)")
+        # chunk size BEFORE forward_all mutates the input staging blobs
+        # (a trailing remainder chunk would otherwise shrink it)
+        batch = self.blobs[self.inputs[0]].data.shape[0] if self.inputs else 1
         fwd_out = self.forward_all(blobs=blobs, **kwargs)
         num = next(iter(kwargs.values())).shape[0]
-        batch = self.blobs[self.inputs[0]].data.shape[0] if self.inputs else 1
         grads: Dict[str, List[np.ndarray]] = {}
         for i in range(0, num, batch):
             chunk = {k: np.asarray(v[i:i + batch], np.float32)
@@ -306,11 +338,18 @@ class Solver:
             raise ValueError("solver prototxt declares no net/train_net")
         self._solver = GraphSolver(sp, sp.train_net, handle_signals=False)
         self.net = Net._from_graph(self._solver.net)
+        self._test_net_views: Optional[List[Net]] = None
 
     @property
     def test_nets(self) -> List[Net]:
+        # cache the wrappers (pycaffe's solver.test_nets[i] is a stable
+        # object whose blob state persists across accesses), but still call
+        # _get_test_net each time: it re-aliases the live training params
         tnet = self._solver._get_test_net()
-        return [Net._from_graph(tnet)] if tnet is not None else []
+        if self._test_net_views is None:
+            self._test_net_views = (
+                [Net._from_graph(tnet)] if tnet is not None else [])
+        return self._test_net_views
 
     @property
     def iter(self) -> int:

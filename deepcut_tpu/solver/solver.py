@@ -300,9 +300,9 @@ class GraphSolver:
             self._loss_window.append(float(loss))
             it = self.iter
             if cfg.display and it % cfg.display == 0:
-                smoothed = sum(self._loss_window) / len(self._loss_window)
                 lr = float(update_rules.learning_rate(cfg.config, it - 1))
-                self.log(f"Iteration {it}, loss = {smoothed:.5f}, lr = {lr:.6g}")
+                self.log(f"Iteration {it}, loss = {self.smoothed_loss:.5f}, "
+                         f"lr = {lr:.6g}")
             if cfg.snapshot and it % cfg.snapshot == 0:
                 self.net.params = params
                 self.snapshot()
@@ -457,11 +457,11 @@ class PoseSolver:
             self._loss_window.append(total / cfg.config.iter_size)
             it = self.iter
             if cfg.display and it % cfg.display == 0:
-                smoothed = sum(self._loss_window) / len(self._loss_window)
                 lr = float(update_rules.learning_rate(cfg.config, it - 1))
                 parts = ", ".join(
                     f"{k} = {float(v):.4f}" for k, v in sorted(metrics.items()))
-                self.log(f"Iteration {it}, loss = {smoothed:.5f} ({parts}), lr = {lr:.6g}")
+                self.log(f"Iteration {it}, loss = {self.smoothed_loss:.5f} "
+                         f"({parts}), lr = {lr:.6g}")
             if cfg.snapshot and it % cfg.snapshot == 0:
                 self.snapshot()
 

@@ -428,11 +428,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("model")
     p.add_argument("weights", nargs="?", default="")
     p.add_argument("iterations", nargs="?", type=int, default=50)
+
+    def _remap_test_net(a):
+        # `test_net model.prototxt 20`: the bare count lands in the weights
+        # slot — treat an all-digits second arg as the iteration count
+        weights, iters = a.weights, a.iterations
+        if weights.isdigit():
+            weights, iters = "", int(weights)
+        return (["test", "-model", a.model, "-iterations", str(iters)] +
+                (["-weights", weights] if weights else []))
+
     p.set_defaults(fn=_deprecated(
         "test_net", "test -model ... -weights ... -iterations N",
-        lambda a: ["test", "-model", a.model, "-iterations",
-                   str(a.iterations)] +
-                  (["-weights", a.weights] if a.weights else [])))
+        _remap_test_net))
 
     p = sub.add_parser("net_speed_benchmark", help="deprecated: use time")
     p.add_argument("model")

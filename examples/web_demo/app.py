@@ -44,7 +44,11 @@ def _parse_multipart_image(headers, body: bytes):
             continue
         head, _, data = part.partition(b"\r\n\r\n")
         if b"filename=" in head:
-            return data.rstrip(b"\r\n-")
+            # exactly one CRLF precedes the next boundary marker; rstrip
+            # would eat legitimate trailing '-'/CR/LF bytes of the payload
+            if data.endswith(b"\r\n"):
+                data = data[:-2]
+            return data
     raise ValueError("no file part in form")
 
 

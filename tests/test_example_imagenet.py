@@ -27,6 +27,7 @@ def _shrink(text: str, data_dir: str) -> str:
     text = text.replace("batch_size: 16", "batch_size: 4")
     text = text.replace("batch_size: 8", "batch_size: 4")
     text = text.replace("crop_size: 227", "crop_size: 99")
+    text = text.replace("input_dim: 227", "input_dim: 99")  # deploy net
     text = text.replace("num_output: 4096", "num_output: 256")
     return text
 
@@ -102,3 +103,17 @@ def test_caffenet_train_snapshot_finetune(data_dir, tmp_path):
     assert ft.net.params["fc8_target"]["w"].shape[0] == 4
     ft.solve()
     assert ft.iter == 2
+
+    # --- deploy net + Classifier (00-classification notebook flow) ---
+    from deepcut_tpu.classifier import Classifier
+
+    with open("/root/repo/examples/imagenet/caffenet_deploy.prototxt") as f:
+        deploy_file = str(tmp_path / "caffenet_deploy.prototxt")
+        with open(deploy_file, "w") as g:
+            g.write(_shrink(f.read(), data_dir))
+    clf = Classifier(deploy_file, caffemodel, raw_scale=255.0,
+                     channel_swap=(2, 1, 0))
+    img = np.random.RandomState(0).rand(128, 128, 3).astype(np.float32)
+    probs = clf.predict([img], oversample=True)
+    assert probs.shape == (1, 8)
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-3)
