@@ -6,11 +6,13 @@ python/caffe/_caffe.cpp): `caffe.Net(prototxt, weights, caffe.TEST)`,
 `caffe.set_mode_gpu()` etc.
 
 Semantics notes (functional core underneath):
-- Blob `.data` is a host numpy staging buffer. Writing into it stages input
-  (for input blobs) or edits weights (for param blobs, synced on next
-  forward). Outputs appear in blobs after `forward()` — the reference's
-  zero-copy mutable views become copy-on-read, which is the only possible
-  contract when compute runs jitted on an accelerator.
+- Blob `.data` is a host numpy staging buffer. Writing into an INPUT blob
+  stages the next forward's input; writing into a PARAM blob
+  (`net.params['conv1'][0].data[...] = w`, in-place ops, `.fill()`) writes
+  THROUGH to the live device parameters immediately (the net-surgery
+  contract). Outputs appear in blobs after `forward()` — the reference's
+  zero-copy mutable views become copy-on-read / write-through, which is the
+  closest possible contract when compute runs jitted on an accelerator.
 - `set_mode_cpu/gpu/set_device` are accepted no-ops: device placement
   belongs to JAX (the reference's Caffe::set_mode global, common.cpp:13-20,
   has no analog in a functional runtime).
@@ -46,6 +48,45 @@ def set_random_seed(seed: int) -> None:
 def layer_type_list() -> List[str]:
     from deepcut_tpu.core import layers as L
     return sorted(L._BUILDERS)
+
+
+class _ParamArray(np.ndarray):
+    """Host view of a device parameter with WRITE-THROUGH semantics: the
+    pycaffe net-surgery idiom `net.params['conv1'][0].data[...] = w` pushes
+    the mutation to the live graph parameters (the reference's zero-copy
+    mutable view contract, _caffe.cpp NdarrayCallPolicies, approximated the
+    only way possible when parameters live on an accelerator).
+
+    Mutations through `[...]=`, `.fill()`, and in-place ufuncs (`*=`, `+=`)
+    write through; rebinding `.data` itself does not (same as pycaffe, where
+    `data` is a read-only property)."""
+
+    _on_write = None
+
+    def __setitem__(self, idx, value):
+        super().__setitem__(idx, value)
+        if self._on_write is not None:
+            self._on_write(self)
+
+    def fill(self, value):
+        super().fill(value)
+        if self._on_write is not None:
+            self._on_write(self)
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        outs = kwargs.get("out")
+        conv = tuple(i.view(np.ndarray) if isinstance(i, _ParamArray) else i
+                     for i in inputs)
+        if outs:
+            kwargs["out"] = tuple(
+                o.view(np.ndarray) if isinstance(o, _ParamArray) else o
+                for o in outs)
+        result = getattr(ufunc, method)(*conv, **kwargs)
+        if outs and any(o is self for o in outs):
+            if self._on_write is not None:
+                self._on_write(self)
+            return self  # keep the tracked view bound (e.g. `blob.data *= 2`)
+        return result
 
 
 class Blob:
@@ -121,13 +162,27 @@ class Net:
     # -- pycaffe surface ---------------------------------------------------
     @property
     def params(self) -> "OrderedDict[str, List[Blob]]":
+        import jax.numpy as jnp
+
+        def make_view(name, key, arr):
+            view = np.array(arr, np.float32).view(_ParamArray)
+            dtype = self._net.params[name][key].dtype
+
+            def push(a, name=name, key=key, dtype=dtype):
+                self._net.params[name][key] = jnp.asarray(
+                    np.asarray(a), dtype=dtype)
+            view._on_write = push
+            blob = Blob.__new__(Blob)
+            blob.data = view
+            return blob
+
         out: "OrderedDict[str, List[Blob]]" = OrderedDict()
         for name, entry in self._net.params.items():
             blobs = []
             order = ["w", "b", "mean", "var", "scale_factor", "gamma", "beta", "slopes"]
             for key in order:
                 if key in entry:
-                    blobs.append(Blob(np.asarray(entry[key])))
+                    blobs.append(make_view(name, key, np.asarray(entry[key])))
             if blobs:
                 out[name] = blobs
         return out

@@ -48,10 +48,9 @@ def main() -> None:
     net = caffe.Net(small_path, caffe.TEST)
     x = rng.randn(1, 3, 33, 33).astype(np.float32)
     before = net.forward(blobs=["conv"], data=x)["conv"].copy()
-    # zero one filter through the params view, push back, re-run
-    surgery = net.params["conv"][0].data
-    surgery[..., 0] = 0.0  # HWIO layout: output channel 0
-    net._net.params["conv"]["w"] = np.ascontiguousarray(surgery)
+    # zero one filter through the params view — writes push through to the
+    # live net, exactly the pycaffe net-surgery idiom
+    net.params["conv"][0].data[..., 0] = 0.0  # HWIO layout: output channel 0
     after = net.forward(blobs=["conv"], data=x)["conv"]
     assert np.allclose(after[:, 0], 0.0), "zeroed filter must output zeros"
     assert not np.allclose(after[:, 1], 0.0)

@@ -134,3 +134,27 @@ def test_set_input_arrays(tmp_path):
     net.set_input_arrays(data, labels)
     out = net.forward()
     assert out["ip"].shape == (2, 2)
+
+
+def test_params_write_through(tmp_path):
+    """pycaffe net-surgery idiom: net.params[l][i].data[...] = w (and
+    in-place ops / fill) must reach the live graph parameters."""
+    p = tmp_path / "n.prototxt"
+    p.write_text("""
+    input: "data" input_shape { dim: 1 dim: 3 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+      inner_product_param { num_output: 2 bias_term: false
+        weight_filler { type: "constant" value: 1.0 } } }
+    """)
+    net = caffe.Net(str(p), caffe.TEST)
+    x = np.ones((1, 3), np.float32)
+    assert net.forward(data=x)["ip"].tolist() == [[3.0, 3.0]]
+    net.params["ip"][0].data[...] = 2.0                 # full setitem
+    assert net.forward(data=x)["ip"].tolist() == [[6.0, 6.0]]
+    w = net.params["ip"][0]
+    w.data *= 0.5                                        # in-place ufunc
+    assert net.forward(data=x)["ip"].tolist() == [[3.0, 3.0]]
+    w.data.fill(3.0)                                     # fill
+    assert net.forward(data=x)["ip"].tolist() == [[9.0, 9.0]]
+    w.data[0, :] = 0.0                                   # partial setitem
+    assert net.forward(data=x)["ip"].tolist() == [[0.0, 9.0]]
