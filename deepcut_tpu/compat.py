@@ -97,6 +97,17 @@ class Blob:
         if not arr.flags.writeable:  # jax outputs arrive read-only
             arr = arr.copy()
         self.data = arr
+        self._diff: Optional[np.ndarray] = None
+
+    @property
+    def diff(self) -> np.ndarray:
+        """pycaffe blob.diff: zeros until a backward pass fills it (input
+        blobs only — intermediate diffs have no persistent analog under
+        jit; see Net.backward)."""
+        cur = getattr(self, "_diff", None)  # views skip __init__
+        if cur is None or cur.shape != self.data.shape:
+            self._diff = np.zeros_like(self.data)
+        return self._diff
 
     @property
     def shape(self):
@@ -225,7 +236,11 @@ class Net:
         inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
                   if nm in self.blobs}
         inputs.update({nm: np.asarray(v, np.float32) for nm, v in kwargs.items()})
-        return self._net.backward(**inputs)
+        grads = self._net.backward(**inputs)
+        for nm, g in grads.items():  # populate blob.diff, pycaffe-style
+            if nm in self.blobs:
+                self.blobs[nm]._diff = np.asarray(g)
+        return grads
 
     def forward_all(self, blobs=None, **kwargs) -> Dict[str, np.ndarray]:
         """Batched forward over the leading axis (pycaffe.py:170-201)."""

@@ -158,3 +158,19 @@ def test_params_write_through(tmp_path):
     assert net.forward(data=x)["ip"].tolist() == [[9.0, 9.0]]
     w.data[0, :] = 0.0                                   # partial setitem
     assert net.forward(data=x)["ip"].tolist() == [[0.0, 9.0]]
+
+
+def test_blob_diff_after_backward(tmp_path):
+    """pycaffe blob.diff: zeros before backward, input gradients after."""
+    p = tmp_path / "d.prototxt"
+    p.write_text(DEPLOY)
+    net = caffe.Net(str(p), caffe.TEST)
+    x = np.random.RandomState(0).randn(2, 5).astype(np.float32)
+    t = np.random.RandomState(1).randn(2, 3).astype(np.float32)
+    net.forward(data=x, tgt=t)
+    assert np.all(net.blobs["data"].diff == 0)
+    grads = net.backward(data=x, tgt=t)
+    np.testing.assert_allclose(net.blobs["data"].diff, grads["data"])
+    assert np.abs(net.blobs["data"].diff).max() > 0
+    # param blobs expose .diff too (zeros: no persistent grads under jit)
+    assert np.all(net.params["ip"][0].diff == 0)
