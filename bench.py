@@ -35,7 +35,7 @@ CAFFE_CPU_IPS_EST = 0.1  # images/sec, see module docstring
 GFLOP_PER_IMAGE = 285.0
 
 
-def bench_forward(batch_sizes=(1, 4), size=688, n1=5, n2=25, repeats=2):
+def bench_forward(batch_sizes=(1, 4), size=688, n1=10, n2=50, repeats=3):
     from deepcut_tpu.models.resnet import (
         deepercut_config, init_params, fold_bn, cast_params, make_forward)
 
@@ -78,7 +78,7 @@ def bench_forward(batch_sizes=(1, 4), size=688, n1=5, n2=25, repeats=2):
     return best, best_bs
 
 
-def bench_int8(bs=4, size=688, n1=3, n2=23, repeats=2):
+def bench_int8(bs=4, size=688, n1=5, n2=45, repeats=3):
     """Secondary diagnostic: int8 serving throughput. Uses unit activation
     scales (throughput is scale-independent) to skip the ~2-minute
     calibration pass; real deployments calibrate via prepare_int8."""
@@ -109,8 +109,9 @@ def bench_int8(bs=4, size=688, n1=3, n2=23, repeats=2):
     t_n2 = min(run(n2) for _ in range(repeats))
     per_step = (t_n2 - t_n1) / (n2 - n1)
     print(f"# int8 batch={bs}: {bs * 1000 / per_step:.2f} img/s "
-          f"({per_step / bs:.2f} ms/img; unit act-scales fold the per-element "
-          f"divide — calibrated scales measure ~730 img/s)", file=sys.stderr)
+          f"({per_step / bs:.2f} ms/img; unit act-scales — calibrated scales "
+          f"measure the same since the reciprocal-multiply quantize)",
+          file=sys.stderr)
 
 
 def main():
