@@ -212,20 +212,26 @@ class WindowDataSource(DataLayerSource):
     """`WindowData` layer (window_data_layer.cpp): R-CNN window file —
     `# idx / path / channels height width / num_windows / cls overlap x1 y1
     x2 y2` — sampled at fg_fraction by overlap thresholds, cropped with
-    context padding, warped to crop_size, random-mirrored (TRAIN)."""
+    context padding, warped to crop_size, random-mirrored (any phase,
+    like the reference's transform_param_.mirror())."""
 
     def __init__(self, spec, phase: str):
         wp = spec.param("window_data_param")
+        tp = spec.param("transform_param")
         self.tops = list(spec.tops)
         self.batch_size = wp.get_int("batch_size", 1)
-        self.crop_size = wp.get_int("crop_size", 227)
+        # the reference layer reads crop_size/mirror from transform_param
+        # (window_data_layer.cpp:69-70,172,242); the same-named
+        # WindowDataParameter fields are the V0 legacy form kept as fallback
+        self.crop_size = tp.get_int("crop_size",
+                                    wp.get_int("crop_size", 227))
+        self.mirror = tp.get_bool("mirror", wp.get_bool("mirror", False))
         self.context_pad = wp.get_int("context_pad", 0)
         self.fg_threshold = wp.get_float("fg_threshold", 0.5)
         self.bg_threshold = wp.get_float("bg_threshold", 0.5)
         self.fg_fraction = wp.get_float("fg_fraction", 0.25)
-        self.mirror = wp.get_bool("mirror", False)
         self.mean_values = [float(v) for v in
-                            spec.param("transform_param").get_list("mean_value")] or [0.0]
+                            tp.get_list("mean_value")] or [0.0]
         self.phase = phase
         self.rng = np.random.RandomState(0)
         self.fg: List[Tuple[str, List[float]]] = []
@@ -287,7 +293,7 @@ class WindowDataSource(DataLayerSource):
             out = warped.astype(np.float32)
             mv = self.mean_values if len(self.mean_values) == 3 else self.mean_values * 3
             out = out - np.asarray(mv, np.float32)
-            if self.mirror and self.phase == "TRAIN" and self.rng.randint(2):
+            if self.mirror and self.rng.randint(2):  # no phase gate (ref :242)
                 out = out[:, ::-1]
             data.append(np.ascontiguousarray(out.transpose(2, 0, 1)))
             labels.append(cls)

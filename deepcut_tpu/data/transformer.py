@@ -50,7 +50,9 @@ class DataTransformer:
                 h_off = (h - cs) // 2
                 w_off = (w - cs) // 2
             out = out[:, h_off:h_off + cs, w_off:w_off + cs]
-        if self.mirror and self.phase == "TRAIN" and self.rng.randint(0, 2):
+        if self.mirror and self.rng.randint(0, 2):
+            # no phase gate: data_transformer.cpp:51 mirrors in ANY phase;
+            # only the crop offset is phase-dependent
             out = out[:, :, ::-1]
         if self.scale != 1.0:
             out = out * self.scale

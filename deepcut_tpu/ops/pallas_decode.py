@@ -91,5 +91,7 @@ def decode_pose_pallas(scoremaps: jax.Array, locref: jax.Array, *,
     off_j = off[idx, jnp.arange(J)]
     x = (col * stride + 0.5 * stride + off_j[:, 0] * locref_mul) / scale
     y = (row * stride + 0.5 * stride + off_j[:, 1] * locref_mul) / scale
-    return jnp.stack([x, y, conf, off_j[:, 0] * locref_mul / scale,
-                      off_j[:, 1] * locref_mul / scale], axis=0)
+    # rows 3-4 in the reference's (offset_y, offset_x) order — see
+    # pose/decode.py
+    return jnp.stack([x, y, conf, off_j[:, 1] * locref_mul / scale,
+                      off_j[:, 0] * locref_mul / scale], axis=0)

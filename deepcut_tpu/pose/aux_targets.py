@@ -249,6 +249,15 @@ def sticks_segmentation(
                                            int(mask.sum())):
             label[j, i, k] = 0.0
 
+    # cross-class negation (negate_all, segment_parts.cpp:252-254) runs
+    # BEFORE the torso rasterization: a cell positive for any other class
+    # forces non-positive classes (including the still-empty torso channel)
+    # to 0; the torso hull then OVERWRITES its channel with 1 inside the
+    # polygon, so stick channels keep their 1s across the torso region.
+    any_pos = (label == 1.0)
+    other_pos = any_pos.sum(axis=2, keepdims=True) - any_pos
+    label = np.where((other_pos > 0) & ~any_pos, 0.0, label)
+
     # torso: convex hull of extended shoulder/hip segment endpoints
     j1, j2 = np.round(joints[3]), np.round(joints[4])
     j3, j4 = np.round(joints[9]), np.round(joints[10])
@@ -281,10 +290,4 @@ def sticks_segmentation(
         for j, i in _sample_negatives_mask(rng, sm, sc_map_h, sc_map_w,
                                            int(mask.sum())):
             label[j, i, torso] = 0.0
-
-    # cross-class negation (negate_all): a cell positive for any other class
-    # forces non-positive classes to 0.
-    any_pos = (label == 1.0)
-    other_pos = any_pos.sum(axis=2, keepdims=True) - any_pos
-    label = np.where((other_pos > 0) & ~any_pos, 0.0, label)
     return label

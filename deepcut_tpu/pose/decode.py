@@ -7,7 +7,9 @@ fused with the forward pass, so only the 5x14 pose leaves the chip.
 Semantics (exact): per joint j, maxloc = argmax of scoremap[:, :, j];
 position = maxloc*8 + 4 + offset*sqrt(53); channels of loc_pred pair as
 (2j = x-offset, 2j+1 = y-offset); returned pose row layout is
-[x, y, confidence, offset_x, offset_y] with x/y/offsets divided by the
+[x, y, confidence, offset_y, offset_x] (the reference's order — it
+reuses the reversed pair, estimate_pose.py:137-142) with x/y/offsets
+divided by the
 pyramid scale.
 """
 
@@ -51,9 +53,13 @@ def decode_pose(
     off_j = off[idx, jnp.arange(J)]                     # (J, 2): [x_off, y_off]
     x = (col * STRIDE + 0.5 * STRIDE + off_j[:, 0] * LOCREF_SCALE) / scale
     y = (row * STRIDE + 0.5 * STRIDE + off_j[:, 1] * LOCREF_SCALE) / scale
+    # rows 3-4 are (offset_y, offset_x) — the reference emits the REVERSED
+    # offset pair it used for the (row, col) position math without undoing
+    # the reversal (estimate_pose.py:137-142: `offset = ...[::-1]` then
+    # `hstack((..., offset * _LOCREF_SCALE_MUL / scale))`)
     return jnp.stack([x, y, conf,
-                      off_j[:, 0] * LOCREF_SCALE / scale,
-                      off_j[:, 1] * LOCREF_SCALE / scale], axis=0)
+                      off_j[:, 1] * LOCREF_SCALE / scale,
+                      off_j[:, 0] * LOCREF_SCALE / scale], axis=0)
 
 
 def decode_pose_batch(scoremaps: jax.Array, locref: jax.Array, *, scale: float = 1.0) -> jax.Array:

@@ -43,7 +43,7 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
                       visualize: bool = True, folder_image_suffix: str = ".png",
                       average_scales: bool = False) -> int:
     from PIL import Image
-    from deepcut_tpu.pose.estimate import estimate_pose, _MODEL_CACHE
+    from deepcut_tpu.pose.estimate import estimate_pose
 
     if os.path.isdir(image_name):
         images = sorted(glob.glob(os.path.join(image_name, "*" + folder_image_suffix)))
@@ -65,9 +65,11 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
             rgb = np.asarray(im.convert("RGB"))
         image = rgb[:, :, ::-1]  # BGR (pose_demo.py:121)
         if average_scales:
-            estimate_pose(image, model_def, model_bin, [1.0])  # populate cache
-            est = next(iter(_MODEL_CACHE.values()))
-            pose = est.estimate_pose_avg(image, scales)
+            # look up by key — next(iter(cache)) could grab a DIFFERENT
+            # previously-cached model
+            from deepcut_tpu.pose.estimate import get_estimator
+            pose = get_estimator(model_def, model_bin).estimate_pose_avg(
+                image, scales)
         else:
             pose = estimate_pose(image, model_def, model_bin, list(scales))
         np.savez_compressed(out, pose=pose)

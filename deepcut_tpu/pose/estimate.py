@@ -12,9 +12,11 @@ TPU-native redesign:
 - static-shape bucketing: canvas sizes are rounded up to a bucket grid so a
   handful of compiled programs cover arbitrary image sizes, with the argmax
   masked to the true canvas (replaces Caffe's per-image Blob::Reshape);
-- the tiling fallback for huge inputs keeps the reference's exact overlap /
-  seam-trim arithmetic (rf=224, cut_off=rf/stride) but feeds tiles as one
-  batched tensor where shapes allow.
+- the tiling fallback for huge inputs keeps the reference's
+  receptive-field-overlap idea (rf=224, cut_off=rf/stride) but with
+  stride-aligned tile origins and an exact partition of the global cell
+  grid — the reference's 252-px tile step drifts 4 px off the stride-8 grid
+  and grows the map by one row/column per seam (see _tile_plan).
 """
 
 from __future__ import annotations
@@ -27,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepcut_tpu.models.resnet import DeeperCutConfig, deepercut_config, fold_bn, forward
+from deepcut_tpu.models.resnet import (
+    DeeperCutConfig, cast_params, deepercut_config, fold_bn, forward)
 from deepcut_tpu.pose.decode import decode_pose, STRIDE, LOCREF_SCALE
 
 MEAN_BGR = (104.0, 117.0, 123.0)  # estimate_pose.py:25
@@ -122,7 +125,14 @@ class PoseEstimator:
         (XLA halo-exchanges conv borders over ICI), replacing the host-side
         tiling loop (BASELINE config 5)."""
         self.cfg = cfg or deepercut_config(152)
-        self.params = fold_bn(params, self.cfg) if folded and _has_bn(params) else params
+        if folded:
+            if _has_bn(params):
+                params = fold_bn(params, self.cfg)
+            # pre-cast weights to the compute dtype: f32 weights would be
+            # re-read at 4 B/elem and cast inside EVERY forward (cast_params
+            # docstring) — this is half the serving weight HBM traffic
+            params = cast_params(params, self.cfg.compute_dtype)
+        self.params = params
         self.folded = folded
         self.bucket_step = bucket_step
         self.max_size = max_size
@@ -204,7 +214,8 @@ class PoseEstimator:
     # -- public API --------------------------------------------------------
     def estimate_pose(self, image: np.ndarray, scales: Optional[Sequence[float]] = None) -> np.ndarray:
         """image: HxWx3 BGR uint8 (or float). Returns the reference's 5x14
-        pose [x, y, conf, off_x, off_y], best scale by min-confidence."""
+        pose [x, y, conf, off_y, off_x] (reference row order), best scale by
+        min-confidence."""
         if scales is None:
             scales = [1.0]
         best_pose, best_conf = None, 0.0
@@ -347,8 +358,18 @@ class PoseEstimator:
         gh = ch // int(STRIDE)
         return sm[0][:gh], loc[0][:gh]
 
-    # -- tiling (reference arithmetic: estimate_pose.py:146-221) ----------
+    # -- tiling (estimate_pose.py:146-221, STRIDE-ALIGNED correction) -----
     def _scoremaps_tiled(self, image: np.ndarray, scale: float) -> Tuple[np.ndarray, np.ndarray]:
+        """Host-tiled HD scoremaps. The reference steps tiles by
+        max_size - 2*RF = 252 px, which is not a multiple of the stride-8
+        grid: every tile after the first computes cells offset 4 px from the
+        global grid, and the seam-trimmed concatenation carries one extra
+        row/column per seam (e.g. 134 vs 133 columns at canvas 1064). We
+        keep the reference's receptive-field-overlap idea but round the tile
+        step DOWN to a stride multiple and trim tiles to an exact partition
+        of the global cell grid, so the tiled result lands on the same grid
+        as (and, outside tile-boundary effects, equals) the full-frame
+        computation — tested in tests/test_estimate.py."""
         h, w = image.shape[:2]
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
         out_h = int(round((h + PAD_SIZE) * scale))
@@ -356,29 +377,20 @@ class PoseEstimator:
         canvas = np.asarray(
             preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)[0]
         )
-        cut_off = int(RF // STRIDE)
-        nty = _num_tiles(ch, self.max_size, RF)
-        ntx = _num_tiles(cw, self.max_size, RF)
+        plan_y = _tile_plan(ch, self.max_size)
+        plan_x = _tile_plan(cw, self.max_size)
         rows_sm, rows_loc = [], []
-        for j in range(nty):
-            sy = j * (self.max_size - 2 * RF)
-            ey = min(sy + self.max_size, ch)
+        for (sy, ey, ay, by) in plan_y:
             row_sm, row_loc = [], []
-            for i in range(ntx):
-                sx = i * (self.max_size - 2 * RF)
-                ex = min(sx + self.max_size, cw)
+            for (sx, ex, ax, bx) in plan_x:
                 tile = canvas[sy:ey, sx:ex]
                 th = int(math.ceil(tile.shape[0] / STRIDE) * STRIDE)
                 tw = int(math.ceil(tile.shape[1] / STRIDE) * STRIDE)
                 buf = np.zeros((th, tw, 3), np.float32)
                 buf[:tile.shape[0], :tile.shape[1]] = tile
                 sm, loc = self._forward_maps(th, tw)(self.params, jnp.asarray(buf)[None])
-                gh = -(-(ey - sy) // int(STRIDE))
-                gw = -(-(ex - sx) // int(STRIDE))
-                sm = np.asarray(sm[0], np.float32)[:gh, :gw]
-                loc = np.asarray(loc[0], np.float32)[:gh, :gw]
-                sm, loc = _cutoff(sm, ntx, i, cut_off, axis=1), _cutoff(loc, ntx, i, cut_off, axis=1)
-                sm, loc = _cutoff(sm, nty, j, cut_off, axis=0), _cutoff(loc, nty, j, cut_off, axis=0)
+                sm = np.asarray(sm[0], np.float32)[ay:by, ax:bx]
+                loc = np.asarray(loc[0], np.float32)[ay:by, ax:bx]
                 row_sm.append(sm)
                 row_loc.append(loc)
             rows_sm.append(np.concatenate(row_sm, axis=1))
@@ -391,7 +403,9 @@ def _has_bn(params: Dict) -> bool:
 
 
 def _num_tiles(length: int, max_size: int, rf: int) -> int:
-    """estimate_pose.py:146-156."""
+    """The reference's tile-count formula (estimate_pose.py:146-156).
+    Retained as a parity oracle (tests pin it); the tiled path itself uses
+    `_tile_plan`, whose stride-aligned step can need one more tile."""
     if length <= max_size:
         return 1
     k = 0
@@ -403,30 +417,38 @@ def _num_tiles(length: int, max_size: int, rf: int) -> int:
     return 2 + k
 
 
-def _cutoff(arr: np.ndarray, num_tiles: int, idx: int, cut: int, axis: int) -> np.ndarray:
-    """Seam trimming (estimate_pose.py:245-259): first tile keeps its leading
-    edge, last keeps its trailing edge, middles lose both."""
-    if num_tiles == 1:
-        return arr
-    sl = [slice(None)] * arr.ndim
-    if idx == 0:
-        sl[axis] = slice(None, -cut)
-    elif idx == num_tiles - 1:
-        sl[axis] = slice(cut, None)
-    else:
-        sl[axis] = slice(cut, -cut)
-    return arr[tuple(sl)]
+def _tile_plan(length: int, max_size: int) -> List[Tuple[int, int, int, int]]:
+    """Stride-aligned tiling plan: list of (start_px, end_px, keep_from_cell,
+    keep_to_cell) — keep ranges are tile-local and partition the global
+    ceil(length/STRIDE) cell grid exactly. Tile origins are multiples of
+    STRIDE (unlike the reference's 252-px step), and every kept cell has at
+    least RF pixels of context inside its tile except at the frame borders
+    (where the full-frame computation has none either — same contract as
+    estimate_pose.py's seam trim)."""
+    stride, rf = int(STRIDE), int(RF)
+    grid = -(-length // stride)
+    if length <= max_size:
+        return [(0, length, 0, grid)]
+    cut = rf // stride
+    step = ((max_size - 2 * rf) // stride) * stride
+    n = -(-(length - max_size) // step) + 1
+    plan = []
+    for i in range(n):
+        s = i * step
+        e = min(s + max_size, length)
+        o = s // stride
+        a = 0 if i == 0 else o + cut
+        b = grid if i == n - 1 else (i + 1) * step // stride + cut
+        plan.append((s, e, a - o, b - o))
+    return plan
 
 
 _MODEL_CACHE: Dict = {}
 
 
-def estimate_pose(image: np.ndarray, model_def: str = "", model_bin: str = "",
-                  scales: Optional[Sequence[float]] = None) -> np.ndarray:
-    """Reference-compatible convenience wrapper (estimate_pose.py:37).
-
-    model_bin may be a .caffemodel path; the model is cached module-globally
-    like the reference's _MODEL."""
+def get_estimator(model_def: str = "", model_bin: str = "") -> "PoseEstimator":
+    """Cached PoseEstimator for (model_def, model_bin) — the module-global
+    model cache of the reference (estimate_pose.py:69-75)."""
     key = (model_def, model_bin)
     if key not in _MODEL_CACHE:
         if model_bin:
@@ -437,4 +459,13 @@ def estimate_pose(image: np.ndarray, model_def: str = "", model_bin: str = "",
             from deepcut_tpu.models.resnet import init_params
             params = init_params(jax.random.PRNGKey(0), deepercut_config(152))
         _MODEL_CACHE[key] = PoseEstimator(params)
-    return _MODEL_CACHE[key].estimate_pose(image, scales)
+    return _MODEL_CACHE[key]
+
+
+def estimate_pose(image: np.ndarray, model_def: str = "", model_bin: str = "",
+                  scales: Optional[Sequence[float]] = None) -> np.ndarray:
+    """Reference-compatible convenience wrapper (estimate_pose.py:37).
+
+    model_bin may be a .caffemodel path; the model is cached module-globally
+    like the reference's _MODEL."""
+    return get_estimator(model_def, model_bin).estimate_pose(image, scales)

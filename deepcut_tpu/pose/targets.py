@@ -359,8 +359,9 @@ def rasterize(
             else:
                 scores[:, :, c] = (class_dist[:, :, c] <= cfg.fg_threshold).astype(np.float32)
 
-        skip_sample = (cls_arr == SKIP).any() and (scores[:, :, SKIP] > FG_SCORE_THRESH)
-        if isinstance(skip_sample, bool):
+        if (cls_arr == SKIP).any():
+            skip_sample = scores[:, :, SKIP] > FG_SCORE_THRESH
+        else:
             skip_sample = np.zeros((th, tw), bool)
         closest_score = np.take_along_axis(scores, closest_joint[..., None], axis=2)[..., 0]
         scores[:, :, 0] = 1.0 - closest_score
@@ -431,6 +432,8 @@ def rasterize(
                 next_w[:th, :tw, 2 * l] = np.where(active, 1.0, next_w[:th, :tw, 2 * l])
                 next_w[:th, :tw, 2 * l + 1] = next_w[:th, :tw, 2 * l]
 
+    if not n_entries:
+        _fill_background_empty(cfg, labels, th, tw, first)
     _fill_negatives_vec(cfg, labels, weights, sample_mask, min_distance,
                         num_positives, th, tw, rng, first)
     out = {
@@ -449,23 +452,52 @@ def rasterize(
     return out
 
 
+def _fill_background_empty(cfg, labels, th, tw, first):
+    """Zero-joint records: the reference's main cell loop still writes the
+    background one-hot to every cell when fg_fraction is unset (its min
+    distance is just FLT_MAX everywhere) — matching rasterize_reference.
+    With fg_fraction set, 0 positives -> 0 sampled negatives -> all IGNORE,
+    and weight_targets fills backgrounds itself in _fill_negatives_vec."""
+    if cfg.fg_fraction is None and not cfg.weight_targets:
+        onehot = np.zeros((cfg.num_classes + 1,), np.float32)
+        onehot[0] = 1.0
+        labels[:th, :tw] = onehot[first:][None, None, :]
+
+
 def _add_aux_targets(out, record, cfg, rng, scale, sh, sw, th, tw, ih, iw):
-    """RPN + sticks-segmentation tops (pose_data_layer.cpp:857-906)."""
-    if cfg.rpn and record.people:
-        from deepcut_tpu.pose.aux_targets import rpn_targets
-        cls, reg, reg_w = rpn_targets(
-            record.people[0], sh, sw, th, tw, scale=scale,
-            distance_threshold=cfg.rpn_distance_threshold, rng=rng)
+    """RPN + sticks-segmentation tops (pose_data_layer.cpp:857-906).
+
+    Emitted whenever the config enables them — the layer's top count is
+    fixed per prototxt, so a zero-person record must still produce the
+    blobs (all-IGNORE cls / zero reg, exactly what the reference's
+    prepareLabel pre-fill leaves when the rasterizers have nothing to do);
+    otherwise batches mixing empty and annotated records would misbind."""
+    from deepcut_tpu.pose.aux_targets import (
+        NUM_ANCHORS, NUM_REG_TARGS, NUM_SEGM_CLASSES, rpn_targets,
+        sticks_segmentation)
+
+    if cfg.rpn:
+        if record.people:
+            cls, reg, reg_w = rpn_targets(
+                record.people[0], sh, sw, th, tw, scale=scale,
+                distance_threshold=cfg.rpn_distance_threshold, rng=rng)
+        else:
+            cls = np.full((sh, sw, NUM_ANCHORS), IGNORE_VALUE, np.float32)
+            reg = np.zeros((sh, sw, NUM_ANCHORS * NUM_REG_TARGS), np.float32)
+            reg_w = np.zeros_like(reg)
         out["rpn_cls_targets"] = cls
         out["rpn_reg_targets"] = reg
         out["rpn_reg_weights"] = reg_w
-    if cfg.segmentation and record.people:
-        from deepcut_tpu.pose.aux_targets import sticks_segmentation
+    if cfg.segmentation:
         seg_h = math.ceil(ih / cfg.segmentation_stride)
         seg_w = math.ceil(iw / cfg.segmentation_stride)
-        out["segm_cls_targets"] = sticks_segmentation(
-            record.people[0], seg_h, seg_w, scale=scale,
-            segm_stride=cfg.segmentation_stride, rng=rng)
+        if record.people:
+            out["segm_cls_targets"] = sticks_segmentation(
+                record.people[0], seg_h, seg_w, scale=scale,
+                segm_stride=cfg.segmentation_stride, rng=rng)
+        else:
+            out["segm_cls_targets"] = np.full(
+                (seg_h, seg_w, NUM_SEGM_CLASSES), IGNORE_VALUE, np.float32)
 
 
 def rasterize_native(
@@ -539,6 +571,8 @@ def rasterize_native(
             sample_mask_u8.reshape(-1), min_distance.reshape(-1),
         )
     sample_mask = sample_mask_u8.astype(bool)
+    if not n:
+        _fill_background_empty(cfg, labels, th, tw, 1 if cfg.no_bg_class else 0)
     _fill_negatives_vec(cfg, labels, weights, sample_mask, min_distance,
                         num_positives, th, tw, rng, 1 if cfg.no_bg_class else 0)
     out = {

@@ -88,10 +88,16 @@ def test_sticks_segmentation():
     # values restricted to {0, 1, IGNORE}
     vals = set(np.unique(lab))
     assert vals <= {0.0, 1.0, IGNORE_VALUE}
-    # cross-class negation: wherever some class is 1, others are 0 or 1 (not ignore)
-    any_pos = (lab == 1.0).any(axis=2)
-    others_ign = (lab == IGNORE_VALUE) & any_pos[:, :, None]
+    # cross-class negation runs BEFORE the torso rasterization
+    # (segment_parts.cpp:252 then :259-317): at STICK-positive cells no
+    # channel stays IGNORE; at torso-ONLY cells the stick channels DO stay
+    # IGNORE (the reference never revisits them after the hull pass).
+    stick_pos = (lab[:, :, :-1] == 1.0).any(axis=2)
+    others_ign = (lab == IGNORE_VALUE) & stick_pos[:, :, None]
     assert not others_ign.any()
+    torso_only = (lab[:, :, -1] == 1.0) & ~stick_pos
+    assert torso_only.any()
+    assert (lab[:, :, :-1][torso_only] == IGNORE_VALUE).any()
 
 
 def test_sticks_missing_joints():

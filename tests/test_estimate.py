@@ -113,3 +113,43 @@ def test_estimate_pose_batch_matches_single():
     for i, f in enumerate(frames):
         single = est._estimate_single_scale(f, 1.0)
         np.testing.assert_allclose(batch[i], single, rtol=1e-4, atol=1e-4)
+
+
+def test_tile_plan_partitions_grid_exactly():
+    """_tile_plan: stride-aligned origins, exact partition of the global
+    cell grid, >=RF context for kept cells (the reference's 252-px step has
+    misaligned origins and an extra row per seam — corrected here)."""
+    from deepcut_tpu.pose.estimate import _tile_plan, RF
+    from deepcut_tpu.pose.decode import STRIDE
+
+    stride = int(STRIDE)
+    for length, max_size in [(1064, 700), (2048, 700), (720, 700),
+                             (3000, 700), (620 + 64, 500), (701, 700)]:
+        plan = _tile_plan(length, max_size)
+        grid = -(-length // stride)
+        covered = []
+        for (s, e, a, b) in plan:
+            assert s % stride == 0, "tile origin must sit on the cell grid"
+            assert e - s <= max_size
+            covered.extend(range(s // stride + a, s // stride + b))
+            # kept cells have RF context inside the tile except at borders
+            if s > 0:
+                assert a * stride >= int(RF)
+            if e < length:
+                assert (e - s) - (b * stride) >= int(RF) - stride
+        assert covered == list(range(grid)), (length, max_size, plan)
+
+
+def test_tiled_equals_untiled_misaligned_max_size():
+    """max_size=500 gives the reference step 52 px (NOT stride-aligned, the
+    production-700 failure mode); the corrected plan must still reproduce
+    the full-frame grid exactly."""
+    est_full = _estimator(max_size=4000)
+    est_tiled = _estimator(max_size=500)
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (330, 620, 3), np.uint8)
+    sm_full, loc_full = est_full.scoremaps(img)
+    sm_tile, loc_tile = est_tiled.scoremaps(img)
+    assert sm_full.shape == sm_tile.shape
+    np.testing.assert_allclose(sm_tile, sm_full, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(loc_tile, loc_full, rtol=5e-4, atol=5e-4)

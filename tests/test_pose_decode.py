@@ -15,9 +15,11 @@ def _reference_decode(scoremat, offmat, scale):
         offset = offmat[maxloc][j][::-1]          # -> (y_off, x_off)
         pos_f8 = (np.array(maxloc, float) * STRIDE + 0.5 * STRIDE
                   + offset * LOCREF_SCALE)
+        # NOTE: the reference hstacks `offset` (the REVERSED (y, x) pair)
+        # without a second [::-1] — rows 3-4 are (offset_y, offset_x)
         pose.append(np.hstack((pos_f8[::-1] / scale,
                                [scoremat[maxloc][j]],
-                               offset[::-1] * LOCREF_SCALE / scale)))
+                               offset * LOCREF_SCALE / scale)))
     return np.array(pose).T
 
 

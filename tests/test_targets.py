@@ -88,3 +88,63 @@ def test_positive_cell_semantics():
         out["locref_targets"][12, 11, 4:6],
         [8.0 / np.sqrt(53.0), 0.0], rtol=1e-6,
     )
+
+
+def test_empty_record_background_parity():
+    """Zero-joint records: the reference's cell loop writes the background
+    one-hot everywhere when fg_fraction is unset; rasterize/rasterize_native
+    must agree with rasterize_reference instead of returning all-IGNORE."""
+    from deepcut_tpu.pose.targets import rasterize_native, IGNORE_VALUE
+
+    rec = ImageRecord("x.png", 3, 96, 128, [])
+    for cfg in (TargetConfig(soft_labels=False, location_refinement=True),
+                TargetConfig(soft_labels=False, fg_fraction=0.25,
+                             location_refinement=True),
+                TargetConfig(soft_labels=False, weight_targets=True,
+                             fg_fraction=0.25, location_refinement=True)):
+        ref = rasterize_reference(rec, cfg, rng=np.random.RandomState(3),
+                                  scale=1.0)
+        vec = rasterize(rec, cfg, rng=np.random.RandomState(3), scale=1.0)
+        nat = rasterize_native(rec, cfg, rng=np.random.RandomState(3),
+                               scale=1.0)
+        for k in ref:
+            np.testing.assert_array_equal(vec[k], ref[k], err_msg=k)
+            np.testing.assert_array_equal(nat[k], ref[k], err_msg=k)
+    # fg_fraction=None: every in-image cell is supervised background
+    cfg = TargetConfig(soft_labels=False, location_refinement=True)
+    out = rasterize(rec, cfg, rng=np.random.RandomState(0), scale=1.0)
+    lab = out["part_score_targets"]
+    th, tw = -(-96 // 8), -(-128 // 8)
+    assert (lab[:th, :tw, 0] == 1.0).all()
+    assert (lab[:th, :tw, 1:] == 0.0).all()
+
+
+def test_mixed_empty_batch_rpn_segmentation():
+    """Batches mixing zero-person and annotated records must emit the full
+    top set (rpn/segm blobs are part of the layer contract) in either
+    order."""
+    from deepcut_tpu.data.pipeline import PoseDataSource
+
+    cfg = TargetConfig(soft_labels=False, location_refinement=True,
+                       rpn=True, segmentation=True)
+    rng = np.random.RandomState(5)
+    rec_full = _record(rng)
+    rec_empty = ImageRecord("y.png", 3, 160, 200, [])
+
+    def loader(path):
+        return np.zeros((160, 200, 3), np.uint8)
+
+    for order in ([rec_empty, rec_full], [rec_full, rec_empty]):
+        src = PoseDataSource(order, cfg, seed=1, image_loader=loader,
+                             bucket_step=32)
+        batch = src.next_batch(8)  # 8 draws: both record kinds appear w.h.p.
+        assert "rpn_cls_targets" in batch and "segm_cls_targets" in batch
+        assert batch["rpn_cls_targets"].shape[0] == 8
+        assert batch["segm_cls_targets"].shape[0] == 8
+        # both kinds really were drawn: only annotated records can put a 1
+        # in a JOINT channel of the part scoremaps (empty records are pure
+        # background one-hot); RPN positives depend on the contour centroid
+        # so they are not a reliable discriminator
+        has_joint = np.array([(batch["part_score_targets"][i][..., 1:] == 1).any()
+                              for i in range(8)])
+        assert has_joint.any() and not has_joint.all()
