@@ -264,10 +264,12 @@ class Net:
         import jax
         from deepcut_tpu.proto.caffemodel import save_caffemodel, save_hdf5_weights
         host = jax.tree_util.tree_map(np.asarray, self._net.params)
+        dn = self._net.deconv_names()
         if path.endswith((".h5", ".hdf5")):
-            save_hdf5_weights(path, host)
+            save_hdf5_weights(path, host, deconv_names=dn)
         else:
-            save_caffemodel(path, host, net_name=self._net.name)
+            save_caffemodel(path, host, net_name=self._net.name,
+                            deconv_names=dn)
 
     def reshape(self) -> None:  # shape inference is automatic under jit
         pass

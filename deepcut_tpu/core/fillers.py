@@ -42,9 +42,11 @@ def fill(node: PbNode, rng: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
         w = mean + std * jax.random.normal(rng, shape, jnp.float32)
         sparse = node.get_int("sparse", -1)
         if sparse > 0 and len(shape) >= 1:
-            # Caffe: bernoulli mask with non-zero probability sparse/fan_out.
-            fan_in, _ = _fans(shape)
-            prob = min(1.0, float(sparse) / max(fan_in, 1))
+            # Caffe: bernoulli mask with probability sparse / num_outputs,
+            # num_outputs = blob->shape(0) in CAFFE layout (filler.hpp:82-83)
+            # = Cout, which is the LAST axis of our HWIO conv weights.
+            num_outputs = shape[3] if len(shape) == 4 else shape[0]
+            prob = min(1.0, float(sparse) / max(num_outputs, 1))
             mask = jax.random.bernoulli(jax.random.fold_in(rng, 1), prob, shape)
             w = w * mask
         return w

@@ -308,8 +308,17 @@ class Net:
             for i, (key, shape, filler) in enumerate(pspec):
                 decl = pdecls[i] if i < len(pdecls) else {}
                 shared = decl.get("name", "")
-                self._lr_mults.setdefault(name, {})[key] = decl.get("lr_mult", 1.0)
-                self._decay_mults.setdefault(name, {})[key] = decl.get("decay_mult", 1.0)
+                if spec is not None and spec.type == "BatchNorm":
+                    # batch_norm_layer.cpp:29-37 HARD-forces lr_mult=0 on
+                    # mean/var/scale_factor regardless of the prototxt (the
+                    # stats move only via the moving-average update; SGD on
+                    # them would corrupt frozen use_global_stats nets)
+                    lr_mult, decay_mult = 0.0, 0.0
+                else:
+                    lr_mult = decl.get("lr_mult", 1.0)
+                    decay_mult = decl.get("decay_mult", 1.0)
+                self._lr_mults.setdefault(name, {})[key] = lr_mult
+                self._decay_mults.setdefault(name, {})[key] = decay_mult
                 if shared and shared in owners:
                     self._aliases.setdefault(name, {})[key] = owners[shared]
                     continue
@@ -343,11 +352,16 @@ class Net:
         new_plan: List[Tuple[Callable, LayerSpec]] = []
         folded = 0
         i = 0
+        # layers whose blobs OTHER layers alias: folding into the owner would
+        # silently rescale every aliasing layer too (net.cpp ShareWeights)
+        shared_owners = {ol for amap in getattr(self, "_aliases", {}).values()
+                         for (ol, _ok) in amap.values()}
         while i < len(plan):
             fn, spec = plan[i]
             top = spec.tops[0] if spec.tops else None
             bn_item = sc_item = None
-            if spec.type in ("Convolution", "Deconvolution") and top is not None:
+            if (spec.type in ("Convolution", "Deconvolution") and top is not None
+                    and spec.name not in shared_owners):
                 j = i + 1
                 if j < len(plan):
                     f2, s2 = plan[j]
@@ -436,6 +450,11 @@ class Net:
         if not self.params:
             self._ensure_params({nm: tuple(v.shape) for nm, v in dev_inputs.items()})
 
+        # layers whose 'w' other layers alias: quantizing the OWNER would
+        # delete the float 'w' the aliases resolve (net.cpp ShareWeights)
+        shared_owners = {ol for amap in getattr(self, "_aliases", {}).values()
+                         for (ol, _ok) in amap.values()}
+
         # 1. eager calibration pass, recording conv input absmax
         blobs: Dict[str, jax.Array] = dict(dev_inputs)
         act_scales: Dict[str, float] = {}
@@ -444,6 +463,7 @@ class Net:
             geom = (L.conv_geometry(spec.param("convolution_param"))
                     if spec.type == "Convolution" else None)
             if (geom is not None
+                    and spec.name not in shared_owners
                     and "w" in self.params.get(spec.name, {})
                     and geom["groups"] == 1
                     # _conv_i8 takes square geometry; rectangular stays float
@@ -806,10 +826,23 @@ class Net:
                 info[f"param:{lname}/{k}"] = float(np.mean(np.abs(arr)))
         return info
 
+    def deconv_names(self) -> List[str]:
+        """Deconvolution layer names — needed by the .caffemodel/.h5 writers
+        (deconv weights use Caffe's (Cin,Cout/g,kh,kw) blob order, the
+        transpose of conv's (Cout,Cin/g,kh,kw))."""
+        return [s.name for _, s in self._plan if s.type == "Deconvolution"]
+
     def output_names(self) -> List[str]:
-        """Blobs produced but never consumed (reference: net.cpp:267-274)."""
-        produced, consumed = [], set()
+        """Blobs left 'available' after wiring, i.e. produced and not
+        consumed by a LATER layer (net.cpp:267-274 with AppendTop/Bottom
+        semantics: an in-place top is removed as a bottom and re-added as a
+        top, so a net ENDING in an in-place layer still reports that blob)."""
+        available: List[str] = []
         for _, spec in self._plan:
-            consumed.update(spec.bottoms)
-            produced.extend(t for t in spec.tops if t not in spec.bottoms)
-        return [t for t in produced if t not in consumed]
+            for b in spec.bottoms:
+                if b in available:
+                    available.remove(b)
+            for t in spec.tops:
+                if t not in available:
+                    available.append(t)
+        return available

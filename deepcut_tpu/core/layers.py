@@ -727,8 +727,26 @@ def _contrastive_loss(spec, phase, compute_dtype):
 
 @register("InfogainLoss")
 def _infogain_loss(spec, phase, compute_dtype):
+    # 2-bottom form: H comes from infogain_loss_param.source, a BlobProto
+    # file read once at setup (infogain_loss_layer.cpp LayerSetUp);
+    # 3-bottom form: H is the third bottom.
+    H_static = None
+    src = spec.param("infogain_loss_param").get_str("source", "")
+    if src:
+        from deepcut_tpu.io import blobproto_bytes_to_array
+        with open(src, "rb") as f:
+            H_static = jnp.squeeze(jnp.asarray(
+                blobproto_bytes_to_array(f.read()), jnp.float32))
+
     def fn(p, bottoms):
-        H = bottoms[2] if len(bottoms) > 2 else p["H"]
+        if len(bottoms) > 2:
+            H = bottoms[2]
+        elif H_static is not None:
+            H = H_static
+        else:
+            raise ValueError(
+                "InfogainLoss needs a third bottom or "
+                "infogain_loss_param.source (infogain_loss_layer.cpp)")
         return loss_ops.infogain_loss(bottoms[0], _label_squeeze(bottoms[1]), H)
     return fn
 
@@ -814,7 +832,10 @@ def _python_layer(spec, phase, compute_dtype):
       - optional ``setup(self, param_str)`` — runs once at build;
       - optional ``backward(self, grad_top, *bottoms) -> grad_bottoms`` —
         installed as a jax.custom_vjp (otherwise autodiff differentiates
-        forward directly — usually what you want);
+        forward directly — usually what you want). For layers with
+        learnable blobs, backward may take a ``params`` kwarg and return
+        the param-gradient dict as a trailing tuple element; without it,
+        params receive ZERO gradients under the custom rule;
       - optional ``param_spec(self, bottom_shapes) -> [(key, shape,
         filler_node|None)]`` to declare learnable blobs, passed to forward
         as a ``params`` keyword argument.
@@ -831,27 +852,45 @@ def _python_layer(spec, phase, compute_dtype):
     wants_params = "params" in inspect.signature(fwd).parameters
 
     if hasattr(inst, "backward") and callable(inst.backward):
-        @jax.custom_vjp
-        def call(*bottoms):
-            return fwd(*bottoms)
+        # custom backward: the VJP covers (params, *bottoms) so it also
+        # applies to layers with learnable blobs. backward may accept a
+        # `params` kwarg, and may return param grads as a trailing dict
+        # (otherwise params get zero gradients under the custom rule).
+        bwd_wants_params = "params" in inspect.signature(inst.backward).parameters
 
-        def call_fwd(*bottoms):
-            return fwd(*bottoms), bottoms
+        def _run(p, bottoms):
+            return fwd(*bottoms, params=p) if wants_params else fwd(*bottoms)
+
+        @jax.custom_vjp
+        def call(p, *bottoms):
+            return _run(p, bottoms)
+
+        def call_fwd(p, *bottoms):
+            return _run(p, bottoms), (p, bottoms)
 
         def call_bwd(res, g):
-            grads = inst.backward(g, *res)
+            p, bottoms = res
+            grads = (inst.backward(g, *bottoms, params=p) if bwd_wants_params
+                     else inst.backward(g, *bottoms))
+            param_grads = None
+            if isinstance(grads, tuple) and grads and isinstance(grads[-1], dict):
+                param_grads = grads[-1]
+                grads = grads[:-1]
             if not isinstance(grads, (tuple, list)):
                 grads = (grads,)
-            return tuple(grads)
+            if param_grads is None:
+                param_grads = jax.tree_util.tree_map(jnp.zeros_like, p)
+            return (param_grads, *grads)
 
         call.defvjp(call_fwd, call_bwd)
-    else:
-        call = fwd
 
-    def fn(p, bottoms):
-        if wants_params:
-            return fwd(*bottoms, params=p)
-        return call(*bottoms)
+        def fn(p, bottoms):
+            return call(p or {}, *bottoms)
+    else:
+        def fn(p, bottoms):
+            if wants_params:
+                return fwd(*bottoms, params=p)
+            return fwd(*bottoms)
     return fn
 
 
@@ -869,14 +908,38 @@ def _dummy_data(spec, phase, compute_dtype):
         shapes.append(shapes[-1] if shapes else (1,))
     fills = dp.get_list("data_filler")
 
-    def fn(p, bottoms):
+    ftypes = [f.get_str("type", "constant") for f in fills] or ["constant"]
+    any_random = any(t not in ("constant",) for t in ftypes)
+
+    def fn(p, bottoms, rng=None):
         outs = []
         for i in range(n_top):
             shape = shapes[i]
             if len(shape) == 4:
                 shape = (shape[0], shape[2], shape[3], shape[1])
             filler = fills[min(i, len(fills) - 1)] if fills else PbNode()
-            val = filler.get_float("value", 0.0) if filler.get_str("type", "constant") == "constant" else 0.0
-            outs.append(jnp.full(shape, val, jnp.float32))
+            ftype = filler.get_str("type", "constant")
+            if ftype == "constant" or rng is None:
+                # non-constant fillers degrade to zeros without a key (plain
+                # net.forward outside a train step)
+                val = (filler.get_float("value", 0.0)
+                       if ftype == "constant" else 0.0)
+                outs.append(jnp.full(shape, val, jnp.float32))
+            else:
+                # dummy_data_layer.cpp refills NON-constant fillers every
+                # forward; the executor's per-layer per-step key drives it
+                sub = jax.random.fold_in(rng, i)
+                if ftype == "gaussian":
+                    outs.append(filler.get_float("mean", 0.0) +
+                                filler.get_float("std", 1.0) *
+                                jax.random.normal(sub, shape, jnp.float32))
+                elif ftype == "uniform":
+                    lo = filler.get_float("min", 0.0)
+                    hi = filler.get_float("max", 1.0)
+                    outs.append(jax.random.uniform(
+                        sub, shape, jnp.float32, lo, hi))
+                else:
+                    outs.append(fillers.fill(filler, sub, shape))
         return outs
+    fn.needs_rng = any_random
     return fn

@@ -23,6 +23,12 @@ def eltwise_sum(inputs: Sequence[jax.Array], coeffs: Optional[Sequence[float]] =
         for t in inputs[1:]:
             out = out + t
         return out
+    if len(coeffs) != len(inputs):
+        # eltwise_layer.cpp:18-20 CHECKs coeff count == bottom count (or 0);
+        # silently zipping would drop inputs
+        raise ValueError(
+            f"Eltwise SUM: {len(coeffs)} coeffs for {len(inputs)} bottoms "
+            "(must match or be omitted)")
     out = None
     for t, c in zip(inputs, coeffs):
         term = t if c == 1.0 else t * jnp.asarray(c, t.dtype)

@@ -64,7 +64,11 @@ def argmax_op(x: jax.Array, *, axis: Optional[int] = None, top_k: int = 1, out_m
             vals = -jnp.sort(-flat, axis=1)[:, :top_k]
             return jnp.stack([idx, vals], axis=1)
         return idx[:, None, :]
-    idx = jnp.argmax(x, axis=axis)
+    # with axis the output KEEPS the axis, resized to top_k
+    # (argmax_layer.cpp:38-41: shape[axis] = top_k)
+    xm = jnp.moveaxis(x, axis, -1)
+    order = jnp.argsort(-xm, axis=-1)[..., :top_k]
     if out_max_val:
-        return jnp.max(x, axis=axis)
-    return idx.astype(jnp.float32)
+        vals = jnp.take_along_axis(xm, order, axis=-1)
+        return jnp.moveaxis(vals, -1, axis)
+    return jnp.moveaxis(order.astype(jnp.float32), -1, axis)

@@ -69,7 +69,9 @@ def _sigmoid_ce_elem(x: jax.Array, t: jax.Array) -> jax.Array:
     return -(x * (t - pos) - jnp.log1p(jnp.exp(x - 2.0 * x * pos)))
 
 
-@jax.custom_vjp
+_SLV_CACHE: dict = {}
+
+
 def softmax_loss_vec(
     scores: jax.Array,
     labels: jax.Array,
@@ -88,9 +90,16 @@ def softmax_loss_vec(
     Forward normaliser: max(count, 100) if normalize else N
     (softmax_loss_vec_layer.cpp:143-147);
     backward normaliser: max(weight_sum or count, 100).
+
+    Dispatches to a per-config custom_vjp wrapper (make_softmax_loss_vec):
+    custom_vjp cannot close over keyword-static args directly.
     """
-    return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
-                    no_softmax=no_softmax, normalize=normalize)[0]
+    key = (cross_entropy, no_softmax, normalize)
+    if key not in _SLV_CACHE:
+        _SLV_CACHE[key] = make_softmax_loss_vec(
+            cross_entropy=cross_entropy, no_softmax=no_softmax,
+            normalize=normalize)
+    return _SLV_CACHE[key](scores, labels, weights)
 
 
 def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize):

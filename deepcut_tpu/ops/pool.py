@@ -96,9 +96,15 @@ def stochastic_pool2d(
 ) -> jax.Array:
     """STOCHASTIC pooling (pooling_layer.cu): train = sample a window element
     with probability proportional to its (non-negative) activation; test =
-    activation-weighted average (sum(a^2)/sum(a))."""
-    kh, kw = _pair(kernel)
-    sh, sw = _pair(stride)
+    activation-weighted average (sum(a^2)/sum(a)).
+
+    Caffe forbids padding for STOCHASTIC but still uses CEIL-mode output
+    sizing (pooling_layer.cpp): zero-pad bottom/right so partial edge
+    windows exist — zeros add nothing to the sums and are never sampled."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    (kh, kw), (sh, sw), _, pad_h, pad_w, _ = _geometry(h, w, kernel, stride, 0)
+    if pad_h[1] or pad_w[1]:
+        x = jnp.pad(x, ((0, 0), (0, pad_h[1]), (0, pad_w[1]), (0, 0)))
     xf = x.astype(jnp.float32)
     dims = (1, kh, kw, 1)
     strides = (1, sh, sw, 1)

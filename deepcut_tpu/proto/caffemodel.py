@@ -26,11 +26,15 @@ from deepcut_tpu.proto import wire
 
 
 class Blob:
-    __slots__ = ("shape", "data")
+    __slots__ = ("shape", "data", "legacy")
 
-    def __init__(self, shape: Tuple[int, ...], data: np.ndarray):
+    def __init__(self, shape: Tuple[int, ...], data: np.ndarray,
+                 legacy: bool = False):
         self.shape = tuple(int(s) for s in shape)
         self.data = np.asarray(data, np.float32).reshape(self.shape)
+        # True when the shape came from the V0-era num/channels/height/width
+        # fields (always rank-4, 1-padded) rather than an explicit BlobShape
+        self.legacy = legacy
 
 
 def _decode_blob(buf: bytes) -> Blob:
@@ -52,7 +56,7 @@ def _decode_blob(buf: bytes) -> Blob:
         data = np.zeros((0,), np.float32)
     if not shape:
         shape = (len(data),)
-    return Blob(shape, data)
+    return Blob(shape, data, legacy=7 not in fields)
 
 
 def _decode_layer(buf: bytes) -> Tuple[str, str, List[Blob]]:
@@ -135,10 +139,13 @@ def blobs_to_params(
     for name, blobs in blobs_by_name.items():
         # Legacy V0 blobs are always 4-D ((1,1,1,C) vectors, (1,1,N,K) IP
         # weights — blob.cpp legacy shape); squeeze the unit leading dims so
-        # the layout heuristics below see canonical ranks.
+        # the layout heuristics below see canonical ranks. Only blobs that
+        # actually used the legacy num/channels fields are squeezed: a
+        # MODERN (1,1,kh,kw) conv weight (Cin=Cout=1) must stay rank-4.
         canon = []
         for b in blobs:
-            if len(b.shape) == 4 and b.shape[0] == 1 and b.shape[1] == 1:
+            if (getattr(b, "legacy", False) and len(b.shape) == 4
+                    and b.shape[0] == 1 and b.shape[1] == 1):
                 new_shape = b.shape[3:] if b.shape[2] == 1 else b.shape[2:]
                 b = Blob(new_shape, b.data.reshape(new_shape))
             canon.append(b)
@@ -240,8 +247,12 @@ def encode_netparameter(
     return enc.tobytes()
 
 
-def _entry_to_blobs(name: str, entry: Dict[str, np.ndarray]) -> List[np.ndarray]:
-    """Native param entry -> ordered Caffe blob list (inverse of blobs_to_params)."""
+def _entry_to_blobs(name: str, entry: Dict[str, np.ndarray],
+                    deconv_names=()) -> List[np.ndarray]:
+    """Native param entry -> ordered Caffe blob list (inverse of
+    blobs_to_params). `deconv_names`: layers whose 4-D weight uses the
+    deconv layout (kh,kw,Cin,Cout/g) -> Caffe (Cin,Cout/g,kh,kw); the
+    res5c_up_ prefix covers the native DeeperCut head naming."""
     if "mean" in entry:
         return [np.asarray(entry["mean"]), np.asarray(entry["var"]),
                 np.asarray(entry["scale_factor"])]
@@ -253,7 +264,7 @@ def _entry_to_blobs(name: str, entry: Dict[str, np.ndarray]) -> List[np.ndarray]
     if "w" in entry:
         w = np.asarray(entry["w"])
         if w.ndim == 4:
-            if name.startswith("res5c_up_"):
+            if name in deconv_names or name.startswith("res5c_up_"):
                 w = w.transpose(2, 3, 0, 1)  # native deconv -> Caffe
             else:
                 w = w.transpose(3, 2, 0, 1)  # HWIO -> Caffe OIHW
@@ -264,17 +275,21 @@ def _entry_to_blobs(name: str, entry: Dict[str, np.ndarray]) -> List[np.ndarray]
     return [np.asarray(v) for v in entry.values()]
 
 
-def save_hdf5_weights(path: str, params: Dict[str, Dict[str, np.ndarray]]) -> None:
+def save_hdf5_weights(path: str, params: Dict[str, Dict[str, np.ndarray]],
+                      *, deconv_names=()) -> None:
     """Write weights in Caffe's HDF5 layout (Net::ToHDF5, net.cpp:948-980):
     group 'data' -> one group per layer -> datasets '0', '1', ... in Caffe
-    blob layouts — interchangeable with reference `.caffemodel.h5` files."""
+    blob layouts — interchangeable with reference `.caffemodel.h5` files.
+    `deconv_names`: Deconvolution layer names (their 4-D weights export in
+    Caffe's (Cin,Cout/g,kh,kw) order)."""
     import h5py
 
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
         for name, entry in params.items():
             g = data.create_group(name)
-            for i, blob in enumerate(_entry_to_blobs(name, entry)):
+            for i, blob in enumerate(
+                    _entry_to_blobs(name, entry, deconv_names)):
                 g.create_dataset(str(i), data=np.asarray(blob, np.float32))
 
 
@@ -326,11 +341,13 @@ def decode_solverstate(buf: bytes) -> Tuple[int, str, List[Blob], int]:
 
 
 def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *,
-                    net_name: str = "net", container: str = "v2") -> None:
-    """Write the native pytree back to a reference-readable .caffemodel."""
+                    net_name: str = "net", container: str = "v2",
+                    deconv_names=()) -> None:
+    """Write the native pytree back to a reference-readable .caffemodel.
+    `deconv_names`: Deconvolution layer names (Caffe deconv weight order)."""
     layers: "OrderedDict[str, List[np.ndarray]]" = OrderedDict()
     for name, entry in params.items():
-        blobs = _entry_to_blobs(name, entry)
+        blobs = _entry_to_blobs(name, entry, deconv_names)
         if blobs:
             layers[name] = blobs
     with open(path, "wb") as f:

@@ -291,6 +291,10 @@ class GraphSolver:
             if self.signals.stop_requested:
                 self.log(f"Optimization stopped by signal at iter {self.iter}.")
                 break
+            if self.signals.snapshot_requested:  # SIGHUP (solver.cpp:262-273)
+                self.net.params = params
+                self.snapshot()
+                self.signals.snapshot_requested = False
             if cfg.test_interval and self.iter % cfg.test_interval == 0:
                 self.net.params = params
                 self.log(f"Iteration {self.iter}, Testing net")
@@ -335,12 +339,13 @@ class GraphSolver:
                 save_caffemodel, save_hdf5_weights, encode_solverstate)
             prefix = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}"
             host_params = jax.tree_util.tree_map(np.asarray, self.net.params)
+            dn = self.net.deconv_names()
             if self.params_cfg.snapshot_format.upper() == "HDF5":
                 model_path = f"{prefix}.caffemodel.h5"
-                save_hdf5_weights(model_path, host_params)
+                save_hdf5_weights(model_path, host_params, deconv_names=dn)
             else:
                 model_path = f"{prefix}.caffemodel"
-                save_caffemodel(model_path, host_params)
+                save_caffemodel(model_path, host_params, deconv_names=dn)
             with open(f"{prefix}.solverstate", "wb") as f:
                 f.write(encode_solverstate(
                     self.iter, self._state_blobs(), learned_net=model_path))

@@ -1,0 +1,330 @@
+"""Regression tests for the round-2 adversarial-review findings in
+core/solver/ops/proto: frozen BN stats, shared-weight fold/quantize guards,
+in-place output_names, module-level softmax_loss_vec, deconv save layout,
+V0-squeeze guard, Python layer params+backward, InfogainLoss source,
+SIGHUP snapshot, ArgMax axis top_k, eltwise coeff check, DummyData refill,
+sparse filler, stochastic ceil-mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.proto import text_format
+
+
+def test_bn_stats_frozen_under_training():
+    """batch_norm_layer.cpp hard-forces lr_mult=0 on mean/var/scale_factor;
+    SGD + weight decay must not move them."""
+    from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+    proto = """
+    input: "data" input_shape { dim: 2 dim: 3 dim: 6 dim: 6 }
+    input: "label" input_shape { dim: 2 }
+    layer { name: "conv" type: "Convolution" bottom: "data" top: "c"
+      convolution_param { num_output: 4 kernel_size: 3
+        weight_filler { type: "gaussian" std: 0.2 } } }
+    layer { name: "bn" type: "BatchNorm" bottom: "c" top: "c"
+      batch_norm_param { use_global_stats: true } }
+    layer { name: "ip" type: "InnerProduct" bottom: "c" top: "ip"
+      inner_product_param { num_output: 2 weight_filler { type: "xavier" } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+      top: "loss" }
+    """
+    net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    cfg = SolverConfig(solver_type="SGD", base_lr=0.1, momentum=0.9,
+                       weight_decay=0.01)
+    step = net.make_train_step(cfg)
+    params, state = net.params, init_state(cfg, net.params)
+    before = {k: np.asarray(v).copy() for k, v in params["bn"].items()}
+    x = {"data": jnp.asarray(np.random.RandomState(0).randn(2, 6, 6, 3),
+                             jnp.float32),
+         "label": jnp.asarray(np.array([0, 1], np.float32))}
+    for _ in range(3):
+        params, state, _ = step(params, state, x)
+    for k, v in before.items():
+        np.testing.assert_array_equal(np.asarray(params["bn"][k]), v,
+                                      err_msg=f"bn stat {k} moved")
+    # the conv DID train (freeze is BN-specific, not a global stall)
+    assert not np.allclose(np.asarray(params["conv"]["w"]),
+                           np.asarray(net.params["conv"]["w"]))
+
+
+SHARED_PROTO = """
+input: "data" input_dim: 1 input_dim: 3 input_dim: 8 input_dim: 8
+layer { name: "convA" type: "Convolution" bottom: "data" top: "a"
+  param { name: "sw" }
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1
+    weight_filler { type: "gaussian" std: 0.2 } bias_term: false } }
+layer { name: "bnA" type: "BatchNorm" bottom: "a" top: "a"
+  batch_norm_param { use_global_stats: true } }
+layer { name: "convB" type: "Convolution" bottom: "data" top: "b"
+  param { name: "sw" }
+  convolution_param { num_output: 4 kernel_size: 3 pad: 1 bias_term: false } }
+layer { name: "out" type: "Eltwise" bottom: "a" bottom: "b" top: "out" }
+"""
+
+
+def test_fold_bn_skips_shared_weight_owner():
+    """Folding BN into a conv whose 'w' other layers alias would silently
+    rescale the aliases; the owner must stay unfolded."""
+    net = Net(text_format.parse(SHARED_PROTO), phase="TEST", compute_dtype=None)
+    x = np.random.RandomState(0).randn(1, 3, 8, 8).astype(np.float32)
+    # give the BN non-trivial stats so folding would really change things
+    net.forward(data=x)
+    net.params["bnA"]["mean"] = jnp.asarray(np.full(4, 0.3, np.float32))
+    net.params["bnA"]["var"] = jnp.asarray(np.full(4, 4.0, np.float32))
+    b_before = net.forward(data=x)["out"] - 0  # includes convB via eltwise
+    conv_b_ref = np.asarray(net.forward(data=x)["b"]) if "b" in net.forward(data=x) else None
+    blobs_before = net.forward(data=x)
+    folded = net.fold_bn()
+    assert folded == 0, "owner of a shared weight must not fold"
+    np.testing.assert_allclose(np.asarray(net.forward(data=x)["out"]),
+                               np.asarray(blobs_before["out"]), rtol=1e-5)
+
+
+def test_quantize_int8_skips_shared_weight_owner():
+    net = Net(text_format.parse(SHARED_PROTO), phase="TEST", compute_dtype=None)
+    x = np.random.RandomState(0).randn(1, 3, 8, 8).astype(np.float32)
+    net.forward(data=x)
+    n = net.quantize_int8(data=x)
+    assert n == 0  # both convs share 'sw'
+    net.forward(data=x)  # must not KeyError on the alias lookup
+
+
+def test_output_names_in_place_tail():
+    """A net ENDING in an in-place layer still reports the blob
+    (net.cpp AppendTop re-adds in-place tops to available_blobs)."""
+    proto = """
+    input: "data" input_dim: 1 input_dim: 3 input_dim: 6 input_dim: 6
+    layer { name: "c" type: "Convolution" bottom: "data" top: "c"
+      convolution_param { num_output: 2 kernel_size: 3
+        weight_filler { type: "gaussian" std: 0.1 } } }
+    layer { name: "r" type: "ReLU" bottom: "c" top: "c" }
+    """
+    net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    assert net.output_names() == ["c"]
+    out = net.forward(data=np.zeros((1, 3, 6, 6), np.float32))
+    assert "c" in out
+
+
+def test_module_level_softmax_loss_vec_works():
+    from deepcut_tpu.ops.losses import softmax_loss_vec
+
+    scores = jnp.asarray(np.random.RandomState(0).randn(1, 4, 4, 3), jnp.float32)
+    labels = jnp.asarray((np.random.RandomState(1).rand(1, 4, 4, 3) > 0.5)
+                         .astype(np.float32))
+    loss = softmax_loss_vec(scores, labels, cross_entropy=True)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda s: softmax_loss_vec(s, labels, cross_entropy=True))(scores)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(jax.nn.sigmoid(scores) - labels) / 100.0,
+        rtol=1e-5, atol=1e-7)
+
+
+def test_deconv_save_load_roundtrip(tmp_path):
+    """Graph nets with arbitrarily-named Deconvolution layers must export
+    .caffemodel weights in Caffe's (Cin, Cout/g, kh, kw) deconv order."""
+    from deepcut_tpu.proto.caffemodel import load_caffemodel
+
+    proto = """
+    input: "data" input_dim: 1 input_dim: 3 input_dim: 6 input_dim: 6
+    layer { name: "upscore" type: "Deconvolution" bottom: "data" top: "up"
+      convolution_param { num_output: 2 kernel_size: 4 stride: 2
+        weight_filler { type: "gaussian" std: 0.2 } bias_term: false } }
+    """
+    import deepcut_tpu.compat as caffe
+    net = caffe.Net.__new__(caffe.Net)  # build via compat for .save
+    from collections import OrderedDict
+    net._net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    net.blobs = OrderedDict()
+    x = np.random.RandomState(0).randn(1, 3, 6, 6).astype(np.float32)
+    y0 = net._net.forward(data=x)["up"]
+    path = str(tmp_path / "d.caffemodel")
+    net.save(path)
+    blobs = load_caffemodel(path)
+    # Caffe deconv blob: (Cin, Cout/g, kh, kw) = (3, 2, 4, 4)
+    assert blobs["upscore"][0].shape == (3, 2, 4, 4)
+    net2 = Net(text_format.parse(proto), weights=path, phase="TEST",
+               compute_dtype=None)
+    np.testing.assert_allclose(np.asarray(net2.forward(data=x)["up"]),
+                               np.asarray(y0), rtol=1e-5)
+
+
+def test_modern_1x1_conv_blob_not_squeezed(tmp_path):
+    """A V2 (1,1,kh,kw) conv weight must stay rank-4 (only LEGACY
+    num/channels blobs get the V0 squeeze)."""
+    from deepcut_tpu.proto.caffemodel import (
+        encode_netparameter, decode_netparameter, blobs_to_params)
+    from collections import OrderedDict
+
+    w = np.arange(9, dtype=np.float32).reshape(1, 1, 3, 3)
+    buf = encode_netparameter(OrderedDict([("c", [w])]), container="v2")
+    blobs = decode_netparameter(buf)
+    assert blobs["c"][0].shape == (1, 1, 3, 3)
+    params = blobs_to_params(blobs)
+    assert params["c"]["w"].shape == (3, 3, 1, 1)  # HWIO rank-4, not IP
+
+
+def test_python_layer_params_with_custom_backward():
+    from deepcut_tpu.core import layers as L
+    from deepcut_tpu.proto.text_format import PbNode
+
+    class ScaleLayer:
+        def param_spec(self, bottom_shapes):
+            return [("s", (1,), PbNode())]
+
+        def forward(self, x, params=None):
+            return x * params["s"][0]
+
+        def backward(self, g, x, params=None):
+            # straight-through-style custom rule: bottom grad 2x the truth,
+            # param grad supplied explicitly as a trailing dict
+            return g * params["s"][0] * 2.0, {"s": jnp.sum(g * x)[None]}
+
+    L.register_python_layer("ScaleLayer", ScaleLayer)
+    proto = """
+    input: "data" input_shape { dim: 2 dim: 3 }
+    layer { name: "p" type: "Python" bottom: "data" top: "out"
+      python_param { layer: "ScaleLayer" } }
+    """
+    net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    net._ensure_params({"data": (2, 3)})
+    net.params["p"]["s"] = jnp.asarray([3.0])
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3), jnp.float32)
+    fwd = net.make_forward(["out"])
+
+    def scalar(p, d):
+        return jnp.sum(fwd(p, d)["out"])
+    gp, gd = jax.grad(scalar, argnums=(0, 1))(net.params, {"data": x})
+    # custom rule: bottom grad = s*2 (not the true s), param grad = sum(x)
+    np.testing.assert_allclose(np.asarray(gd["data"]), np.full((2, 3), 6.0),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp["p"]["s"]),
+                               [float(jnp.sum(x))], rtol=1e-5)
+
+
+def test_infogain_source_file(tmp_path):
+    from deepcut_tpu.io import array_to_blobproto_bytes
+
+    H = np.eye(3, dtype=np.float32) * 2.0
+    hpath = str(tmp_path / "H.binaryproto")
+    with open(hpath, "wb") as f:
+        f.write(array_to_blobproto_bytes(H[None, None]))
+    proto = f"""
+    input: "p" input_shape {{ dim: 4 dim: 3 }}
+    input: "y" input_shape {{ dim: 4 }}
+    layer {{ name: "l" type: "InfogainLoss" bottom: "p" bottom: "y" top: "loss"
+      infogain_loss_param {{ source: "{hpath}" }} }}
+    """
+    net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    scores = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    y = np.array([0, 1, 2, 1], np.float32)
+    out = net.forward(p=scores, y=y)
+    assert np.isfinite(out["loss"]).all()
+
+
+def test_sighup_snapshot_graphsolver(tmp_path):
+    from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+
+    netf = tmp_path / "n.prototxt"
+    netf.write_text("""
+    layer { name: "data" type: "DummyData" top: "data" top: "label"
+      dummy_data_param { shape { dim: 2 dim: 3 } shape { dim: 2 }
+        data_filler { type: "constant" value: 1 }
+        data_filler { type: "constant" value: 0 } } }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+      inner_product_param { num_output: 2 weight_filler { type: "xavier" } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+      top: "loss" }
+    """)
+    sp = SolverParams.from_prototxt(f"""
+        net: "{netf}"
+        base_lr: 0.01
+        lr_policy: "fixed"
+        display: 0
+        max_iter: 10
+        snapshot: 0
+        snapshot_prefix: "{tmp_path}/sig"
+    """)
+    solver = GraphSolver(sp, str(netf), handle_signals=False,
+                         log=lambda *_: None)
+    solver.step(2)
+    solver.signals.snapshot_requested = True  # simulate SIGHUP
+    solver.step(3)
+    assert not solver.signals.snapshot_requested  # flag consumed
+    import glob
+    assert glob.glob(f"{tmp_path}/sig_iter_*.npz"), "SIGHUP snapshot missing"
+
+
+def test_argmax_axis_top_k():
+    from deepcut_tpu.ops.linear import argmax_op
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 3), jnp.float32)
+    out = argmax_op(x, axis=1, top_k=2)
+    assert out.shape == (2, 2, 3)  # axis kept, resized to top_k
+    ref = np.argsort(-np.asarray(x), axis=1)[:, :2, :]
+    np.testing.assert_array_equal(np.asarray(out).astype(int), ref)
+    vals = argmax_op(x, axis=1, top_k=2, out_max_val=True)
+    np.testing.assert_allclose(
+        np.asarray(vals), -np.sort(-np.asarray(x), axis=1)[:, :2, :], rtol=1e-6)
+
+
+def test_eltwise_coeff_count_mismatch_raises():
+    from deepcut_tpu.ops.eltwise import eltwise_sum
+
+    a = jnp.ones((2, 2))
+    with pytest.raises(ValueError, match="coeffs"):
+        eltwise_sum([a, a, a], coeffs=[1.0, 2.0])
+
+
+def test_dummy_data_gaussian_refills_per_step():
+    from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+    proto = """
+    layer { name: "d" type: "DummyData" top: "x" top: "y"
+      dummy_data_param { shape { dim: 4 dim: 3 } shape { dim: 4 }
+        data_filler { type: "gaussian" std: 1.0 }
+        data_filler { type: "constant" value: 1 } } }
+    layer { name: "ip" type: "InnerProduct" bottom: "x" top: "ip"
+      inner_product_param { num_output: 2 weight_filler { type: "xavier" } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "y"
+      top: "loss" }
+    """
+    net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    net._ensure_params({})  # DummyData produces its own shapes
+    cfg = SolverConfig(solver_type="SGD", base_lr=0.0, momentum=0.0,
+                       weight_decay=0.0)
+    step = net.make_train_step(cfg)
+    params, state = net.params, init_state(cfg, net.params)
+    losses = []
+    for _ in range(3):
+        params, state, loss = step(params, state, {})
+        losses.append(float(loss))
+    # lr=0: any loss variation comes from fresh gaussian draws per step
+    assert len(set(losses)) > 1, losses
+
+
+def test_sparse_gaussian_filler_probability():
+    from deepcut_tpu.core import fillers
+
+    node = text_format.parse('type: "gaussian" std: 1.0 sparse: 5')
+    # IP weight (N_out=50, K=200): non-zero prob = 5/50 (filler.hpp:82-83,
+    # sparse / shape(0)), NOT 5/200
+    w = np.asarray(fillers.fill(node, jax.random.PRNGKey(0), (50, 200)))
+    frac = (w != 0).mean()
+    assert 0.06 < frac < 0.14, frac
+
+
+def test_stochastic_pool_ceil_mode_shape():
+    from deepcut_tpu.ops.pool import stochastic_pool2d, pool_output_size
+
+    x = jnp.asarray(np.abs(np.random.RandomState(0).randn(1, 7, 7, 2)),
+                    jnp.float32)
+    out = stochastic_pool2d(x, kernel=3, stride=2)
+    expect = pool_output_size(7, 3, 2, 0)  # ceil mode -> 4, not 3
+    assert out.shape == (1, expect, expect, 2)
+    out_t = stochastic_pool2d(x, jax.random.PRNGKey(0), kernel=3, stride=2,
+                              train=True)
+    assert out_t.shape == (1, expect, expect, 2)
