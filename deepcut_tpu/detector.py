@@ -34,6 +34,22 @@ class Detector(caffe.Net):
         if channel_swap is not None:
             self.transformer.set_channel_swap(in_, channel_swap)
         self.context_pad = context_pad
+        # input-space mean canvas for context padding (reference
+        # detector.py _configure_crop: the transformer mean deprocessed back
+        # to the image domain — inverse channel swap, inverse raw_scale)
+        dims = self.blobs[in_].shape[2:]
+        channels = self.blobs[in_].shape[1]
+        self.crop_dims = (int(dims[0]), int(dims[1]), int(channels))
+        cm = np.zeros(channels, np.float32)
+        if mean is not None:
+            m = np.asarray(mean, np.float32).reshape(-1)
+            if channel_swap is not None:
+                inv = np.argsort(np.asarray(channel_swap))
+                m = m[inv]
+            if raw_scale is not None:
+                m = m / raw_scale
+            cm = m
+        self.crop_mean = cm[None, None, :]
 
     def detect_windows(self, images_windows: Sequence[Tuple[str, np.ndarray]]) -> List[Dict]:
         window_inputs = []
@@ -61,19 +77,46 @@ class Detector(caffe.Net):
         return detections
 
     def crop(self, im: np.ndarray, window) -> np.ndarray:
-        """Crop a window (ymin, xmin, ymax, xmax) with optional context pad."""
-        window = np.asarray(window, int)
-        if self.context_pad:
-            in_ = self.inputs[0]
-            crop_size = self.blobs[in_].shape[2]
-            scale = crop_size / (crop_size - 2.0 * self.context_pad)
-            half_h = (window[2] - window[0] + 1) / 2.0
-            half_w = (window[3] - window[1] + 1) / 2.0
-            center = (window[0] + half_h, window[1] + half_w)
-            scaled = np.array((center[0] - half_h * scale,
-                               center[1] - half_w * scale,
-                               center[0] + half_h * scale,
-                               center[1] + half_w * scale), int)
-            window = np.clip(scaled, 0, [im.shape[0] - 1, im.shape[1] - 1,
-                                         im.shape[0] - 1, im.shape[1] - 1])
-        return im[window[0]:window[2] + 1, window[1]:window[3] + 1]
+        """Crop a window (ymin, xmin, ymax, xmax) — reference
+        detector.py:125-178 semantics: plain crops are EXCLUSIVE slices;
+        with context_pad the box is scaled about its center, the clipped
+        image content resized, and embedded at its true offset into a
+        mean-filled crop_dims canvas (so out-of-image context is mean,
+        not stretched pixels)."""
+        window = np.asarray(window)
+        crop = im[int(window[0]):int(window[2]), int(window[1]):int(window[3])]
+        if not self.context_pad:
+            return crop
+
+        box = window.astype(np.float64).copy()
+        crop_h0, crop_w0 = self.crop_dims[0], self.crop_dims[1]
+        crop_size = crop_w0  # reference assumes square net input
+        scale = crop_size / (1.0 * crop_size - self.context_pad * 2)
+        half_h = (box[2] - box[0] + 1) / 2.0
+        half_w = (box[3] - box[1] + 1) / 2.0
+        center = (box[0] + half_h, box[1] + half_w)
+        scaled_dims = scale * np.array((-half_h, -half_w, half_h, half_w))
+        box = np.round(np.tile(center, 2) + scaled_dims)
+        full_h = box[2] - box[0] + 1
+        full_w = box[3] - box[1] + 1
+        scale_h = crop_size / full_h
+        scale_w = crop_size / full_w
+        pad_y = int(round(max(0.0, -box[0]) * scale_h))
+        pad_x = int(round(max(0.0, -box[1]) * scale_w))
+
+        im_h, im_w = im.shape[:2]
+        box = np.clip(box, 0.0, [im_h, im_w, im_h, im_w])
+        clip_h = box[2] - box[0] + 1
+        clip_w = box[3] - box[1] + 1
+        assert clip_h > 0 and clip_w > 0
+        crop_h = int(round(clip_h * scale_h))
+        crop_w = int(round(clip_w * scale_w))
+        crop_h = min(crop_h, crop_size - pad_y)
+        crop_w = min(crop_w, crop_size - pad_x)
+
+        context_crop = im[int(box[0]):int(box[2]), int(box[1]):int(box[3])]
+        context_crop = dio.resize_image(
+            np.asarray(context_crop, np.float32), (crop_h, crop_w))
+        out = np.ones(self.crop_dims, np.float32) * self.crop_mean
+        out[pad_y:pad_y + crop_h, pad_x:pad_x + crop_w] = context_crop
+        return out

@@ -25,7 +25,12 @@ def load_image(path: str, color: bool = True) -> np.ndarray:
 
 
 def resize_image(im: np.ndarray, new_dims: Tuple[int, int], interp_order: int = 1) -> np.ndarray:
-    """Resize HxWxC to new_dims (height, width)."""
+    """Resize HxWxC to new_dims (height, width).
+
+    Resampled in FLOAT (PIL mode-'F' per channel) like the reference's
+    skimage path (io.py:305-335) — no intermediate uint8 quantisation.
+    interp_order: 0 nearest, 1 bilinear, >=2 bicubic (skimage order>=2
+    maps to PIL's cubic)."""
     from PIL import Image
 
     h, w = int(new_dims[0]), int(new_dims[1])
@@ -33,14 +38,12 @@ def resize_image(im: np.ndarray, new_dims: Tuple[int, int], interp_order: int = 
         chans = [im[:, :, 0]]
     else:
         chans = [im[:, :, c] for c in range(im.shape[-1])]
-    method = Image.NEAREST if interp_order == 0 else Image.BILINEAR
+    method = (Image.NEAREST if interp_order == 0 else
+              Image.BILINEAR if interp_order == 1 else Image.BICUBIC)
     out = []
     for ch in chans:
-        lo, hi = float(ch.min()), float(ch.max())
-        scale = (hi - lo) or 1.0
-        img8 = Image.fromarray(((ch - lo) / scale * 255).astype(np.uint8))
-        r = np.asarray(img8.resize((w, h), method), np.float32) / 255.0 * scale + lo
-        out.append(r)
+        img = Image.fromarray(np.asarray(ch, np.float32), mode="F")
+        out.append(np.asarray(img.resize((w, h), method), np.float32))
     return np.stack(out, axis=-1)
 
 
@@ -102,6 +105,11 @@ class Transformer:
 
     def preprocess(self, in_, data: np.ndarray) -> np.ndarray:
         out = np.asarray(data, np.float32)
+        # reference io.py preprocess: mismatched inputs are resized to the
+        # net's input dims BEFORE the transpose (HxWxC at this point)
+        in_dims = tuple(self.inputs[in_][2:]) if in_ in self.inputs else None
+        if (in_dims and out.ndim == 3 and out.shape[:2] != in_dims):
+            out = resize_image(out, in_dims)
         if in_ in self.transpose:
             out = out.transpose(self.transpose[in_])
         if in_ in self.channel_swap:

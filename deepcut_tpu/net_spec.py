@@ -28,13 +28,18 @@ _LAYER_FIELDS = {
     "exclude", "phase", "propagate_down",
 }
 
-# Caffe type -> param message name irregularities.
+# Caffe type -> param message name irregularities (the camel-case rule
+# below would mangle these: ReLU -> re_lu_param etc.).
 _PARAM_NAMES = {
     "Convolution": "convolution_param",
     "Deconvolution": "convolution_param",
     "Data": "data_param",
     "SoftmaxWithLoss": "softmax_param",
     "SoftmaxWithLossVec": "softmax_with_loss_vec_param",
+    "ReLU": "relu_param",
+    "PReLU": "prelu_param",
+    "TanH": "tanh_param",
+    "ArgMax": "argmax_param",
 }
 
 
@@ -153,6 +158,16 @@ class NetSpec:
             for sib in top.fn.tops:
                 if sib is not top and sib not in names:
                     names[sib] = f"{name}_{sib.index}"
+        # autoname tops never assigned to the NetSpec (the reference's
+        # Counter-based autonames, python/caffe/net_spec.py) so intermediate
+        # layers used only as bottoms still serialise
+        counters: Dict[str, int] = {}
+        for call in calls:
+            for t in call.tops:
+                if t not in names:
+                    base = call.type_name.lower()
+                    counters[base] = counters.get(base, 0) + 1
+                    names[t] = f"{base}{counters[base]}"
         # resolve in-place chains: a Top assigned in-place aliases its bottom
         for call in calls:
             autonames[call] = next(

@@ -61,15 +61,24 @@ def make_train_step(
             {k: batch_shardings.get(k, bsh) for k in batch},
         )
 
+    # cache the PjitFunction per (param-structure, batch-key) signature —
+    # rebuilding jax.jit + the ~500-leaf sharding pytrees every step costs
+    # milliseconds of host time in the training hot loop
+    _cache: Dict = {}
+
     def jitted(params, state, batch):
-        shardings = in_shardings(params, state, batch)
-        fn = jax.jit(
-            train_step,
-            in_shardings=shardings,
-            out_shardings=(shardings[0], shardings[1], None),
-            donate_argnums=(0, 1) if donate else (),
-        )
-        return fn(params, state, batch)
+        key = (jax.tree_util.tree_structure(params),
+               jax.tree_util.tree_structure(state),
+               tuple(sorted(batch)))
+        if key not in _cache:
+            shardings = in_shardings(params, state, batch)
+            _cache[key] = jax.jit(
+                train_step,
+                in_shardings=shardings,
+                out_shardings=(shardings[0], shardings[1], None),
+                donate_argnums=(0, 1) if donate else (),
+            )
+        return _cache[key](params, state, batch)
 
     return jitted
 

@@ -540,6 +540,15 @@ def rasterize_native(
     entry_cls = np.asarray(cls_l, np.int32)
     entry_xy = (np.stack(xy_l).astype(np.float32) if n else np.zeros((0, 2), np.float32))
     entry_person = np.asarray(person_l, np.int32)
+    # the C kernel indexes per-class arrays of size J (+skip) by cls-1 with
+    # no bounds checks; a window file labeled for more joints than
+    # num_classes would corrupt memory — fail loudly like the numpy path
+    if n:
+        bad = (entry_cls < 1) | ((entry_cls > J) & (entry_cls != cfg.skip_class))
+        if bad.any():
+            raise ValueError(
+                f"joint classes {sorted(set(entry_cls[bad].tolist()))} out of "
+                f"range for num_classes={J} (skip_class={cfg.skip_class})")
 
     labels = np.full((sh, sw, C), IGNORE_VALUE, np.float32)
     weights = np.ones((sh, sw, C), np.float32)

@@ -229,6 +229,11 @@ def time_cmd(args) -> int:
 
     if args.per_layer:
         # Unfused per-layer timing (diagnostic; overheads included).
+        print("NOTE: per-layer numbers time DISPATCH of lone jitted ops "
+              "(~0.5-1 ms/iter overhead on relay-attached TPUs; "
+              "block_until_ready is not a completion barrier there) — use "
+              "them to rank layers, not as absolute times; the fused "
+              "forward above is the honest whole-program measurement.")
         dev_inputs = {}
         for nm, arr in inputs.items():
             a = jnp.asarray(arr)

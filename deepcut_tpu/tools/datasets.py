@@ -30,7 +30,9 @@ def convert_imageset(args) -> int:
         from deepcut_tpu.data.lmdb_store import LMDBWriter as Writer
 
     with open(args.listfile) as f:
-        lines = [l.split() for l in f if l.strip()]
+        # split on the LAST whitespace (convert_imageset.cpp line parsing):
+        # image paths may contain spaces
+        lines = [l.strip().rsplit(None, 1) for l in f if l.strip()]
     if args.shuffle:
         np.random.RandomState(0).shuffle(lines)
     count = 0
@@ -45,8 +47,18 @@ def convert_imageset(args) -> int:
                     h, wdt = args.resize
                     img = np.asarray(Image.fromarray(img[:, :, ::-1]).resize(
                         (wdt, h), Image.BILINEAR))[:, :, ::-1]
-                datum = Datum.from_array(
-                    np.ascontiguousarray(img.transpose(2, 0, 1)), int(label))
+                if args.encoded:
+                    # --encoded --resize: RE-encode after resizing, like the
+                    # reference (otherwise raw pixels triple the DB size)
+                    import io as _io
+                    buf = _io.BytesIO()
+                    Image.fromarray(img[:, :, ::-1]).save(buf, format="PNG")
+                    h2, w2 = img.shape[:2]
+                    datum = Datum(3, h2, w2, data=buf.getvalue(),
+                                  label=int(label), encoded=True)
+                else:
+                    datum = Datum.from_array(
+                        np.ascontiguousarray(img.transpose(2, 0, 1)), int(label))
             w.put(f"{count:08d}_{path}".encode(), datum.encode())
             count += 1
     print(f"Processed {count} files into {args.db_path}")

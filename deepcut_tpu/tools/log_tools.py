@@ -137,14 +137,31 @@ def plot(log_path: str, out_path: str, *, y: str = "loss",
     ykey = {"loss": "loss", "lr": "LearningRate"}.get(y, y)
     ys = [r.get(ykey) for r in rows]
     if x == "seconds":
-        import tempfile
+        # timestamps must come from the SAME lines parse_log kept (loss
+        # lines); pairing against extract_seconds' every-Iteration-line
+        # stream would misalign after any test/snapshot Iteration line
+        import datetime
 
-        with tempfile.NamedTemporaryFile("r+", suffix=".txt") as tmp:
-            extract_seconds(log_path, tmp.name)
-            tmp.seek(0)
-            xs = [float(l) for l in tmp.read().split()]
-        xs = xs[:len(ys)]
-        xlabel = "seconds"
+        from deepcut_tpu.tools.parse_log import _ITER_RE
+
+        year = datetime.datetime.now().year
+        stamps = []
+        with open(log_path) as f:
+            for line in f:
+                # EXACTLY parse_log's row filter, so pairs stay aligned
+                if _ITER_RE.search(line) and "loss" in line:
+                    dt = _line_datetime(line, year)
+                    if dt is not None:
+                        stamps.append(dt)
+        if len(stamps) != len(ys):
+            print("timestamped loss lines do not match parsed rows; "
+                  "falling back to iterations", file=sys.stderr)
+            xs = [r["NumIters"] for r in rows]
+            xlabel = "iteration"
+        else:
+            t0 = stamps[0]
+            xs = [(s - t0).total_seconds() for s in stamps]
+            xlabel = "seconds"
     else:
         xs = [r["NumIters"] for r in rows]
         xlabel = "iteration"

@@ -328,3 +328,84 @@ def test_stochastic_pool_ceil_mode_shape():
     out_t = stochastic_pool2d(x, jax.random.PRNGKey(0), kernel=3, stride=2,
                               train=True)
     assert out_t.shape == (1, expect, expect, 2)
+
+
+def test_net_spec_param_names_and_autonames():
+    """ReLU/PReLU/TanH/ArgMax kwargs must land in relu_param/... (not
+    re_lu_param), and unassigned intermediate tops get autonames like the
+    reference's Counter (python/caffe/net_spec.py)."""
+    from deepcut_tpu.net_spec import NetSpec, layers as L
+
+    n = NetSpec()
+    data = L.Input(input_param=dict(shape=dict(dim=[1, 3, 8, 8])))  # anonymous
+    conv = L.Convolution(data, num_output=2, kernel_size=3,
+                         weight_filler=dict(type="gaussian", std=0.1))
+    n.act = L.ReLU(conv, negative_slope=0.25)
+    node = text_format.parse(n.to_proto_text())
+    layers_ = {l.get_str("name"): l for l in node.get_list("layer")}
+    relu = [l for l in node.get_list("layer") if l.get_str("type") == "ReLU"][0]
+    assert relu.get("relu_param").get_float("negative_slope") == 0.25
+    # anonymous Input/Convolution tops were autonamed, net builds and runs
+    net = n.to_net(compute_dtype=None)
+    x = np.random.RandomState(0).randn(1, 3, 8, 8).astype(np.float32)
+    inp = net.input_names[0] if net.input_names else None
+    outs = net.forward(**({inp: x} if inp else {
+        list(net.data_sources)[0]: x}))
+    leaky = outs[net.output_names()[0]]
+    assert (np.asarray(leaky) < 0).any(), "negative_slope was dropped"
+
+
+def test_transformer_auto_resize():
+    from deepcut_tpu import io as dio
+
+    t = dio.Transformer({"data": (1, 3, 16, 16)})
+    t.set_transpose("data", (2, 0, 1))
+    out = t.preprocess("data", np.random.RandomState(0).rand(40, 30, 3)
+                       .astype(np.float32))
+    assert out.shape == (3, 16, 16)
+
+
+def test_resize_image_float_precision():
+    from deepcut_tpu import io as dio
+
+    im = np.random.RandomState(0).rand(9, 9, 1).astype(np.float32) * 1e-3
+    out = dio.resize_image(im, (9, 9))  # identity resize
+    np.testing.assert_allclose(out, im, rtol=1e-6, atol=1e-9)
+
+
+def test_detector_context_pad_mean_embedding(tmp_path):
+    """Context crops are embedded at their true offset into a mean-filled
+    crop_dims canvas (reference detector.py:141-178), not border-clipped."""
+    from deepcut_tpu.detector import Detector
+
+    deploy = tmp_path / "d.prototxt"
+    deploy.write_text("""
+    input: "data" input_dim: 1 input_dim: 3 input_dim: 12 input_dim: 12
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "out"
+      inner_product_param { num_output: 2
+        weight_filler { type: "gaussian" std: 0.1 } } }
+    """)
+    det = Detector(str(deploy), mean=np.array([10.0, 20.0, 30.0]),
+                   context_pad=2)
+    im = np.full((20, 20, 3), 0.5, np.float32)
+    # window at the image corner: scaled context box goes out of bounds,
+    # so the canvas must contain mean-filled pixels
+    crop = det.crop(im, np.array([0, 0, 6, 6]))
+    assert crop.shape == (12, 12, 3)
+    assert (np.abs(crop - det.crop_mean) < 1e-5).all(axis=-1).any(), \
+        "no mean-padded context region"
+    # plain crop (no context) is an EXCLUSIVE slice
+    det0 = Detector(str(deploy), context_pad=0)
+    assert det0.crop(im, np.array([2, 3, 7, 9])).shape == (5, 6, 3)
+
+
+def test_rasterize_native_rejects_out_of_range_classes():
+    from deepcut_tpu.data.window_file import ImageRecord, Person
+    from deepcut_tpu.pose.targets import TargetConfig, rasterize_native
+
+    p = Person(np.array([1, 9], np.int32),  # 9 > num_classes=5, != skip 6
+               np.array([[10.0, 10.0], [40.0, 40.0]], np.float32))
+    rec = ImageRecord("x.png", 3, 64, 64, [p])
+    cfg = TargetConfig(num_classes=5)  # skip_class derives to 6; 9 invalid
+    with pytest.raises((ValueError, IndexError)):
+        rasterize_native(rec, cfg, scale=1.0)
