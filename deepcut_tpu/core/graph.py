@@ -559,6 +559,15 @@ class Net:
         blobs: Dict[str, jax.Array] = dict(inputs)
         for idx, (fn, spec) in enumerate(self._plan if plan is None else plan):
             bottoms = [blobs[b] for b in spec.bottoms]
+            # `propagate_down: false` blocks backprop into that bottom
+            # (net.cpp:144-159 -> Layer::set_param_propagate_down analog for
+            # bottoms; used to freeze branches). stop_gradient is the exact
+            # functional equivalent: forward unchanged, cotangent zeroed.
+            pdown = [bool(v) if isinstance(v, bool) else str(v).lower() == "true"
+                     for v in spec.node.get_list("propagate_down")]
+            if pdown and not all(pdown):
+                bottoms = [jax.lax.stop_gradient(b) if i < len(pdown) and not pdown[i]
+                           else b for i, b in enumerate(bottoms)]
             entry = self._entry(params, spec.name)
             if getattr(fn, "needs_rng", False):
                 # Per-layer, per-step key (replaces Caffe's stateful

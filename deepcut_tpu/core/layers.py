@@ -760,9 +760,24 @@ def _mll(spec, phase, compute_dtype):
 def _accuracy(spec, phase, compute_dtype):
     ap = spec.param("accuracy_param")
     lp = spec.param("loss_param")
-    cfg = dict(top_k=ap.get_int("top_k", 1),
-               ignore_label=lp.get_int("ignore_label") if lp.has("ignore_label") else None)
-    return lambda p, b: loss_ops.accuracy(b[0], _label_squeeze(b[1]), **cfg)
+    # ignore_label lives in AccuracyParameter (accuracy_layer.cpp:16-19);
+    # loss_param kept as a lenient fallback for hand-written configs
+    ignore = (ap.get_int("ignore_label") if ap.has("ignore_label")
+              else lp.get_int("ignore_label") if lp.has("ignore_label") else None)
+    axis = ap.get_int("axis", 1)
+    cfg = dict(top_k=ap.get_int("top_k", 1), ignore_label=ignore,
+               per_class=len(spec.tops) > 1)
+
+    def fn(p, b):
+        # prototxt `axis:` is in NCHW terms; 4-d blobs arrive NHWC here
+        # (boundary transpose), so map the Caffe axis to its NHWC position
+        nd = b[0].ndim
+        pos = {0: 0, 1: 3, 2: 1, 3: 2}[axis % 4] if nd == 4 else axis % nd
+        scores = jnp.moveaxis(b[0], pos, -1)
+        labels = _label_squeeze(b[1]).reshape(scores.shape[:-1])
+        out = loss_ops.accuracy(scores, labels, **cfg)
+        return list(out) if cfg["per_class"] else out
+    return fn
 
 
 # Python layers -------------------------------------------------------------

@@ -90,9 +90,15 @@ class ImageDataSource(DataLayerSource):
         self.transform = DataTransformer(spec.param("transform_param"), phase)
         with open(ip.get_str("source")) as f:
             self.lines = [l.split() for l in f if l.strip()]
-        if ip.get_bool("shuffle", False):
-            np.random.RandomState(0).shuffle(self.lines)
+        self.shuffle = ip.get_bool("shuffle", False)
+        self.rng = np.random.RandomState(0)
+        if self.shuffle:
+            self.rng.shuffle(self.lines)
         self.pos = 0
+        # rand_skip: random start offset (image_data_layer.cpp:57-59)
+        skip = ip.get_int("rand_skip", 0)
+        if skip:
+            self.pos = int(self.rng.randint(skip)) % len(self.lines)
 
     def _load(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -112,7 +118,13 @@ class ImageDataSource(DataLayerSource):
         data, labels = [], []
         for _ in range(self.batch_size):
             path, label = self.lines[self.pos][0], self.lines[self.pos][-1]
-            self.pos = (self.pos + 1) % len(self.lines)
+            self.pos += 1
+            if self.pos >= len(self.lines):
+                # epoch wrap: the reference reshuffles the list each epoch
+                # (image_data_layer.cpp:154-155)
+                self.pos = 0
+                if self.shuffle:
+                    self.rng.shuffle(self.lines)
             data.append(self.transform(self._load(path)))
             labels.append(float(label))
         return [np.stack(data), np.asarray(labels, np.float32)]
@@ -162,15 +174,25 @@ class HDF5DataSource(DataLayerSource):
                     arrays[t].append(np.asarray(h5[t], np.float32))
         self.arrays = {t: np.concatenate(v) for t, v in arrays.items()}
         n = len(next(iter(self.arrays.values())))
-        if hp.get_bool("shuffle", False):
-            perm = np.random.RandomState(0).permutation(n)
-            self.arrays = {t: a[perm] for t, a in self.arrays.items()}
+        self.shuffle = hp.get_bool("shuffle", False)
+        self.rng = np.random.RandomState(0)
+        self.perm = (self.rng.permutation(n) if self.shuffle
+                     else np.arange(n))
         self.n = n
         self.pos = 0
 
     def next_batch(self) -> List[np.ndarray]:
-        idx = [(self.pos + i) % self.n for i in range(self.batch_size)]
-        self.pos = (self.pos + self.batch_size) % self.n
+        idx = []
+        for _ in range(self.batch_size):
+            idx.append(self.perm[self.pos])
+            self.pos += 1
+            if self.pos >= self.n:
+                # epoch wrap: the reference redraws its row/file permutations
+                # each epoch when shuffle is set (hdf5_data_layer.cpp:137-147)
+                self.pos = 0
+                if self.shuffle:
+                    self.perm = self.rng.permutation(self.n)
+        idx = np.asarray(idx)
         return [self.arrays[t][idx] for t in self.tops]
 
 
@@ -226,7 +248,9 @@ class WindowDataSource(DataLayerSource):
         self.crop_size = tp.get_int("crop_size",
                                     wp.get_int("crop_size", 227))
         self.mirror = tp.get_bool("mirror", wp.get_bool("mirror", False))
+        self.scale = tp.get_float("scale", 1.0)
         self.context_pad = wp.get_int("context_pad", 0)
+        self.use_square = wp.get_str("crop_mode", "warp") == "square"
         self.fg_threshold = wp.get_float("fg_threshold", 0.5)
         self.bg_threshold = wp.get_float("bg_threshold", 0.5)
         self.fg_fraction = wp.get_float("fg_fraction", 0.25)
@@ -268,34 +292,68 @@ class WindowDataSource(DataLayerSource):
     def next_batch(self) -> List[np.ndarray]:
         from PIL import Image
 
-        n_fg = int(round(self.batch_size * self.fg_fraction))
+        cs = self.crop_size
+        n_fg = int(self.batch_size * self.fg_fraction)
         data, labels = [], []
-        for i in range(self.batch_size):
-            pool = self.fg if (i < n_fg and self.fg) else (self.bg or self.fg)
+        # the reference samples the bg quota first, then fg
+        # (window_data_layer.cpp:265-276 num_samples = {bs - num_fg, num_fg})
+        order = [False] * (self.batch_size - n_fg) + [True] * n_fg
+        for is_fg in order:
+            pool = self.fg if (is_fg and self.fg) else (self.bg or self.fg)
             path, window = pool[int(self.rng.randint(len(pool)))]
-            cls, x1, y1, x2, y2 = window
+            cls = window[0]
+            x1, y1, x2, y2 = (int(round(c)) for c in window[1:])
+            do_mirror = bool(self.mirror and self.rng.randint(2))  # any phase (ref :279)
             img = self._load(path)
-            h, w = img.shape[:2]
-            if self.context_pad:
-                cs = self.crop_size
-                scale = cs / (cs - 2.0 * self.context_pad)
-                cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
-                hw, hh = (x2 - x1 + 1) * scale / 2, (y2 - y1 + 1) * scale / 2
-                x1, x2 = cx - hw, cx + hw
-                y1, y2 = cy - hh, cy + hh
-            xi1, yi1 = max(int(round(x1)), 0), max(int(round(y1)), 0)
-            xi2, yi2 = min(int(round(x2)), w - 1), min(int(round(y2)), h - 1)
-            crop = img[yi1:yi2 + 1, xi1:xi2 + 1]
+            ih, iw = img.shape[:2]
+            pad_w = pad_h = 0
+            out_w = out_h = cs
+            if self.context_pad > 0 or self.use_square:
+                # expand the window so that warping it to cs x cs leaves
+                # exactly context_pad on each side (ref :307-330)
+                ctx = cs / float(cs - 2 * self.context_pad)
+                half_h = (y2 - y1 + 1) / 2.0
+                half_w = (x2 - x1 + 1) / 2.0
+                cx, cy = x1 + half_w, y1 + half_h
+                if self.use_square:
+                    half_h = half_w = max(half_h, half_w)
+                x1 = int(round(cx - half_w * ctx)); x2 = int(round(cx + half_w * ctx))
+                y1 = int(round(cy - half_h * ctx)); y2 = int(round(cy + half_h * ctx))
+                # clip to the image, tracking the out-of-image extent (:335-349)
+                uw, uh = x2 - x1 + 1, y2 - y1 + 1
+                px1, py1 = max(0, -x1), max(0, -y1)
+                px2, py2 = max(0, x2 - iw + 1), max(0, y2 - ih + 1)
+                x1 += px1; x2 -= px2; y1 += py1; y2 -= py2
+                # warp the CLIPPED region by the UNCLIPPED scale factors and
+                # paste at the scaled pad offset; padding stays at the mean
+                # (zeros post-subtraction), ref :355-397
+                sx, sy = cs / float(uw), cs / float(uh)
+                out_w = int(round((x2 - x1 + 1) * sx))
+                out_h = int(round((y2 - y1 + 1) * sy))
+                px1 = int(round(px1 * sx)); px2 = int(round(px2 * sx))
+                py1 = int(round(py1 * sy))
+                pad_h = py1
+                pad_w = px2 if do_mirror else px1  # mirrored padding (:372-377)
+                out_h = min(out_h, cs - pad_h)
+                out_w = min(out_w, cs - pad_w)
+            x1 = max(x1, 0); y1 = max(y1, 0)
+            x2 = min(x2, iw - 1); y2 = min(y2, ih - 1)
+            crop = img[y1:y2 + 1, x1:x2 + 1]
             if crop.size == 0:
                 crop = img[:1, :1]
-            warped = np.asarray(Image.fromarray(crop[:, :, ::-1]).resize(
-                (self.crop_size, self.crop_size), Image.BILINEAR))[:, :, ::-1]
-            out = warped.astype(np.float32)
-            mv = self.mean_values if len(self.mean_values) == 3 else self.mean_values * 3
-            out = out - np.asarray(mv, np.float32)
-            if self.mirror and self.rng.randint(2):  # no phase gate (ref :242)
-                out = out[:, ::-1]
-            data.append(np.ascontiguousarray(out.transpose(2, 0, 1)))
+            warped = np.asarray(Image.fromarray(
+                crop[:, :, ::-1].astype(np.uint8)).resize(
+                (max(out_w, 1), max(out_h, 1)), Image.BILINEAR))[:, :, ::-1]
+            if do_mirror:
+                warped = warped[:, ::-1]
+            mv = (self.mean_values if len(self.mean_values) == 3
+                  else self.mean_values * 3)
+            patch = (warped.astype(np.float32) - np.asarray(mv, np.float32)) \
+                * self.scale
+            canvas = np.zeros((cs, cs, 3), np.float32)
+            canvas[pad_h:pad_h + warped.shape[0],
+                   pad_w:pad_w + warped.shape[1]] = patch
+            data.append(np.ascontiguousarray(canvas.transpose(2, 0, 1)))
             labels.append(cls)
         return [np.stack(data), np.asarray(labels, np.float32)]
 

@@ -259,12 +259,23 @@ def multinomial_logistic_loss(prob: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def accuracy(scores: jax.Array, labels: jax.Array, *, top_k: int = 1,
-             ignore_label: Optional[int] = None) -> jax.Array:
-    """Accuracy layer: top-k over axis -1."""
+             ignore_label: Optional[int] = None, per_class: bool = False):
+    """Accuracy layer (accuracy_layer.cpp): top-k over axis -1 (the builder
+    moves the class axis last for `axis:` support). With per_class=True also
+    returns the per-class accuracy vector (the optional second top,
+    accuracy_layer.cpp:96-103: correct_c / count_c, 0 where a class never
+    appears among the live labels)."""
     lab = labels.astype(jnp.int32)
     topk = jax.lax.top_k(scores, top_k)[1]
     hit = jnp.any(topk == lab[..., None], axis=-1)
-    if ignore_label is not None:
-        live = lab != ignore_label
-        return jnp.sum(jnp.where(live, hit, 0)) / jnp.maximum(jnp.sum(live), 1)
-    return jnp.mean(hit.astype(jnp.float32))
+    live = (lab != ignore_label) if ignore_label is not None \
+        else jnp.ones(lab.shape, bool)
+    total = jnp.sum(jnp.where(live, hit, 0)) / jnp.maximum(jnp.sum(live), 1)
+    if not per_class:
+        return total
+    c = scores.shape[-1]
+    onehot = jax.nn.one_hot(lab.reshape(-1), c, dtype=jnp.float32)
+    livef = live.reshape(-1, 1).astype(jnp.float32)
+    counts = jnp.sum(onehot * livef, axis=0)
+    correct = jnp.sum(onehot * livef * hit.reshape(-1, 1), axis=0)
+    return total, jnp.where(counts == 0, 0.0, correct / jnp.maximum(counts, 1))

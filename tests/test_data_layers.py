@@ -306,3 +306,145 @@ def test_net_debug_info():
     info = net.debug_info(data=np.ones((1, 2), np.float32))
     assert "ip" in info and info["ip"] >= 0
     assert "param:ip/w" in info and info["param:ip/w"] > 0
+
+
+def test_image_data_epoch_reshuffle_and_rand_skip(tmp_path):
+    # the reference reshuffles the line list at each epoch wrap
+    # (image_data_layer.cpp:154-155) and starts at a random offset when
+    # rand_skip is set (:57-59)
+    from PIL import Image
+    from deepcut_tpu.data.layers import ImageDataSource
+    from deepcut_tpu.core.graph import LayerSpec
+
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(np.full((4, 4, 3), i * 10, np.uint8)).save(p)
+        paths.append(str(p))
+    src_file = tmp_path / "list.txt"
+    src_file.write_text("".join(f"{p} {i}\n" for i, p in enumerate(paths)))
+
+    node = text_format.parse(f"""
+      name: "d" layer {{ name: "data" type: "ImageData" top: "data" top: "label"
+        image_data_param {{ source: "{src_file}" batch_size: 6 shuffle: true }} }}
+    """).get_list("layer")[0]
+    spec = LayerSpec(node)
+    src = ImageDataSource(spec, "TRAIN")
+    _, l1 = src.next_batch()
+    _, l2 = src.next_batch()
+    # each epoch is a permutation of all labels...
+    assert sorted(l1.tolist()) == sorted(l2.tolist()) == list(range(6))
+    # ...and the second epoch's order differs (reshuffled, seed-deterministic)
+    assert l1.tolist() != l2.tolist()
+
+    node2 = text_format.parse(f"""
+      name: "d" layer {{ name: "data" type: "ImageData" top: "data" top: "label"
+        image_data_param {{ source: "{src_file}" batch_size: 2 rand_skip: 5 }} }}
+    """).get_list("layer")[0]
+    src2 = ImageDataSource(LayerSpec(node2), "TRAIN")
+    assert 0 < src2.pos < 6  # skipped into the list (seed 0 draws nonzero)
+
+
+def test_hdf5_data_epoch_reshuffle(tmp_path):
+    import h5py
+    from deepcut_tpu.data.layers import HDF5DataSource
+    from deepcut_tpu.core.graph import LayerSpec
+
+    h5 = tmp_path / "d.h5"
+    with h5py.File(h5, "w") as f:
+        f["data"] = np.arange(8, dtype=np.float32).reshape(8, 1)
+        f["label"] = np.arange(8, dtype=np.float32)
+    lst = tmp_path / "files.txt"
+    lst.write_text(str(h5) + "\n")
+    node = text_format.parse(f"""
+      name: "d" layer {{ name: "data" type: "HDF5Data" top: "data" top: "label"
+        hdf5_data_param {{ source: "{lst}" batch_size: 8 shuffle: true }} }}
+    """).get_list("layer")[0]
+    src = HDF5DataSource(LayerSpec(node), "TRAIN")
+    _, l1 = src.next_batch()
+    _, l2 = src.next_batch()
+    assert sorted(l1.tolist()) == sorted(l2.tolist()) == list(range(8))
+    assert l1.tolist() != l2.tolist()  # re-permuted at the wrap
+
+
+def test_window_data_context_pad_clip_geometry(tmp_path):
+    """WindowData context-pad semantics (window_data_layer.cpp:307-397): the
+    expanded window is clipped to the image, the clipped region is warped by
+    the UNCLIPPED region's scale factors, and the result is pasted at the
+    scaled pad offset into a canvas whose padding stays at the mean (zeros
+    after subtraction)."""
+    from PIL import Image
+    from deepcut_tpu.data.layers import WindowDataSource
+    from deepcut_tpu.core.graph import LayerSpec
+
+    img = (np.arange(40 * 60 * 3).reshape(40, 60, 3) % 251).astype(np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(img[:, :, ::-1]).save(p)  # stored RGB; loader flips to BGR
+
+    # one fg window hugging the top-left corner: the context expansion
+    # must clip at x=0/y=0
+    src = tmp_path / "windows.txt"
+    src.write_text(f"""# 0
+{p}
+3 40 60
+1
+7 0.9 2 2 21 21
+""")
+    cs, ctx = 32, 4
+    node = text_format.parse(f"""
+      name: "w" layer {{ name: "wd" type: "WindowData" top: "data" top: "label"
+        window_data_param {{ source: "{src}" batch_size: 2 context_pad: {ctx}
+                             fg_threshold: 0.5 bg_threshold: 0.5
+                             fg_fraction: 1.0 }}
+        transform_param {{ crop_size: {cs} }} }}
+    """).get_list("layer")[0]
+    ws = WindowDataSource(LayerSpec(node), "TRAIN")
+    data, labels = ws.next_batch()
+    assert data.shape == (2, 3, cs, cs) and list(labels) == [7.0, 7.0]
+
+    # reference arithmetic oracle for the pad offsets
+    x1, y1, x2, y2 = 2, 2, 21, 21
+    scale = cs / float(cs - 2 * ctx)
+    half = (x2 - x1 + 1) / 2.0
+    cx = x1 + half
+    ex1 = int(round(cx - half * scale)); ex2 = int(round(cx + half * scale))
+    uw = ex2 - ex1 + 1
+    px1 = max(0, -ex1)
+    sx = cs / float(uw)
+    pad = int(round(px1 * sx))
+    assert pad > 0  # the window does clip at the corner
+    sample = data[0]  # CHW float
+    # padding stays exactly 0 (mean pixels), content region is non-trivial
+    assert np.all(sample[:, :pad, :] == 0.0)
+    assert np.all(sample[:, :, :pad] == 0.0)
+    assert np.abs(sample[:, pad + 1:, pad + 1:]).sum() > 0
+
+
+def test_window_data_bg_fraction_and_square(tmp_path):
+    from PIL import Image
+    from deepcut_tpu.data.layers import WindowDataSource
+    from deepcut_tpu.core.graph import LayerSpec
+
+    img = np.full((30, 50, 3), 128, np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(img).save(p)
+    src = tmp_path / "windows.txt"
+    src.write_text(f"""# 0
+{p}
+3 30 50
+2
+3 0.8 10 10 29 19
+5 0.1 0 0 9 9
+""")
+    node = text_format.parse(f"""
+      name: "w" layer {{ name: "wd" type: "WindowData" top: "data" top: "label"
+        window_data_param {{ source: "{src}" batch_size: 4 fg_fraction: 0.5
+                             fg_threshold: 0.5 bg_threshold: 0.5
+                             crop_mode: "square" }}
+        transform_param {{ crop_size: 24 }} }}
+    """).get_list("layer")[0]
+    ws = WindowDataSource(LayerSpec(node), "TRAIN")
+    data, labels = ws.next_batch()
+    # bg quota first (label 0), then fg (label 3) — cpp:265-276 order
+    assert list(labels) == [0.0, 0.0, 3.0, 3.0]
+    assert data.shape == (4, 3, 24, 24)

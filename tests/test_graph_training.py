@@ -394,3 +394,40 @@ def test_graph_quantize_int8_serving():
     scale_e = np.abs(ref["e"]).max()
     assert np.abs(out["c"] - ref["c"]).max() < 0.05 * scale_c
     assert np.abs(out["e"] - ref["e"]).max() < 0.10 * scale_e
+
+
+PDOWN_PROTO = """
+name: "pdown"
+input: "data"
+input_shape { dim: 4 dim: 8 }
+input: "target"
+input_shape { dim: 4 dim: 6 }
+layer { name: "ip_a" type: "InnerProduct" bottom: "data" top: "fa"
+  inner_product_param { num_output: 6 weight_filler { type: "xavier" } } }
+layer { name: "ip_b" type: "InnerProduct" bottom: "data" top: "fb"
+  inner_product_param { num_output: 6 weight_filler { type: "xavier" } } }
+layer { name: "sum" type: "Eltwise" bottom: "fa" bottom: "fb" top: "s"
+  propagate_down: true propagate_down: false }
+layer { name: "loss" type: "EuclideanLoss" bottom: "s" bottom: "target" top: "loss" }
+"""
+
+
+def test_propagate_down_blocks_branch_gradients():
+    """`propagate_down: false` on a bottom must stop backprop into that
+    branch (reference: LayerParameter.propagate_down, net.cpp backward
+    scheduling) while leaving the forward and the other branch intact."""
+    import jax
+
+    net = Net(text_format.parse(PDOWN_PROTO), phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    inputs = {"data": jnp.asarray(rng.randn(4, 8), jnp.float32),
+              "target": jnp.asarray(rng.randn(4, 6), jnp.float32)}
+
+    def loss_fn(params):
+        return net.total_loss(net._execute(params, inputs))
+
+    g = jax.grad(loss_fn)(net.params)
+    ga = float(np.abs(np.asarray(g["ip_a"]["w"])).sum())
+    gb = float(np.abs(np.asarray(g["ip_b"]["w"])).sum())
+    assert ga > 0
+    assert gb == 0.0  # branch b is gradient-isolated

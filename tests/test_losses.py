@@ -138,3 +138,51 @@ def test_accuracy_topk():
     lab = np.array([2, 1])
     assert float(L.accuracy(jnp.asarray(x), jnp.asarray(lab))) == 0.5
     assert float(L.accuracy(jnp.asarray(x), jnp.asarray(lab), top_k=2)) == 1.0
+
+
+def test_accuracy_per_class_ignore_and_axis():
+    """test_accuracy_layer.cpp TestForwardPerClass / WithIgnoreLabel, plus the
+    axis param: class axis moved from 1, ignore_label read from
+    accuracy_param (accuracy_layer.cpp:16-19,96-103)."""
+    rng = np.random.RandomState(3)
+    n, c, h, w = 4, 5, 2, 3
+    scores = rng.randn(n, c, h, w).astype(np.float32)
+    labels = rng.randint(0, c, size=(n, h, w)).astype(np.float32)
+    labels[0, 0, 0] = 2.0
+    ignore = 2
+
+    # numpy oracle (reference loop semantics)
+    total_correct = total_count = 0
+    per_correct = np.zeros(c)
+    per_count = np.zeros(c)
+    for i in range(n):
+        for y in range(h):
+            for x in range(w):
+                lab = int(labels[i, y, x])
+                if lab == ignore:
+                    continue
+                pred = int(np.argmax(scores[i, :, y, x]))
+                per_count[lab] += 1
+                hit = pred == lab
+                per_correct[lab] += hit
+                total_correct += hit
+                total_count += 1
+    ref_total = total_correct / total_count
+    ref_pc = np.where(per_count == 0, 0.0,
+                      per_correct / np.maximum(per_count, 1))
+
+    from deepcut_tpu.core.graph import Net
+    proto = f"""
+name: "acc"
+input: "scores" input_shape {{ dim: {n} dim: {c} dim: {h} dim: {w} }}
+input: "label" input_shape {{ dim: {n} dim: 1 dim: {h} dim: {w} }}
+layer {{ name: "acc" type: "Accuracy" bottom: "scores" bottom: "label"
+  top: "acc" top: "acc_per_class"
+  accuracy_param {{ ignore_label: {ignore} axis: 1 }} }}
+"""
+    from deepcut_tpu.proto import text_format
+    net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    out = net.forward(scores=scores, label=labels[:, None])
+    np.testing.assert_allclose(float(out["acc"]), ref_total, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["acc_per_class"]), ref_pc,
+                               rtol=1e-6)
