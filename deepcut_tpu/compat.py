@@ -58,10 +58,20 @@ class _ParamArray(np.ndarray):
     only way possible when parameters live on an accelerator).
 
     Mutations through `[...]=`, `.fill()`, and in-place ufuncs (`*=`, `+=`)
-    write through; rebinding `.data` itself does not (same as pycaffe, where
-    `data` is a read-only property)."""
+    write through — including on DERIVED views (`data[0][:] = w`,
+    `data[1:, 2] *= 0`): views inherit the hook via __array_finalize__ and
+    the hook always pushes the root array, whose memory the views share.
+    Raw-memory writers that bypass ndarray protocols (`np.copyto(data, w)`,
+    `data.flat[:] = v`) do NOT trigger the push; rebinding `.data` itself
+    also does not (same as pycaffe, where `data` is a read-only property)."""
 
     _on_write = None
+
+    def __array_finalize__(self, obj):
+        # propagate the write-through hook to slices/views so chained
+        # net-surgery indexing still reaches the device
+        if obj is not None and self._on_write is None:
+            self._on_write = getattr(obj, "_on_write", None)
 
     def __setitem__(self, idx, value):
         super().__setitem__(idx, value)
@@ -179,9 +189,12 @@ class Net:
             view = np.array(arr, np.float32).view(_ParamArray)
             dtype = self._net.params[name][key].dtype
 
-            def push(a, name=name, key=key, dtype=dtype):
+            # push the ROOT array: a write may come from a derived view
+            # (data[0][:] = w) that shares the root's memory but covers only
+            # a slice of the parameter
+            def push(_a, name=name, key=key, dtype=dtype, root=view):
                 self._net.params[name][key] = jnp.asarray(
-                    np.asarray(a), dtype=dtype)
+                    np.asarray(root), dtype=dtype)
             view._on_write = push
             blob = Blob.__new__(Blob)
             blob.data = view

@@ -57,17 +57,23 @@ class LMDBDataSource(DataLayerSource):
         self.batch_size = dp.get_int("batch_size", 1)
         self.tops = list(spec.tops)
         self.transform = DataTransformer(spec.param("transform_param"), phase)
-        self.items = list(self.reader.items())
-        if not self.items:
+        # cursor semantics like DataReader (one pass order, wrap at end) —
+        # iterate lazily instead of materializing the whole DB in host RAM
+        if len(self.reader) == 0:
             raise ValueError(f"empty {backend} dataset")
-        self.pos = 0
+        self._cursor = iter(self.reader.items())
+
+    def _next_value(self) -> bytes:
+        try:
+            return next(self._cursor)[1]
+        except StopIteration:
+            self._cursor = iter(self.reader.items())
+            return next(self._cursor)[1]
 
     def next_batch(self) -> List[np.ndarray]:
         data, labels = [], []
         for _ in range(self.batch_size):
-            _, raw = self.items[self.pos]
-            self.pos = (self.pos + 1) % len(self.items)
-            datum = Datum.decode(raw)
+            datum = Datum.decode(self._next_value())
             data.append(self.transform(datum.to_array()))
             labels.append(datum.label or 0)
         out = [np.stack(data)]
@@ -88,8 +94,10 @@ class ImageDataSource(DataLayerSource):
         self.is_color = ip.get_bool("is_color", True)
         self.root = ip.get_str("root_folder", "")
         self.transform = DataTransformer(spec.param("transform_param"), phase)
+        # split on the LAST whitespace: image paths may contain spaces
+        # (same convention as tools/datasets.py convert_imageset)
         with open(ip.get_str("source")) as f:
-            self.lines = [l.split() for l in f if l.strip()]
+            self.lines = [l.strip().rsplit(None, 1) for l in f if l.strip()]
         self.shuffle = ip.get_bool("shuffle", False)
         self.rng = np.random.RandomState(0)
         if self.shuffle:
@@ -160,40 +168,53 @@ class HDF5DataSource(DataLayerSource):
     name the datasets."""
 
     def __init__(self, spec, phase: str):
-        import h5py
-
         hp = spec.param("hdf5_data_param")
         self.tops = list(spec.tops)
         self.batch_size = hp.get_int("batch_size", 1)
         with open(hp.get_str("source")) as f:
-            files = [l.strip() for l in f if l.strip()]
-        arrays: Dict[str, List[np.ndarray]] = {t: [] for t in self.tops}
-        for path in files:
-            with h5py.File(path, "r") as h5:
-                for t in self.tops:
-                    arrays[t].append(np.asarray(h5[t], np.float32))
-        self.arrays = {t: np.concatenate(v) for t, v in arrays.items()}
-        n = len(next(iter(self.arrays.values())))
+            self.files = [l.strip() for l in f if l.strip()]
+        if not self.files:
+            raise ValueError("HDF5Data: empty source list")
         self.shuffle = hp.get_bool("shuffle", False)
         self.rng = np.random.RandomState(0)
-        self.perm = (self.rng.permutation(n) if self.shuffle
-                     else np.arange(n))
-        self.n = n
+        # one file resident at a time, row permutation within the file and a
+        # file permutation over files, both redrawn per pass when shuffling
+        # (hdf5_data_layer.cpp:55-66,97-110,137-147) — the reference never
+        # concatenates files, so multi-GB datasets stream instead of OOMing
+        self.file_perm = (self.rng.permutation(len(self.files))
+                          if self.shuffle else np.arange(len(self.files)))
+        self.file_idx = 0
+        self._load_file(self.files[self.file_perm[0]])
+
+    def _load_file(self, path: str) -> None:
+        import h5py
+
+        with h5py.File(path, "r") as h5:
+            self.arrays = {t: np.asarray(h5[t], np.float32) for t in self.tops}
+        self.n = len(next(iter(self.arrays.values())))
+        self.perm = (self.rng.permutation(self.n) if self.shuffle
+                     else np.arange(self.n))
         self.pos = 0
 
     def next_batch(self) -> List[np.ndarray]:
-        idx = []
+        rows: List[List[np.ndarray]] = []
         for _ in range(self.batch_size):
-            idx.append(self.perm[self.pos])
+            r = self.perm[self.pos]
+            rows.append([self.arrays[t][r] for t in self.tops])
             self.pos += 1
-            if self.pos >= self.n:
-                # epoch wrap: the reference redraws its row/file permutations
-                # each epoch when shuffle is set (hdf5_data_layer.cpp:137-147)
-                self.pos = 0
-                if self.shuffle:
-                    self.perm = self.rng.permutation(self.n)
-        idx = np.asarray(idx)
-        return [self.arrays[t][idx] for t in self.tops]
+            if self.pos >= self.n:  # file exhausted: advance (maybe wrap)
+                self.file_idx += 1
+                if self.file_idx >= len(self.files):
+                    self.file_idx = 0
+                    if self.shuffle:
+                        self.file_perm = self.rng.permutation(len(self.files))
+                if len(self.files) > 1:
+                    self._load_file(self.files[self.file_perm[self.file_idx]])
+                else:  # single file: just redraw the row permutation
+                    self.pos = 0
+                    if self.shuffle:
+                        self.perm = self.rng.permutation(self.n)
+        return [np.stack([r[i] for r in rows]) for i in range(len(self.tops))]
 
 
 class PoseDataSourceAdapter(DataLayerSource):
@@ -256,11 +277,24 @@ class WindowDataSource(DataLayerSource):
         self.fg_fraction = wp.get_float("fg_fraction", 0.25)
         self.mean_values = [float(v) for v in
                             tp.get_list("mean_value")] or [0.0]
+        # mean_file (window_data_layer.cpp:191-214): subtract the center
+        # crop_size window of the mean blob, aligned with the pad offsets
+        self._mean_blob = None
+        if tp.get_str("mean_file", ""):
+            from deepcut_tpu.io import blobproto_bytes_to_array
+            with open(tp.get_str("mean_file"), "rb") as f:
+                arr = blobproto_bytes_to_array(f.read())
+            self._mean_blob = np.ascontiguousarray(
+                arr.reshape(arr.shape[-3:]).transpose(1, 2, 0), np.float32)
         self.phase = phase
         self.rng = np.random.RandomState(0)
         self.fg: List[Tuple[str, List[float]]] = []
         self.bg: List[Tuple[str, List[float]]] = []
         self._parse(wp.get_str("source"), wp.get_str("root_folder", ""))
+        # the reference decodes per batch unless cache_images is set
+        # (window_data_layer.cpp:65,102,285); an unconditional cache would
+        # grow without bound on real window files
+        self.cache_images = wp.get_bool("cache_images", False)
         self._cache: Dict[str, np.ndarray] = {}
 
     def _parse(self, source: str, root: str) -> None:
@@ -284,8 +318,10 @@ class WindowDataSource(DataLayerSource):
                     self.bg.append((path, [0.0] + box))
 
     def _load(self, path: str) -> np.ndarray:
+        from deepcut_tpu.data.pipeline import load_image_bgr
+        if not self.cache_images:
+            return load_image_bgr(path)
         if path not in self._cache:
-            from deepcut_tpu.data.pipeline import load_image_bgr
             self._cache[path] = load_image_bgr(path)
         return self._cache[path]
 
@@ -346,10 +382,19 @@ class WindowDataSource(DataLayerSource):
                 (max(out_w, 1), max(out_h, 1)), Image.BILINEAR))[:, :, ::-1]
             if do_mirror:
                 warped = warped[:, ::-1]
-            mv = (self.mean_values if len(self.mean_values) == 3
-                  else self.mean_values * 3)
-            patch = (warped.astype(np.float32) - np.asarray(mv, np.float32)) \
-                * self.scale
+            if self._mean_blob is not None:
+                # mean indexed at (h+mean_off+pad_h, w+mean_off+pad_w),
+                # window_data_layer.cpp:409-413
+                moff = (self._mean_blob.shape[1] - cs) // 2
+                mh, mw = warped.shape[:2]
+                mpatch = self._mean_blob[moff + pad_h:moff + pad_h + mh,
+                                         moff + pad_w:moff + pad_w + mw]
+                patch = (warped.astype(np.float32) - mpatch) * self.scale
+            else:
+                mv = (self.mean_values if len(self.mean_values) == 3
+                      else self.mean_values * 3)
+                patch = (warped.astype(np.float32)
+                         - np.asarray(mv, np.float32)) * self.scale
             canvas = np.zeros((cs, cs, 3), np.float32)
             canvas[pad_h:pad_h + warped.shape[0],
                    pad_w:pad_w + warped.shape[1]] = patch

@@ -36,18 +36,25 @@ _NODE_HDR = struct.Struct("<HHHH")           # lo, hi, flags, ksize
 
 class LMDBReader:
     def __init__(self, path: str):
+        import mmap
+
         data_path = os.path.join(path, "data.mdb") if os.path.isdir(path) else path
         with open(data_path, "rb") as f:
-            self.buf = f.read()
-        meta0 = self._read_meta(0)
-        meta1 = self._read_meta(1)
+            # mmap instead of read(): a 100+ GB ImageNet-style env must not
+            # be slurped into RSS; pages fault in on demand like liblmdb
+            self.buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        # meta page 0 is always at offset 0; its recorded page size (set to
+        # the CREATING host's OS page size, not necessarily 4096) locates
+        # meta page 1
+        meta0 = self._read_meta(0, PAGE_SIZE)
+        meta1 = self._read_meta(1, meta0["psize"])
         self.meta = meta0 if meta0["txnid"] >= meta1["txnid"] else meta1
         self.psize = self.meta["psize"]
         self.root = self.meta["main_root"]
         self.entries = self.meta["main_entries"]
 
-    def _read_meta(self, pgno: int) -> Dict:
-        off = pgno * PAGE_SIZE
+    def _read_meta(self, pgno: int, psize: int) -> Dict:
+        off = pgno * psize
         flags = struct.unpack_from("<H", self.buf, off + 10)[0]
         if not flags & P_META:
             raise ValueError(f"page {pgno} is not a meta page")
@@ -123,6 +130,9 @@ class LMDBReader:
 
     def __len__(self) -> int:
         return int(self.entries)
+
+    def close(self) -> None:
+        self.buf.close()
 
 
 class LMDBWriter:

@@ -145,10 +145,14 @@ class PoseDataSource:
                 if k == "image":
                     pad_val, th, tw = 0.0, bh, bw
                 elif k == "segm_cls_targets":
-                    # may live on its own stride grid
+                    # may live on its own stride grid; pad to the BATCH max
+                    # (a per-sample size would make np.stack fail for
+                    # batch>1 under scale jitter)
                     pad_val = T.IGNORE_VALUE
-                    th = _bucket(a.shape[0], max(self.bucket_step // 8, 1))
-                    tw = _bucket(a.shape[1], max(self.bucket_step // 8, 1))
+                    th = _bucket(max(s[k].shape[0] for s in samples),
+                                 max(self.bucket_step // 8, 1))
+                    tw = _bucket(max(s[k].shape[1] for s in samples),
+                                 max(self.bucket_step // 8, 1))
                 elif k.endswith("cls_targets") or k == "part_score_targets":
                     # classification maps pad with ignore, regression/weight
                     # maps with 0 — both loss-neutral
@@ -166,6 +170,15 @@ class PoseDataSource:
             yield self.next_batch(batch_size)
 
 
+class _ProducerError:
+    """Wrapper carrying a producer-thread exception through the queue."""
+
+    __slots__ = ("exc",)
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
     """Bounded-queue producer thread (PREFETCH_COUNT=3 like pose_layers.hpp:40)."""
 
@@ -178,16 +191,27 @@ class Prefetcher:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = self._make()
+            try:
+                batch = self._make()
+            except BaseException as e:  # surface in the consumer, don't hang
+                batch = _ProducerError(e)
             while not self._stop.is_set():
                 try:
                     self.queue.put(batch, timeout=0.25)
                     break
                 except queue.Full:
                     continue
+            if isinstance(batch, _ProducerError):
+                return  # producer is dead; error is queued for the consumer
 
     def get(self) -> Dict[str, np.ndarray]:
-        return self.queue.get()
+        batch = self.queue.get()
+        if isinstance(batch, _ProducerError):
+            # re-raise the producer thread's failure at the consumer call
+            # site (the reference aborts via CHECK inside load_batch; a
+            # silently dead thread would block this get() forever)
+            raise batch.exc
+        return batch
 
     def stop(self):
         self._stop.set()

@@ -85,6 +85,13 @@ def slice_op(x: jax.Array, *, axis: int, slice_points: Sequence[int], num_output
     if slice_points:
         points = [0] + list(slice_points) + [size]
     else:
+        if size % num_outputs:
+            # Caffe rejects uneven even-splits (slice_layer.cpp
+            # CHECK_EQ(size % num, 0)); silently emitting an oversized
+            # last slice would mis-shape downstream layers
+            raise ValueError(
+                f"Slice: axis size {size} not divisible by {num_outputs} tops"
+                " (set slice_point for uneven splits)")
         step = size // num_outputs
         points = [i * step for i in range(num_outputs)] + [size]
     outs = []

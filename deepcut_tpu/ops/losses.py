@@ -133,12 +133,18 @@ def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize):
 
 def _slv_bwd(cross_entropy, no_softmax, normalize, res, g):
     prob, t, weights, live, count, _, _, n = res
-    diff = prob - jnp.where(live, t, prob)  # zero where ignored
     if weights is not None:
-        diff = diff * weights
+        # the reference's weighted backward skips the ignore-zeroing
+        # branches ENTIRELY (softmax_loss_vec_layer.cpp:171-176: the
+        # has_weights_ arm shadows both zeroing arms), so diff =
+        # (prob - label) * w even where label == IGNORE_VALUE — replicated
+        # exactly (in the fork's configs weight maps carry no 1000-labels,
+        # so this is latent there, but the contract is step-for-step parity)
+        diff = (prob - t) * weights
         # weight_sum counts channel 0 only (softmax_loss_vec_layer.cpp:185-189)
         norm = jnp.sum(weights[..., 0])
     else:
+        diff = prob - jnp.where(live, t, prob)  # zero where ignored
         norm = count.astype(jnp.float32)
     denom = jnp.maximum(norm, 100.0) if normalize else jnp.float32(n)
     return (g * diff / denom, None, None)

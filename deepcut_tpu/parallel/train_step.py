@@ -32,6 +32,16 @@ def make_train_step(
     With a mesh: batch sharded (N over 'data', H over 'spatial'), params and
     optimizer state replicated; XLA inserts the gradient reductions over ICI.
     """
+    if getattr(solver_cfg, "iter_size", 1) > 1:
+        # update_rules.step divides grads by iter_size (preprocess_grads) on
+        # the assumption that the caller ACCUMULATED iter_size micro-batches;
+        # this factory takes exactly one batch per call, so iter_size > 1
+        # would silently shrink every update by 1/iter_size.
+        raise ValueError(
+            "parallel.make_train_step takes one batch per call and does not "
+            "accumulate; use PoseSolver (host accumulation) or "
+            "core.graph.Net.make_train_step (leading iter_size axis + scan) "
+            "for iter_size > 1")
 
     def train_step(params, state, batch):
         (total, metrics), grads = jax.value_and_grad(
@@ -94,12 +104,19 @@ def make_eval_step(model_cfg: DeeperCutConfig, mesh: Optional[Mesh] = None, *, f
         return jax.jit(eval_step)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    # cache the PjitFunction per param structure: a fresh jax.jit wrapper
+    # per call would discard the trace/compile cache every eval step (same
+    # fix as the train step above)
+    _cache: Dict = {}
 
     def jitted(params, images):
-        fn = jax.jit(
-            eval_step,
-            in_shardings=(jax.tree_util.tree_map(lambda _: rep, params), bsh),
-        )
-        return fn(params, images)
+        key = jax.tree_util.tree_structure(params)
+        if key not in _cache:
+            _cache[key] = jax.jit(
+                eval_step,
+                in_shardings=(jax.tree_util.tree_map(lambda _: rep, params),
+                              bsh),
+            )
+        return _cache[key](params, images)
 
     return jitted

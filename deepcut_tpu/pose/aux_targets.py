@@ -157,11 +157,16 @@ def rpn_targets(
     reg_w = np.zeros_like(reg)
 
     pts = person.xy.astype(np.float32)
-    x1, y1 = pts.min(axis=0)
-    x2, y2 = pts.max(axis=0)
-    target_rect = (float(x1), float(y1), float(x2 - x1), float(y2 - y1))
-    x_s, y_s = x1 + target_rect[2] / 2.0, y1 + target_rect[3] / 2.0
-    w_s, h_s = target_rect[2], target_rect[3]
+    # cv::boundingRect on float points returns an INTEGER rect: floored
+    # origin, width = floor(max) - floor(min) + 1 (rpn_targets.cpp:81) —
+    # the exact-float bbox would shift every regression target by ~0.5/1 px
+    bx = math.floor(float(pts[:, 0].min())); by = math.floor(float(pts[:, 1].min()))
+    bw = math.floor(float(pts[:, 0].max())) - bx + 1
+    bh = math.floor(float(pts[:, 1].max())) - by + 1
+    target_rect = (float(bx), float(by), float(bw), float(bh))
+    # centre = (tl + br)/2 with cv::Rect's EXCLUSIVE br = (x+w, y+h)
+    x_s, y_s = bx + bw / 2.0, by + bh / 2.0
+    w_s, h_s = float(bw), float(bh)
     c_mass = contour_centroid(pts) if use_center_of_mass else np.array([x_s, y_s])
 
     coords = _cell_coords(truncated_h, truncated_w, STRIDE, scale)  # (th,tw,2)

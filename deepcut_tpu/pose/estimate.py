@@ -94,11 +94,15 @@ def preprocess_on_device(image_u8: jax.Array, out_h: int, out_w: int,
         # The reference resizes via PIL on uint8 (scipy.misc.imresize): PIL
         # runs a horizontal pass, rounds to uint8, then a vertical pass.
         # Emulating the INTERMEDIATE rounding too cuts the mean deviation
-        # 2-4x vs rounding once at the end (measured vs Pillow).
+        # 2-4x vs rounding once at the end (measured vs Pillow). PIL's
+        # fixed-point accumulate rounds HALF-UP (Resample.c adds
+        # 1<<(PRECISION_BITS-1) before the shift), so use floor(x+0.5), not
+        # jnp.round's half-to-even — exact-.5 ties occur whenever the
+        # in/out ratio has a small denominator.
         img = jnp.einsum("ow,hwc->hoc", Aw, img)
-        img = jnp.clip(jnp.round(img), 0.0, 255.0)
+        img = jnp.clip(jnp.floor(img + 0.5), 0.0, 255.0)
         img = jnp.einsum("oh,hwc->owc", Ah, img)
-        img = jnp.clip(jnp.round(img), 0.0, 255.0)
+        img = jnp.clip(jnp.floor(img + 0.5), 0.0, 255.0)
     img = img - jnp.asarray(MEAN_BGR, jnp.float32)
     ch = min(canvas_h, out_h)
     cw = min(canvas_w, out_w)
@@ -237,8 +241,11 @@ class PoseEstimator:
             assert im.shape[:2] == (h, w), "estimate_pose_batch needs equal sizes"
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
         bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)
-        out_h = int(round((h + PAD_SIZE) * scale))
-        out_w = int(round((w + PAD_SIZE) * scale))
+        # scipy.misc.imresize with a float scale TRUNCATES the target size
+        # ((np.array(im.size) * scale).astype(int)) — round() would disagree
+        # with the reference's resample grid whenever frac >= 0.5
+        out_h = int((h + PAD_SIZE) * scale)
+        out_w = int((w + PAD_SIZE) * scale)
         canvases = jnp.concatenate(
             [preprocess_on_device(jnp.asarray(im), out_h, out_w, bh, bw)
              for im in images], axis=0)
@@ -307,8 +314,11 @@ class PoseEstimator:
             pose = decode_pose(jnp.asarray(sm), jnp.asarray(loc), scale=scale)
             return np.asarray(pose)
         bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)
-        out_h = int(round((h + PAD_SIZE) * scale))
-        out_w = int(round((w + PAD_SIZE) * scale))
+        # scipy.misc.imresize with a float scale TRUNCATES the target size
+        # ((np.array(im.size) * scale).astype(int)) — round() would disagree
+        # with the reference's resample grid whenever frac >= 0.5
+        out_h = int((h + PAD_SIZE) * scale)
+        out_w = int((w + PAD_SIZE) * scale)
         fn = self._full_pipeline(h, w, out_h, out_w, bh, bw)
         pose = fn(self.params, jnp.asarray(image), jnp.int32(ch), jnp.int32(cw),
                   jnp.float32(scale))
@@ -333,8 +343,11 @@ class PoseEstimator:
         if ch > max_h or cw > max_w:
             sm, loc = self._scoremaps_tiled(image, scale)
             return jnp.asarray(sm), jnp.asarray(loc)
-        out_h = int(round((h + PAD_SIZE) * scale))
-        out_w = int(round((w + PAD_SIZE) * scale))
+        # scipy.misc.imresize with a float scale TRUNCATES the target size
+        # ((np.array(im.size) * scale).astype(int)) — round() would disagree
+        # with the reference's resample grid whenever frac >= 0.5
+        out_h = int((h + PAD_SIZE) * scale)
+        out_w = int((w + PAD_SIZE) * scale)
         pad_h = ch
         if self.mesh is not None:
             # canvas rows must divide evenly across the 'spatial' axis. When
@@ -372,8 +385,11 @@ class PoseEstimator:
         computation — tested in tests/test_estimate.py."""
         h, w = image.shape[:2]
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
-        out_h = int(round((h + PAD_SIZE) * scale))
-        out_w = int(round((w + PAD_SIZE) * scale))
+        # scipy.misc.imresize with a float scale TRUNCATES the target size
+        # ((np.array(im.size) * scale).astype(int)) — round() would disagree
+        # with the reference's resample grid whenever frac >= 0.5
+        out_h = int((h + PAD_SIZE) * scale)
+        out_w = int((w + PAD_SIZE) * scale)
         canvas = np.asarray(
             preprocess_on_device(jnp.asarray(image), out_h, out_w, ch, cw)[0]
         )

@@ -102,7 +102,8 @@ def _unquote(tok: str) -> str:
 
 
 _INT_RE = re.compile(r"^[+-]?\d+$")
-_FLOAT_RE = re.compile(r"^[+-]?(\d+\.\d*|\.\d+|\d+[eE][+-]?\d+|\d+\.\d*[eE][+-]?\d+|inf|nan)$")
+_FLOAT_RE = re.compile(
+    r"^[+-]?((\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?|inf|nan)$")
 
 
 def _coerce(tok: str) -> Any:

@@ -299,14 +299,18 @@ class GraphSolver:
                 self.net.params = params
                 self.log(f"Iteration {self.iter}, Testing net")
                 self.test()
+            # display gates on the PRE-update iteration (Solver::Step logs
+            # "Iteration 0, loss" before the first update and the window
+            # includes the current iteration's loss, solver.cpp:228-250)
+            it_pre = self.iter
             params, self.state, loss = self._step_fn(params, self.state,
                                                      self._next_inputs())
             self._loss_window.append(float(loss))
-            it = self.iter
-            if cfg.display and it % cfg.display == 0:
-                lr = float(update_rules.learning_rate(cfg.config, it - 1))
-                self.log(f"Iteration {it}, loss = {self.smoothed_loss:.5f}, "
+            if cfg.display and it_pre % cfg.display == 0:
+                lr = float(update_rules.learning_rate(cfg.config, it_pre))
+                self.log(f"Iteration {it_pre}, loss = {self.smoothed_loss:.5f}, "
                          f"lr = {lr:.6g}")
+            it = self.iter
             if cfg.snapshot and it % cfg.snapshot == 0:
                 self.net.params = params
                 self.snapshot()
@@ -458,15 +462,19 @@ class PoseSolver:
                 grads = g if grads is None else jax.tree_util.tree_map(
                     lambda a, b: a + b, grads, g)
                 total += float(loss)
+            # display gates on the PRE-update iteration like Solver::Step
+            # (logs iteration 0; the smoothed window includes this
+            # iteration's loss, solver.cpp:228-250)
+            it_pre = self.iter
             self.net_params, self.state = self._update_fn(self.net_params, grads, self.state)
             self._loss_window.append(total / cfg.config.iter_size)
-            it = self.iter
-            if cfg.display and it % cfg.display == 0:
-                lr = float(update_rules.learning_rate(cfg.config, it - 1))
+            if cfg.display and it_pre % cfg.display == 0:
+                lr = float(update_rules.learning_rate(cfg.config, it_pre))
                 parts = ", ".join(
                     f"{k} = {float(v):.4f}" for k, v in sorted(metrics.items()))
-                self.log(f"Iteration {it}, loss = {self.smoothed_loss:.5f} "
+                self.log(f"Iteration {it_pre}, loss = {self.smoothed_loss:.5f} "
                          f"({parts}), lr = {lr:.6g}")
+            it = self.iter
             if cfg.snapshot and it % cfg.snapshot == 0:
                 self.snapshot()
 

@@ -70,10 +70,14 @@ def test_rpn_targets_shapes_and_semantics():
     ratio, w_a = ANCHORS[k]
     h_a = w_a * ratio
     x_a, y_a = i * 8 + 4, j * 8 + 4
-    x1, y1 = p.xy.min(axis=0)
-    x2, y2 = p.xy.max(axis=0)
-    np.testing.assert_allclose(reg[j, i, 4 * k] * w_a + x_a, (x1 + x2) / 2, rtol=1e-4)
-    np.testing.assert_allclose(np.exp(reg[j, i, 4 * k + 2]) * w_a, x2 - x1, rtol=1e-4)
+    # the box is cv::boundingRect's INTEGER rect (rpn_targets.cpp:81):
+    # floored origin, width = floor(max) - floor(min) + 1, exclusive br
+    bx = np.floor(p.xy[:, 0].min()); by = np.floor(p.xy[:, 1].min())
+    bw = np.floor(p.xy[:, 0].max()) - bx + 1
+    bh = np.floor(p.xy[:, 1].max()) - by + 1
+    np.testing.assert_allclose(reg[j, i, 4 * k] * w_a + x_a, bx + bw / 2, rtol=1e-4)
+    np.testing.assert_allclose(np.exp(reg[j, i, 4 * k + 2]) * w_a, bw, rtol=1e-4)
+    np.testing.assert_allclose(np.exp(reg[j, i, 4 * k + 3]) * h_a, bh, rtol=1e-4)
     # negatives sampled: ~3x positives cells set to all-zeros
     neg_cells = ((cls == 0.0).all(axis=2)).sum()
     assert neg_cells > 0

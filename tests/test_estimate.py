@@ -86,7 +86,9 @@ def test_preprocess_resize_close_to_pil():
     scale = 0.8
     padded = np.pad(img, ((0, PAD_SIZE), (0, PAD_SIZE), (0, 0)), mode="edge")
     ph, pw = padded.shape[:2]
-    oh, ow = int(round(ph * scale)), int(round(pw * scale))
+    # scipy imresize truncates the target size ((size*scale).astype(int)) —
+    # same arithmetic the estimator's internal paths now use
+    oh, ow = int(ph * scale), int(pw * scale)
     ref = np.asarray(Image.fromarray(padded).resize((ow, oh), Image.BILINEAR),
                      np.float32) - np.asarray(MEAN_BGR, np.float32)
     canvas = np.asarray(preprocess_on_device(jnp.asarray(img), oh, ow, oh, ow))[0]

@@ -186,3 +186,20 @@ layer {{ name: "acc" type: "Accuracy" bottom: "scores" bottom: "label"
     np.testing.assert_allclose(float(out["acc"]), ref_total, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out["acc_per_class"]), ref_pc,
                                rtol=1e-6)
+
+
+def test_softmax_loss_vec_weighted_backward_skips_ignore_zeroing():
+    """Fork-exact weighted backward: the reference's has_weights_ branch
+    shadows BOTH ignore-zeroing arms (softmax_loss_vec_layer.cpp:171-226),
+    so diff = (prob - label) * w even where label == 1000, normalised by
+    max(sum(w[:, 0]), 100)."""
+    x = RNG.randn(1, 2, 2, 3).astype(np.float32)
+    t = (RNG.rand(1, 2, 2, 3) > 0.5).astype(np.float32)
+    t[0, 0, 0, :] = 1000.0  # ignore-labeled cell
+    w = RNG.rand(1, 2, 2, 3).astype(np.float32)
+    fn = L.make_softmax_loss_vec(cross_entropy=True)
+    g = np.asarray(jax.grad(
+        lambda a: fn(a, jnp.asarray(t), jnp.asarray(w)))(jnp.asarray(x)))
+    prob = 1 / (1 + np.exp(-x))
+    expected = (prob - t) * w / max(w[..., 0].sum(), 100.0)
+    np.testing.assert_allclose(g, expected, rtol=1e-4, atol=1e-6)

@@ -409,3 +409,181 @@ def test_rasterize_native_rejects_out_of_range_classes():
     cfg = TargetConfig(num_classes=5)  # skip_class derives to 6; 9 invalid
     with pytest.raises((ValueError, IndexError)):
         rasterize_native(rec, cfg, scale=1.0)
+
+
+# ---- round-2 code-review batch 4 ------------------------------------------
+
+
+def test_pose_batch_segmentation_stacks_across_sizes():
+    """segm_cls_targets must pad to a BATCH-wide grid: per-sample bucket
+    sizes made np.stack crash for batch_size > 1 with differing scaled
+    sizes."""
+    from deepcut_tpu.data.pipeline import PoseDataSource
+    from deepcut_tpu.data.window_file import ImageRecord, Person
+    from deepcut_tpu.pose.targets import TargetConfig
+
+    def fake_loader(path):
+        h, w = (200, 200) if "a" in path else (264, 200)
+        return np.zeros((h, w, 3), np.uint8)
+
+    recs = []
+    for name, (h, w) in (("a.png", (200, 200)), ("b.png", (264, 200))):
+        p = Person(np.array([1, 2], np.int32),
+                   np.array([[50.0, 60.0], [90.0, 100.0]], np.float32))
+        recs.append(ImageRecord(name, 3, h, w, [p]))
+    cfg = TargetConfig(segmentation=True)
+    src = PoseDataSource(recs, cfg, cycle=True, image_loader=fake_loader)
+    batch = src.next_batch(2)  # crashed before the batch-max fix
+    assert batch["segm_cls_targets"].shape[0] == 2
+    assert batch["image"].shape[0] == 2
+
+
+def test_prefetcher_propagates_producer_errors():
+    from deepcut_tpu.data.pipeline import Prefetcher
+
+    def boom():
+        raise RuntimeError("corrupt sample")
+
+    pf = Prefetcher(boom)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        pf.get()
+    pf.stop()
+
+
+def test_image_data_paths_with_spaces(tmp_path):
+    from PIL import Image
+    from deepcut_tpu.data.layers import ImageDataSource
+    from deepcut_tpu.core.graph import LayerSpec
+    from deepcut_tpu.proto import text_format
+
+    p = tmp_path / "my photo.png"
+    Image.fromarray(np.full((4, 4, 3), 9, np.uint8)).save(p)
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{p} 3\n")
+    node = text_format.parse(f"""
+      name: "d" layer {{ name: "d" type: "ImageData" top: "data" top: "label"
+        image_data_param {{ source: "{lst}" batch_size: 1 }} }}
+    """).get_list("layer")[0]
+    src = ImageDataSource(LayerSpec(node), "TRAIN")
+    data, labels = src.next_batch()
+    assert data.shape == (1, 3, 4, 4) and labels[0] == 3.0
+
+
+def test_window_data_mean_file(tmp_path):
+    """transform_param.mean_file: the center crop_size window of the mean
+    blob is subtracted, aligned with the pad offsets
+    (window_data_layer.cpp:191-214,409-413)."""
+    from PIL import Image
+    from deepcut_tpu.data.layers import WindowDataSource
+    from deepcut_tpu.core.graph import LayerSpec
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.io import array_to_blobproto_bytes
+
+    img = np.full((40, 40, 3), 100, np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(img).save(p)
+    mean = np.full((3, 48, 48), 25.0, np.float32)
+    mf = tmp_path / "mean.binaryproto"
+    mf.write_bytes(array_to_blobproto_bytes(mean[None]))
+    src = tmp_path / "w.txt"
+    src.write_text(f"""# 0
+{p}
+3 40 40
+1
+2 0.9 8 8 31 31
+""")
+    node = text_format.parse(f"""
+      name: "w" layer {{ name: "wd" type: "WindowData" top: "data" top: "label"
+        window_data_param {{ source: "{src}" batch_size: 1 fg_fraction: 1.0
+                             fg_threshold: 0.5 bg_threshold: 0.5 }}
+        transform_param {{ crop_size: 32 mean_file: "{mf}" }} }}
+    """).get_list("layer")[0]
+    ws = WindowDataSource(LayerSpec(node), "TRAIN")
+    data, _ = ws.next_batch()
+    np.testing.assert_allclose(data[0], 100.0 - 25.0)
+
+
+def test_lmdb_reader_nondefault_page_size(tmp_path):
+    """meta page 1 must be located via meta 0's recorded page size: an env
+    created on a 16 KiB-page host puts it at 16384, not 4096."""
+    import struct
+    from deepcut_tpu.data import lmdb_store as L
+
+    psize = 16384
+    body = bytearray(2 * psize)
+    for pgno in (0, 1):
+        off = pgno * psize
+        struct.pack_into("<QHHHH", body, off, pgno, 0, L.P_META, 0, 0)
+        m = off + L.PAGEHDRSZ
+        struct.pack_into("<II", body, m, L.MDB_MAGIC, L.MDB_VERSION)
+        struct.pack_into("<QQ", body, m + 8, 0, len(body))
+        dbs = m + 24
+        L._META_DB.pack_into(body, dbs, psize, 0, 0, 0, 0, 0, 0,
+                             0xFFFFFFFFFFFFFFFF)
+        L._META_DB.pack_into(body, dbs + L._META_DB.size, 0, 0, 0, 0, 0, 0,
+                             0, 0xFFFFFFFFFFFFFFFF)  # empty main db
+        struct.pack_into("<QQ", body, dbs + 2 * L._META_DB.size, 1, pgno)
+    f = tmp_path / "data.mdb"
+    f.write_bytes(bytes(body))
+    r = L.LMDBReader(str(f))
+    assert r.psize == psize and len(r) == 0 and list(r.items()) == []
+
+
+def test_hdf5_multi_file_lazy_epoch(tmp_path):
+    import h5py
+    from deepcut_tpu.data.layers import HDF5DataSource
+    from deepcut_tpu.core.graph import LayerSpec
+    from deepcut_tpu.proto import text_format
+
+    for i, rows in enumerate(([0, 1, 2], [3, 4])):
+        with h5py.File(tmp_path / f"f{i}.h5", "w") as f:
+            f["data"] = np.asarray(rows, np.float32).reshape(-1, 1)
+            f["label"] = np.asarray(rows, np.float32)
+    lst = tmp_path / "files.txt"
+    lst.write_text(f"{tmp_path}/f0.h5\n{tmp_path}/f1.h5\n")
+    node = text_format.parse(f"""
+      name: "d" layer {{ name: "d" type: "HDF5Data" top: "data" top: "label"
+        hdf5_data_param {{ source: "{lst}" batch_size: 5 }} }}
+    """).get_list("layer")[0]
+    src = HDF5DataSource(LayerSpec(node), "TRAIN")
+    _, l1 = src.next_batch()
+    assert l1.tolist() == [0, 1, 2, 3, 4]  # spans the file boundary in order
+    _, l2 = src.next_batch()
+    assert l2.tolist() == [0, 1, 2, 3, 4]  # second epoch wraps cleanly
+
+
+def test_prototxt_float_exponent_forms():
+    from deepcut_tpu.proto.text_format import parse, dump
+
+    node = parse('a: .5e-2 b: 5e3 c: 1.5e2 d: .25')
+    assert node.get_float("a") == 0.005 and node.get_float("b") == 5000.0
+    assert node.get_float("c") == 150.0 and node.get_float("d") == 0.25
+    assert '"' not in dump(node)  # floats round-trip unquoted
+
+
+def test_param_view_chained_indexing_writes_through():
+    """Net-surgery via derived views (`params[l][0].data[0][:] = v`) must
+    reach the live device parameters (write-through hook propagation)."""
+    from deepcut_tpu import compat
+    from deepcut_tpu.proto import text_format
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "data" input_shape { dim: 1 dim: 3 }
+      layer { name: "ip" type: "InnerProduct" bottom: "data" top: "out"
+        inner_product_param { num_output: 2
+          weight_filler { type: "constant" value: 1.0 } } }
+    """)
+    net = compat.Net.__new__(compat.Net)
+    from deepcut_tpu.core.graph import Net as GNet
+    net._net = GNet(proto, compute_dtype=None)
+    net.blobs = {}
+    net._params_dirty = False
+    w = net.params["ip"][0].data
+    w[0][:] = 7.0          # chained view write
+    w[1][:1] *= 3.0        # in-place ufunc on a derived view
+    # `.params` regenerates views FROM THE DEVICE — persistence proves the
+    # derived-view writes reached the live jax parameters
+    got = net.params["ip"][0].data
+    assert np.all(got[0] == 7.0)
+    assert np.all(got[1][:1] == 3.0)  # was constant 1.0
