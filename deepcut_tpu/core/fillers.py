@@ -64,9 +64,16 @@ def fill(node: PbNode, rng: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
              "AVERAGE": (fan_in + fan_out) / 2.0}[norm]
         return math.sqrt(2.0 / n) * jax.random.normal(rng, shape, jnp.float32)
     if ftype == "positive_unitball":
+        # Caffe normalises per blob->num() = Cout (filler.hpp:111-121),
+        # which is the LAST axis of 4-D HWIO conv weights here (same
+        # mapping as the sparse-gaussian branch above)
         w = jax.random.uniform(rng, shape, jnp.float32)
-        flat = w.reshape(shape[0] if len(shape) else 1, -1)
-        flat = flat / jnp.sum(flat, axis=1, keepdims=True)
+        if len(shape) == 4:
+            flat = w.reshape(-1, shape[3])
+            flat = flat / jnp.sum(flat, axis=0, keepdims=True)
+        else:
+            flat = w.reshape(shape[0] if len(shape) else 1, -1)
+            flat = flat / jnp.sum(flat, axis=1, keepdims=True)
         return flat.reshape(shape)
     if ftype == "bilinear":
         from deepcut_tpu.ops.conv import bilinear_filler

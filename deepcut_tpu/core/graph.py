@@ -202,8 +202,16 @@ class Net:
         self.data_sources: Dict[str, Any] = {}
         self.hdf5_sinks: List[Any] = []
         self._peeked: Dict[str, List[np.ndarray]] = {}
+        self._silenced: set = set()
         for spec in self.layer_specs:
-            if spec.type in ("Input", "Silence"):
+            if spec.type == "Silence":
+                # Silence CONSUMES its bottoms (silence_layer emits no tops);
+                # they must not surface as net outputs or keep their
+                # producing subgraph alive through make_forward's default
+                # output set
+                self._silenced.update(spec.bottoms)
+                continue
+            if spec.type == "Input":
                 continue
             if spec.type in DATA_SOURCES:
                 src = DATA_SOURCES[spec.type](spec, phase)
@@ -220,9 +228,12 @@ class Net:
 
         self.params: Dict[str, Any] = {}
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
-        self._pending_weights = None
+        # weight payloads queued until params materialise (data-layer nets
+        # defer shape inference to the first forward); applied IN ORDER by
+        # _ensure_params so later copy_from calls win like the reference's
+        self._pending_weights: List[Any] = []
         if weights is not None:
-            self._pending_weights = weights
+            self._pending_weights.append(weights)
         if self.input_shapes:
             self._ensure_params(
                 {nm: _to_nhwc_shape(sh) for nm, sh in self.input_shapes.items()}
@@ -240,6 +251,13 @@ class Net:
         return {s.name: s.type for s in self.layer_specs}
 
     def load_weights(self, weights) -> None:
+        if not getattr(self, "_params_ready", False):
+            # Params not materialised yet (data-layer net before its first
+            # forward): applying by name now would either load partially or
+            # be thrown away when _ensure_params rebuilds self.params from
+            # fillers — queue instead; _ensure_params replays the queue.
+            self._pending_weights.append(weights)
+            return
         from deepcut_tpu.proto.caffemodel import load_caffemodel, blobs_to_params
 
         if isinstance(weights, str):
@@ -251,7 +269,7 @@ class Net:
         # Match by name (reference: Net::CopyTrainedLayersFrom semantics) on
         # top of existing params so missing layers keep their init.
         for name, entry in converted.items():
-            if name in self.params or not self.params:
+            if name in self.params:
                 self.params[name] = {
                     k: jnp.asarray(v) for k, v in entry.items()
                 } if isinstance(entry, dict) else entry
@@ -328,9 +346,9 @@ class Net:
                     owners[shared] = (name, key)
             params[name] = entry
         self.params = params
-        if self._pending_weights is not None:
-            self.load_weights(self._pending_weights)
-            self._pending_weights = None
+        pending, self._pending_weights = self._pending_weights, []
+        for w in pending:
+            self.load_weights(w)  # _params_ready is set: applies by name
 
     def fold_bn(self) -> int:
         """Fold inference-mode BatchNorm (+ Scale) layers into the preceding
@@ -563,7 +581,10 @@ class Net:
             # (net.cpp:144-159 -> Layer::set_param_propagate_down analog for
             # bottoms; used to freeze branches). stop_gradient is the exact
             # functional equivalent: forward unchanged, cotangent zeroed.
-            pdown = [bool(v) if isinstance(v, bool) else str(v).lower() == "true"
+            # proto text accepts both `true/false` and numeric `1/0` forms
+            pdown = [v if isinstance(v, bool)
+                     else bool(v) if isinstance(v, (int, float))
+                     else str(v).lower() == "true"
                      for v in spec.node.get_list("propagate_down")]
             if pdown and not all(pdown):
                 bottoms = [jax.lax.stop_gradient(b) if i < len(pdown) and not pdown[i]
@@ -609,7 +630,11 @@ class Net:
             weights = [float(v) for v in spec.node.get_list("loss_weight")]
             is_loss = spec.type.endswith("Loss") or spec.type == "SoftmaxWithLossVec"
             for i, top in enumerate(spec.tops):
-                w = weights[i] if i < len(weights) else (1.0 if is_loss else 0.0)
+                # unspecified weights: 1 for TOP 0 of a loss layer only
+                # (LossLayer adds a single loss_weight; extra tops like the
+                # shared prob_ carry 0 — layer.hpp:414-428)
+                w = weights[i] if i < len(weights) else (
+                    1.0 if is_loss and i == 0 else 0.0)
                 if w:
                     term = blobs[top].astype(jnp.float32).sum() * w
                     total = term if total is None else total + term
@@ -854,4 +879,7 @@ class Net:
             for t in spec.tops:
                 if t not in available:
                     available.append(t)
-        return available
+        # blobs consumed by Silence layers are not outputs (AppendBottom
+        # marks them used; silence_layer has no tops)
+        return [a for a in available
+                if a not in getattr(self, "_silenced", ())]

@@ -196,8 +196,14 @@ def _batchnorm(spec, phase, compute_dtype):
 def _scale_param_spec(spec, bottom_shapes):
     sp = spec.param("scale_param")
     c = bottom_shapes[0][-1]
-    one = PbNode(); one.add("type", "constant"); one.add("value", 1.0)
-    out = [("gamma", (c,), sp.get("filler", one))]
+    out = []
+    if len(bottom_shapes) < 2:
+        # with 2 bottoms the scale COMES FROM bottom[1] and no gamma blob
+        # exists (scale_layer.cpp:15-43 creates blobs_[0] only for
+        # bottom.size()==1) — declaring one would mis-assign .caffemodel
+        # blobs positionally and decay an unused parameter
+        one = PbNode(); one.add("type", "constant"); one.add("value", 1.0)
+        out.append(("gamma", (c,), sp.get("filler", one)))
     if sp.get_bool("bias_term", False):
         out.append(("beta", (c,), sp.get("bias_filler", PbNode())))
     return out
@@ -207,7 +213,10 @@ def _scale_param_spec(spec, bottom_shapes):
 def _scale(spec, phase, compute_dtype):
     def fn(p, bottoms):
         if len(bottoms) == 2:  # second bottom provides the scale
-            return bottoms[0] * bottoms[1]
+            y = bottoms[0] * bottoms[1]
+            if p and "beta" in p:  # bias_term still learns a bias blob
+                y = y + p["beta"].astype(y.dtype)
+            return y
         return norm_ops.scale(bottoms[0], p["gamma"], p.get("beta"))
     return fn
 
@@ -672,8 +681,13 @@ def _softmax_with_loss(spec, phase, compute_dtype):
             # Caffe accepts (N,1,1,1)-style label blobs (outer/inner count
             # semantics, softmax_loss_layer.cpp Reshape)
             lab = lab.reshape(scores.shape[:-1])
-        return loss_ops.softmax_with_loss(
+        loss = loss_ops.softmax_with_loss(
             scores, lab, ignore_label=ignore, normalization=normalization)
+        if len(spec.tops) > 1:
+            # optional second top = the softmax probabilities
+            # (softmax_loss_layer.cpp:22-26 shares prob_ through top[1])
+            return [loss, jax.nn.softmax(bottoms[0], axis=-1)]
+        return loss
     return fn
 
 
@@ -681,15 +695,25 @@ def _softmax_with_loss(spec, phase, compute_dtype):
 def _softmax_with_loss_vec(spec, phase, compute_dtype):
     vp = spec.param("softmax_with_loss_vec_param")
     lp = spec.param("loss_param")
+    cross_entropy = vp.get_bool("cross_entropy", False)
+    no_softmax = vp.get_bool("no_softmax", False)
     fn_loss = loss_ops.make_softmax_loss_vec(
-        cross_entropy=vp.get_bool("cross_entropy", False),
-        no_softmax=vp.get_bool("no_softmax", False),
+        cross_entropy=cross_entropy,
+        no_softmax=no_softmax,
         normalize=lp.get_bool("normalize", True),
     )
 
     def fn(p, bottoms):
         w = bottoms[2] if len(bottoms) > 2 else None
-        return fn_loss(bottoms[0], bottoms[1], w)
+        loss = fn_loss(bottoms[0], bottoms[1], w)
+        if len(spec.tops) > 1:
+            # top[1] shares prob_ (softmax_loss_vec_layer.cpp:149-151):
+            # sigmoid in CE mode, passthrough with no_softmax, else softmax
+            x = bottoms[0]
+            prob = (jax.nn.sigmoid(x) if cross_entropy
+                    else x if no_softmax else jax.nn.softmax(x, axis=-1))
+            return [loss, prob]
+        return loss
     return fn
 
 
@@ -772,7 +796,7 @@ def _accuracy(spec, phase, compute_dtype):
         # prototxt `axis:` is in NCHW terms; 4-d blobs arrive NHWC here
         # (boundary transpose), so map the Caffe axis to its NHWC position
         nd = b[0].ndim
-        pos = {0: 0, 1: 3, 2: 1, 3: 2}[axis % 4] if nd == 4 else axis % nd
+        pos = _AXIS_MAP_4D[axis % 4] if nd == 4 else axis % nd
         scores = jnp.moveaxis(b[0], pos, -1)
         labels = _label_squeeze(b[1]).reshape(scores.shape[:-1])
         out = loss_ops.accuracy(scores, labels, **cfg)

@@ -40,16 +40,22 @@ class Detector(caffe.Net):
         dims = self.blobs[in_].shape[2:]
         channels = self.blobs[in_].shape[1]
         self.crop_dims = (int(dims[0]), int(dims[1]), int(channels))
-        cm = np.zeros(channels, np.float32)
-        if mean is not None:
-            m = np.asarray(mean, np.float32).reshape(-1)
+        if mean is None:
+            cm = np.zeros((1, 1, channels), np.float32)
+        else:
+            m = np.asarray(mean, np.float32)
+            if m.ndim == 3:
+                # full spatial mean (C,H,W) -> HWC canvas, like the
+                # reference's _configure_crop transpose (detector.py:196-218)
+                cm = m.transpose(1, 2, 0).copy()
+            else:
+                cm = m.reshape(1, 1, -1).copy()
             if channel_swap is not None:
-                inv = np.argsort(np.asarray(channel_swap))
-                m = m[inv]
+                inv = [list(channel_swap).index(i) for i in range(channels)]
+                cm = cm[:, :, inv]
             if raw_scale is not None:
-                m = m / raw_scale
-            cm = m
-        self.crop_mean = cm[None, None, :]
+                cm = cm / raw_scale
+        self.crop_mean = cm
 
     def detect_windows(self, images_windows: Sequence[Tuple[str, np.ndarray]]) -> List[Dict]:
         window_inputs = []

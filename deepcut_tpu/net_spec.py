@@ -92,7 +92,8 @@ class LayerCall:
             top_names = bottom_names[: self.ntop]
         else:
             top_names = [names[t] for t in self.tops]
-        node.add("name", names[self.tops[0]] if not self.in_place else autonames[self])
+        node.add("name", names[self.tops[0]]
+                 if self.tops and not self.in_place else autonames[self])
         node.add("type", self.type_name)
         for b in bottom_names:
             node.add("bottom", b)
@@ -114,6 +115,11 @@ class _Layers:
     def __getattr__(self, type_name: str):
         def fn(*bottoms, **kwargs):
             call = LayerCall(type_name, bottoms, kwargs)
+            if call.ntop == 0:
+                # the reference returns the Function itself for ntop=0
+                # (net_spec.py Silence pattern: n.silence = L.Silence(x,
+                # ntop=0) — test_net_spec.py:47)
+                return call
             return call.tops[0] if call.ntop == 1 else call.tops
         fn.__name__ = type_name
         return fn
@@ -143,17 +149,22 @@ class NetSpec:
         autonames: Dict[LayerCall, str] = {}
         seen = set()
 
-        def visit(top: Top):
-            call = top.fn
+        named_calls: Dict[int, str] = {}
+
+        def visit_call(call: "LayerCall"):
             if id(call) in seen:
                 return
             seen.add(id(call))
             for b in call.bottoms:
-                visit(b)
+                visit_call(b.fn)
             calls.append(call)
 
         for name, top in self.tops.items():
-            visit(top)
+            if isinstance(top, LayerCall):  # ntop=0 layer (e.g. Silence)
+                visit_call(top)
+                named_calls[id(top)] = name
+                continue
+            visit_call(top.fn)
             names[top] = name
             for sib in top.fn.tops:
                 if sib is not top and sib not in names:
@@ -170,7 +181,7 @@ class NetSpec:
                     names[t] = f"{base}{counters[base]}"
         # resolve in-place chains: a Top assigned in-place aliases its bottom
         for call in calls:
-            autonames[call] = next(
+            autonames[call] = named_calls.get(id(call)) or next(
                 (nm for t, nm in names.items() if t in call.tops), call.type_name.lower())
             if call.in_place:
                 src = call.bottoms[0]

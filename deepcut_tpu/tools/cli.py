@@ -15,6 +15,7 @@ Usage: python -m deepcut_tpu.tools.cli <verb> [flags]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time as _time
 from typing import Dict, List, Optional
@@ -111,7 +112,11 @@ def train(args) -> int:
         pp.get_str("source"), tcfg, stats,
         root_folder=pp.get_str("root_folder", ""),
         cycle=pp.get_bool("cycle_training_data", False),
-        seed=max(sp.random_seed, 0),
+        # random_seed < 0 = unseeded (the reference seeds from entropy
+        # unless random_seed >= 0, solver.cpp:53-54); clamping the sentinel
+        # to 0 would make every unseeded run identical
+        seed=(sp.random_seed if sp.random_seed >= 0
+              else int.from_bytes(os.urandom(4), "little")),
     )
     model_cfg = deepercut_config(
         args.resnet,
@@ -245,11 +250,14 @@ def time_cmd(args) -> int:
         for fn, spec in net._plan:
             bottoms = [blobs[b] for b in spec.bottoms]
             jfn = jax.jit(lambda p, bs, fn=fn: fn(p, bs))
-            outs = jfn(net.params.get(spec.name), bottoms)  # compile
+            # _entry resolves shared-weight (named-param) aliases — a raw
+            # params.get would miss blobs owned by the aliased layer
+            entry = net._entry(net.params, spec.name)
+            outs = jfn(entry, bottoms)  # compile
             jax.block_until_ready(outs)
             t0 = _time.perf_counter()
             for _ in range(args.iterations):
-                outs = jfn(net.params.get(spec.name), bottoms)
+                outs = jfn(entry, bottoms)
             jax.block_until_ready(outs)
             per = (_time.perf_counter() - t0) / args.iterations * 1000
             rows.append((spec.name, spec.type, per))

@@ -587,3 +587,156 @@ def test_param_view_chained_indexing_writes_through():
     got = net.params["ip"][0].data
     assert np.all(got[0] == 7.0)
     assert np.all(got[1][:1] == 3.0)  # was constant 1.0
+
+
+# ---- round-2 code-review batch 5 (core/tools/net_spec/detector) ------------
+
+
+def test_load_weights_before_materialisation_applies_all_layers():
+    """load_weights on a data-layer net (params not yet materialised) must
+    queue and apply EVERY layer once shapes are known — a guard bug loaded
+    only the first layer and _ensure_params then discarded even that."""
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = text_format.parse("""
+      name: "n"
+      layer { name: "data" type: "DummyData" top: "data"
+        dummy_data_param { shape { dim: 2 dim: 3 }
+          data_filler { type: "constant" value: 1.0 } } }
+      layer { name: "ip1" type: "InnerProduct" bottom: "data" top: "a"
+        inner_product_param { num_output: 3 } }
+      layer { name: "ip2" type: "InnerProduct" bottom: "a" top: "b"
+        inner_product_param { num_output: 2 } }
+    """)
+    net = Net(proto, phase="TEST", compute_dtype=None)
+    assert not net.params  # deferred: no declared input shapes
+    w1 = np.full((3, 3), 2.0, np.float32)       # (out, in) Caffe layout
+    w2 = np.full((2, 3), 0.5, np.float32)
+    net.load_weights({"ip1": {"w": w1, "b": np.zeros(3, np.float32)},
+                      "ip2": {"w": w2, "b": np.zeros(2, np.float32)}})
+    out = net.forward()
+    # data=1s -> a = 1@w1 = 6 -> b = [6,6,6]@w2 = 9
+    np.testing.assert_allclose(np.asarray(out["b"]), 9.0, rtol=1e-6)
+
+
+def test_propagate_down_numeric_form():
+    """`propagate_down: 1` (numeric proto-text bool) must mean TRUE."""
+    import jax
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = text_format.parse("""
+      name: "p"
+      input: "data" input_shape { dim: 2 dim: 4 }
+      input: "target" input_shape { dim: 2 dim: 3 }
+      layer { name: "ipa" type: "InnerProduct" bottom: "data" top: "fa"
+        inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+      layer { name: "ipb" type: "InnerProduct" bottom: "data" top: "fb"
+        inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+      layer { name: "s" type: "Eltwise" bottom: "fa" bottom: "fb" top: "s"
+        propagate_down: 1 propagate_down: 0 }
+      layer { name: "l" type: "EuclideanLoss" bottom: "s" bottom: "target" top: "l" }
+    """)
+    net = Net(proto, phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    inputs = {"data": jnp.asarray(rng.randn(2, 4), jnp.float32),
+              "target": jnp.asarray(rng.randn(2, 3), jnp.float32)}
+    g = jax.grad(lambda p: net.total_loss(net._execute(p, inputs)))(net.params)
+    assert float(np.abs(np.asarray(g["ipa"]["w"])).sum()) > 0  # enabled (1)
+    assert float(np.abs(np.asarray(g["ipb"]["w"])).sum()) == 0.0  # disabled (0)
+
+
+def test_softmax_with_loss_second_top_and_loss_weights():
+    """Optional top[1] = softmax probabilities (softmax_loss_layer.cpp:22-26);
+    an unweighted extra top must NOT be summed into the total loss."""
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "x" input_shape { dim: 4 dim: 5 }
+      input: "label" input_shape { dim: 4 }
+      layer { name: "loss" type: "SoftmaxWithLoss" bottom: "x" bottom: "label"
+        top: "loss" top: "prob" }
+    """)
+    net = Net(proto, phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 5).astype(np.float32)
+    lab = rng.randint(0, 5, (4,)).astype(np.float32)
+    out = net.forward(x=x, label=lab)
+    e = np.exp(x - x.max(-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(out["prob"]),
+                               e / e.sum(-1, keepdims=True), rtol=1e-5)
+    blobs = net._execute(net.params,
+                         {"x": jnp.asarray(x), "label": jnp.asarray(lab)})
+    # total loss == the scalar top only (top[1] defaults to weight 0)
+    np.testing.assert_allclose(float(net.total_loss(blobs)),
+                               float(np.asarray(out["loss"])), rtol=1e-6)
+
+
+def test_positive_unitball_normalises_per_output_channel():
+    import jax
+    from deepcut_tpu.core import fillers
+    from deepcut_tpu.proto.text_format import PbNode
+
+    node = PbNode(); node.add("type", "positive_unitball")
+    w = np.asarray(fillers.fill(node, jax.random.PRNGKey(0), (3, 3, 4, 6)))
+    # per-Cout sums = 1 (filler.hpp:111-121, num = Cout = last axis in HWIO)
+    np.testing.assert_allclose(w.sum(axis=(0, 1, 2)), 1.0, rtol=1e-5)
+    assert (w >= 0).all()
+
+
+def test_net_spec_silence_ntop0():
+    from deepcut_tpu import net_spec as ns
+
+    n = ns.NetSpec()
+    n.data, n.label = ns.L.DummyData(
+        shape=[dict(dim=[2, 3]), dict(dim=[2])], ntop=2)
+    n.silence_label = ns.L.Silence(n.label, ntop=0)
+    n.ip = ns.L.InnerProduct(n.data, num_output=4)
+    proto = n.to_proto()
+    layers = proto.get_list("layer")
+    sil = [l for l in layers if l.get_str("type") == "Silence"]
+    assert len(sil) == 1
+    assert sil[0].get_str("name") == "silence_label"
+    assert sil[0].get_list("bottom") == ["label"]
+    assert not sil[0].get_list("top")
+
+
+def test_silenced_blobs_are_not_net_outputs():
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "x" input_shape { dim: 2 dim: 6 }
+      layer { name: "slice" type: "Slice" bottom: "x" top: "a" top: "b"
+        slice_param { axis: 1 } }
+      layer { name: "sil" type: "Silence" bottom: "b" }
+      layer { name: "ip" type: "InnerProduct" bottom: "a" top: "out"
+        inner_product_param { num_output: 2 } }
+    """)
+    net = Net(proto, phase="TEST", compute_dtype=None)
+    names = net.output_names()
+    assert "out" in names and "b" not in names
+
+
+def test_scale_two_bottom_has_no_gamma_param():
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "x" input_shape { dim: 2 dim: 3 }
+      input: "s" input_shape { dim: 2 dim: 3 }
+      layer { name: "sc" type: "Scale" bottom: "x" bottom: "s" top: "y"
+        scale_param { bias_term: true } }
+    """)
+    net = Net(proto, phase="TEST", compute_dtype=None)
+    entry = net.params.get("sc", {})
+    assert "gamma" not in entry and "beta" in entry  # scale comes from s
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    s = np.full((2, 3), 2.0, np.float32)
+    out = net.forward(x=x, s=s)
+    np.testing.assert_allclose(np.asarray(out["y"]), x * 2.0, rtol=1e-6)
