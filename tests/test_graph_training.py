@@ -2,6 +2,7 @@
 jitted train step with lr_mult handling, net.backward."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -431,3 +432,51 @@ def test_propagate_down_blocks_branch_gradients():
     gb = float(np.abs(np.asarray(g["ip_b"]["w"])).sum())
     assert ga > 0
     assert gb == 0.0  # branch b is gradient-isolated
+
+
+def test_maxpool_dropout_interplay():
+    """test_maxpool_dropout_layers.cpp TestForward: ones through maxpool stay
+    ones; in-place TRAIN dropout bounds the sum by count*scale and TEST
+    dropout is identity."""
+    proto = """
+    name: "mpd"
+    input: "data" input_shape { dim: 2 dim: 2 dim: 7 dim: 7 }
+    layer { name: "p" type: "Pooling" bottom: "data" top: "p"
+      pooling_param { kernel_size: 3 stride: 2 } }
+    layer { name: "d" type: "Dropout" bottom: "p" top: "p"
+      dropout_param { dropout_ratio: 0.5 } }
+    """
+    ones = np.ones((2, 2, 7, 7), np.float32)
+    test_net = Net(text_format.parse(proto), phase="TEST", compute_dtype=None)
+    out = np.asarray(test_net.forward(data=ones)["p"])
+    assert out.size == 2 * 2 * 3 * 3
+    np.testing.assert_allclose(out, 1.0)  # maxpool of ones; TEST dropout = id
+
+    train_net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    blobs = train_net._execute(train_net.params,
+                               {"data": jnp.asarray(ones)},
+                               rng=jax.random.PRNGKey(3))
+    got = np.asarray(blobs["p"])
+    scale = 1.0 / (1.0 - 0.5)
+    vals = set(np.unique(got).tolist())
+    assert vals <= {0.0, scale}  # inverted scaling: kept units * 1/(1-r)
+    assert 0.0 < got.sum() <= got.size * scale
+
+
+def test_shared_weight_gradients_sum_over_declaring_layers():
+    """test_net.cpp TestSharedWeightsUpdate: layers sharing a named param
+    accumulate BOTH layers' gradients into the single owner array."""
+    net = Net(text_format.parse(SHARED_PROTO + """
+layer { name: "sum" type: "Eltwise" bottom: "fa" bottom: "fb" top: "s" }
+layer { name: "loss" type: "Reduction" bottom: "s" top: "loss" loss_weight: 1.0 }
+"""), phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    a = rng.randn(4, 8).astype(np.float32)
+    b = rng.randn(4, 8).astype(np.float32)
+    inputs = {"a": jnp.asarray(a), "b": jnp.asarray(b)}
+    g = jax.grad(lambda p: net.total_loss(net._execute(p, inputs)))(net.params)
+    # d/dW sum(a@W.T + b@W.T) = column-sums of (a + b), at the OWNER entry
+    expected = np.tile((a + b).sum(axis=0), (6, 1))
+    np.testing.assert_allclose(np.asarray(g["ip_a"]["w"]), expected, rtol=1e-5)
+    # the alias entry holds no duplicate array
+    assert "w" not in g.get("ip_b", {}) or np.asarray(g["ip_b"].get("w", 0)).size == 0
