@@ -572,14 +572,18 @@ def _spp(spec, phase, compute_dtype):
         feats = []
         for l in range(levels):
             bins = 2 ** l
+            # Caffe's bin geometry (spp_layer.cpp GetPoolingParam:17-42):
+            # kernel = ceil(dim/bins), STRIDE = kernel, pad = (remainder+1)/2
+            # — a floor stride would make bins overlap on non-divisible dims
             kh, kw = -(-h // bins), -(-w // bins)
-            sh, sw = h // bins if h >= bins else 1, w // bins if w >= bins else 1
-            # Caffe computes kernel=ceil(dim/bins), stride=floor(dim/bins),
-            # pad to cover; reuse our ceil-mode pooling with that geometry.
+            ph = (kh * bins - h + 1) // 2
+            pw = (kw * bins - w + 1) // 2
             if method == "MAX":
-                y = pool_ops.max_pool2d(x, kernel=(kh, kw), stride=(max(sh, 1), max(sw, 1)))
+                y = pool_ops.max_pool2d(x, kernel=(kh, kw), stride=(kh, kw),
+                                        pad=(ph, pw))
             else:
-                y = pool_ops.avg_pool2d(x, kernel=(kh, kw), stride=(max(sh, 1), max(sw, 1)))
+                y = pool_ops.avg_pool2d(x, kernel=(kh, kw), stride=(kh, kw),
+                                        pad=(ph, pw))
             y = y[:, :bins, :bins, :]
             feats.append(jnp.transpose(y, (0, 3, 1, 2)).reshape(n, -1))
         return jnp.concatenate(feats, axis=1)

@@ -248,13 +248,16 @@ def contrastive_loss(
     return jnp.sum(yf * dist_sq + (1 - yf) * neg) / (2.0 * a.shape[0])
 
 
-def infogain_loss(scores: jax.Array, labels: jax.Array, H: jax.Array) -> jax.Array:
-    """InfogainLoss: -sum_k H[label, k] log(prob_k) / N."""
-    prob = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    tiny = jnp.float32(1.175494e-38)
-    logp = jnp.log(jnp.maximum(prob, tiny))
+def infogain_loss(prob: jax.Array, labels: jax.Array, H: jax.Array) -> jax.Array:
+    """InfogainLoss: -sum_k H[label, k] log(prob_k) / N.
+
+    bottom[0] is PROBABILITIES, not logits — the reference layer takes the
+    output of a preceding Softmax and clamps at kLOG_THRESHOLD=1e-20
+    (infogain_loss_layer.cpp:59-67, loss_layer.hpp:12); applying a softmax
+    here would double-softmax the canonical Softmax->InfogainLoss net."""
+    p = jnp.maximum(prob.astype(jnp.float32), jnp.float32(1e-20))
     rows = jnp.take(H.astype(jnp.float32), labels.astype(jnp.int32), axis=0)
-    return -jnp.sum(rows * logp) / scores.shape[0]
+    return -jnp.sum(rows * jnp.log(p)) / prob.shape[0]
 
 
 def multinomial_logistic_loss(prob: jax.Array, labels: jax.Array) -> jax.Array:

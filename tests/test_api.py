@@ -231,3 +231,65 @@ def test_compat_backward(tmp_path):
     grads = net.backward()
     assert grads["data"].shape == (2, 4)
     assert np.abs(grads["data"]).sum() > 0
+
+
+def test_transformer_preprocess_order_hand_math():
+    """Pycaffe operation ORDER (io.py preprocess): transpose -> channel_swap
+    -> raw_scale -> mean subtract -> input_scale. Pinned against independent
+    hand math (a roundtrip with deprocess would pass even with both sides
+    wrong in the same way)."""
+    from deepcut_tpu.io import Transformer
+
+    t = Transformer({"data": (1, 3, 4, 4)})
+    t.set_transpose("data", (2, 0, 1))
+    t.set_channel_swap("data", (2, 1, 0))
+    t.set_raw_scale("data", 255.0)
+    mean = np.array([10.0, 20.0, 30.0], np.float32)[:, None, None]
+    t.set_mean("data", mean[:, 0, 0])
+    t.set_input_scale("data", 0.5)
+    x = np.random.RandomState(0).rand(4, 4, 3).astype(np.float32)
+    got = t.preprocess("data", x)
+    expected = (x.transpose(2, 0, 1)[[2, 1, 0]] * 255.0 - mean) * 0.5
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_wire_format_golden_bytes():
+    """Hand-written protobuf wire bytes (not produced by our own encoder):
+    catches symmetric encode/decode bugs that pure roundtrip tests mask.
+    Datum fields per caffe.proto: channels=1, height=2, width=3, data=4,
+    label=5, float_data=6(packed), encoded=7; BlobProto: num..width=1..4,
+    data=5 (packed float)."""
+    import struct
+    from deepcut_tpu.data.datum import Datum
+    from deepcut_tpu.io import blobproto_bytes_to_array
+
+    golden_datum = bytes([
+        0x08, 0x01,              # channels = 1
+        0x10, 0x02,              # height = 2
+        0x18, 0x03,              # width = 3
+        0x22, 0x06, 1, 2, 3, 4, 5, 6,   # data = 6 raw bytes
+        0x28, 0x07,              # label = 7
+    ])
+    d = Datum.decode(golden_datum)
+    assert (d.channels, d.height, d.width, d.label) == (1, 2, 3, 7)
+    assert d.data == bytes([1, 2, 3, 4, 5, 6])
+    np.testing.assert_allclose(d.to_array(),
+                               np.arange(1, 7, dtype=np.float32).reshape(1, 2, 3))
+    # our encoder must emit exactly these bytes (ascending field order)
+    assert Datum(1, 2, 3, data=bytes([1, 2, 3, 4, 5, 6]), label=7).encode() \
+        == golden_datum
+
+    # float_data + encoded flags
+    floats = struct.pack("<2f", 1.5, -2.0)
+    golden_f = bytes([0x08, 0x02, 0x10, 0x01, 0x18, 0x01,
+                      0x32, len(floats)]) + floats + bytes([0x38, 0x01])
+    df = Datum.decode(golden_f)
+    assert df.float_data == [1.5, -2.0] and df.encoded
+
+    # BlobProto with legacy num/channels dims and packed float data
+    data = struct.pack("<2f", 0.25, 4.0)
+    golden_blob = bytes([0x08, 0x01, 0x10, 0x02, 0x18, 0x01, 0x20, 0x01,
+                         0x2A, len(data)]) + data
+    arr = blobproto_bytes_to_array(golden_blob)
+    np.testing.assert_allclose(arr.reshape(-1), [0.25, 4.0])
+    assert arr.shape == (1, 2, 1, 1)

@@ -478,5 +478,7 @@ layer { name: "loss" type: "Reduction" bottom: "s" top: "loss" loss_weight: 1.0 
     # d/dW sum(a@W.T + b@W.T) = column-sums of (a + b), at the OWNER entry
     expected = np.tile((a + b).sum(axis=0), (6, 1))
     np.testing.assert_allclose(np.asarray(g["ip_a"]["w"]), expected, rtol=1e-5)
-    # the alias entry holds no duplicate array
-    assert "w" not in g.get("ip_b", {}) or np.asarray(g["ip_b"].get("w", 0)).size == 0
+    # the single owner array holds the summed gradient; the aliasing layer
+    # has no parameter entry of its own (resolved via net._aliases)
+    assert "ip_b" in net._aliases and "w" in net._aliases["ip_b"]
+    assert net._aliases["ip_b"]["w"] == ("ip_a", "w")

@@ -116,9 +116,11 @@ def test_argmax_layer():
     layer { name: "a" type: "ArgMax" bottom: "x" top: "a"
             argmax_param { top_k: 2 } }
     """, {"x": (3, 6)}, x=x)
+    # DESCENDING score order is part of the contract (argmax_layer.cpp
+    # partial_sort by greater): position 0 must be the best class
     order = np.argsort(-x, axis=1)[:, :2]
-    np.testing.assert_allclose(np.sort(out["a"].reshape(3, 2), axis=1),
-                               np.sort(order.astype(np.float32), axis=1))
+    np.testing.assert_allclose(out["a"].reshape(3, 2),
+                               order.astype(np.float32))
 
 
 def test_concat_slice_flatten_reshape():
@@ -150,6 +152,31 @@ def test_spp_layer():
     assert out["s"].shape == (2, 3 * (1 + 4))
     # level 0 = global max per channel
     np.testing.assert_allclose(out["s"][:, :3], x.max(axis=(2, 3)), rtol=1e-5)
+    # level 1 (divisible dims): 2x2 quadrant maxima, channel-major layout
+    quads = np.stack([x[:, :, :4, :4].max((2, 3)), x[:, :, :4, 4:].max((2, 3)),
+                      x[:, :, 4:, :4].max((2, 3)), x[:, :, 4:, 4:].max((2, 3))],
+                     axis=2)  # (N, C, 4 bins)
+    np.testing.assert_allclose(out["s"][:, 3:].reshape(2, 3, 4), quads,
+                               rtol=1e-5)
+
+
+def test_spp_non_divisible_bin_geometry():
+    """spp_layer.cpp GetPoolingParam: kernel = ceil(dim/bins), stride =
+    kernel, pad = (kernel*bins - dim + 1)/2 — for a 7x7 input at level 1
+    the two bins cover rows [0..2] and [3..6] (1-px symmetric pad), NOT the
+    overlapping windows a floor-stride would give."""
+    x = RNG.randn(1, 2, 7, 7).astype(np.float32)
+    _, out = run_layer("""
+    layer { name: "s" type: "SPP" bottom: "x" top: "s"
+            spp_param { pyramid_height: 2 pool: MAX } }
+    """, {"x": (1, 2, 7, 7)}, x=x)
+    # kernel 4, stride 4, pad 1: window r starts at 4r-1 over the padded grid
+    seg = [(0, 3), (3, 7)]  # clipped [start, stop) per bin on the raw input
+    bins = np.stack([
+        x[:, :, a0:a1, b0:b1].max((2, 3))
+        for a0, a1 in seg for b0, b1 in seg], axis=2)  # (1, 2, 4)
+    np.testing.assert_allclose(out["s"][:, 2:].reshape(1, 2, 4), bins,
+                               rtol=1e-5)
 
 
 def test_hinge_loss_oracle():
@@ -181,18 +208,41 @@ def test_contrastive_loss_oracle():
     np.testing.assert_allclose(out["c"], ref, rtol=1e-4)
 
 
-def test_infogain_and_mll_oracles():
+def test_infogain_and_mll_oracles(tmp_path):
+    """MLL and InfogainLoss vs hand math (infogain_loss_layer.cpp:47-68):
+    bottom[0] is PROBABILITIES (a preceding Softmax), H rows indexed by
+    label; H = 2*eye must give exactly 2x the MLL value."""
     x = RNG.randn(3, 4).astype(np.float32)
     y = np.array([0, 2, 1], np.float32)
-    H = np.eye(4, dtype=np.float32)  # identity infogain == softmax loss
     net, out = run_layer("""
     layer { name: "sm" type: "Softmax" bottom: "x" top: "p" }
     layer { name: "m" type: "MultinomialLogisticLoss" bottom: "p" bottom: "y" top: "m" }
     """, {"x": (3, 4), "y": (3,)}, x=x, y=y)
     e = np.exp(x - x.max(1, keepdims=True))
     p = e / e.sum(1, keepdims=True)
-    ref = -np.log(p[np.arange(3), y.astype(int)]).sum() / 3
-    np.testing.assert_allclose(out["m"], ref, rtol=1e-5)
+    mll = -np.log(p[np.arange(3), y.astype(int)]).sum() / 3
+    np.testing.assert_allclose(out["m"], mll, rtol=1e-5)
+
+    # InfogainLoss, H loaded from a BlobProto source file
+    from deepcut_tpu.io import array_to_blobproto_bytes
+    Hfile = tmp_path / "H.binaryproto"
+    Hfile.write_bytes(array_to_blobproto_bytes(
+        (2.0 * np.eye(4, dtype=np.float32))[None, None]))
+    _, out2 = run_layer(f"""
+    layer {{ name: "sm" type: "Softmax" bottom: "x" top: "p" }}
+    layer {{ name: "ig" type: "InfogainLoss" bottom: "p" bottom: "y" top: "ig"
+            infogain_loss_param {{ source: "{Hfile}" }} }}
+    """, {"x": (3, 4), "y": (3,)}, x=x, y=y)
+    np.testing.assert_allclose(out2["ig"], 2.0 * mll, rtol=1e-5)
+
+    # 3-bottom form with a general (non-diagonal) H: full hand oracle
+    Hg = RNG.rand(4, 4).astype(np.float32)
+    _, out3 = run_layer("""
+    layer { name: "sm" type: "Softmax" bottom: "x" top: "p" }
+    layer { name: "ig" type: "InfogainLoss" bottom: "p" bottom: "y" bottom: "H" top: "ig" }
+    """, {"x": (3, 4), "y": (3,), "H": (4, 4)}, x=x, y=y, H=Hg)
+    ref = -(Hg[y.astype(int)] * np.log(p)).sum() / 3
+    np.testing.assert_allclose(out3["ig"], ref, rtol=1e-4)
 
 
 def test_im2col_layer():
@@ -203,6 +253,7 @@ def test_im2col_layer():
     """, {"x": (1, 2, 5, 5)}, x=x)
     ref = torch.nn.functional.unfold(torch.from_numpy(x), 3).numpy()
     got = out["i"].reshape(1, 18, 9)
-    # channel ordering of patches may differ (c-major vs k-major); compare sets
-    np.testing.assert_allclose(np.sort(got.reshape(-1)), np.sort(ref.reshape(-1)),
-                               rtol=1e-5)
+    # EXACT layout parity: torch.unfold emits Caffe's channel-major im2col
+    # order (im2col.cpp:18-55), and conv_general_dilated_patches matches it
+    # element-for-element — a sorted comparison would accept any scrambling
+    np.testing.assert_allclose(got, ref, rtol=1e-5)

@@ -126,3 +126,60 @@ def test_lr_mults():
     p1, _ = apply_update(cfg, params, grads, state, lr_mults={"a": 0.0, "b": 2.0})
     np.testing.assert_allclose(np.asarray(p1["a"]), [1.0])       # frozen
     np.testing.assert_allclose(np.asarray(p1["b"]), [0.8])       # 2x lr
+
+
+def test_adaptive_rules_three_step_trajectories():
+    """3-step numpy replications of the Caffe solver math (adagrad_solver.cpp,
+    rmsprop_solver.cpp, adam_solver.cpp, adadelta_solver.cpp) with varying
+    gradients — single-step-from-zero oracles cannot catch state-carry or
+    time-index (bias-correction) bugs."""
+    rng = np.random.RandomState(0)
+    gs = [rng.randn(4).astype(np.float32) for _ in range(3)]
+    w0 = rng.randn(4).astype(np.float32)
+    lr, delta = 0.1, 1e-7
+
+    def run(solver_type, **kw):
+        cfg = SolverConfig(solver_type=solver_type, base_lr=lr,
+                           weight_decay=0.0, delta=delta, **kw)
+        params = {"a": jnp.asarray(w0)}
+        state = init_state(cfg, params)
+        for g in gs:
+            params, state = apply_update(cfg, params, {"a": jnp.asarray(g)},
+                                         state)
+        return np.asarray(params["a"])
+
+    # AdaGrad: hist += g^2; w -= lr * g / (sqrt(hist) + delta)
+    w, hist = w0.copy(), np.zeros(4)
+    for g in gs:
+        hist = hist + g * g
+        w = w - lr * g / (np.sqrt(hist) + delta)
+    np.testing.assert_allclose(run("AdaGrad"), w, rtol=1e-4)  # f32 vs f64 oracle
+
+    # RMSProp: hist = d*hist + (1-d)*g^2
+    d = 0.95
+    w, hist = w0.copy(), np.zeros(4)
+    for g in gs:
+        hist = d * hist + (1 - d) * g * g
+        w = w - lr * g / (np.sqrt(hist) + delta)
+    np.testing.assert_allclose(run("RMSProp", rms_decay=d), w, rtol=1e-4)
+
+    # Adam: per-step bias correction sqrt(1-b2^t)/(1-b1^t), t = 1,2,3
+    b1, b2 = 0.9, 0.999
+    w, m, v = w0.copy(), np.zeros(4), np.zeros(4)
+    for t, g in enumerate(gs, start=1):
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        corr = np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+        w = w - lr * corr * m / (np.sqrt(v) + delta)
+    np.testing.assert_allclose(run("Adam", momentum=b1, momentum2=b2),
+                               w, rtol=1e-4)
+
+    # AdaDelta: two decaying accumulators (grad^2 and step^2)
+    mom = 0.95
+    w, h, h2 = w0.copy(), np.zeros(4), np.zeros(4)
+    for g in gs:
+        h = mom * h + (1 - mom) * g * g
+        stp = g * np.sqrt((h2 + delta) / (h + delta))
+        h2 = mom * h2 + (1 - mom) * stp * stp
+        w = w - lr * stp
+    np.testing.assert_allclose(run("AdaDelta", momentum=mom), w, rtol=1e-4)
