@@ -66,22 +66,32 @@ class _ParamArray(np.ndarray):
     also does not (same as pycaffe, where `data` is a read-only property)."""
 
     _on_write = None
+    _wt_root = None
 
     def __array_finalize__(self, obj):
         # propagate the write-through hook to slices/views so chained
         # net-surgery indexing still reaches the device
         if obj is not None and self._on_write is None:
             self._on_write = getattr(obj, "_on_write", None)
+            self._wt_root = getattr(obj, "_wt_root", None)
+
+    def _push(self):
+        # fire only when this array actually aliases the tracked root —
+        # __array_finalize__ also runs for COPIES and ufunc results, and
+        # mutating those must not re-upload the (unchanged) parameter
+        # through the relay
+        root = self._wt_root
+        if self._on_write is not None and (
+                root is None or np.may_share_memory(self, root)):
+            self._on_write(self)
 
     def __setitem__(self, idx, value):
         super().__setitem__(idx, value)
-        if self._on_write is not None:
-            self._on_write(self)
+        self._push()
 
     def fill(self, value):
         super().fill(value)
-        if self._on_write is not None:
-            self._on_write(self)
+        self._push()
 
     def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
         outs = kwargs.get("out")
@@ -93,8 +103,7 @@ class _ParamArray(np.ndarray):
                 for o in outs)
         result = getattr(ufunc, method)(*conv, **kwargs)
         if outs and any(o is self for o in outs):
-            if self._on_write is not None:
-                self._on_write(self)
+            self._push()
             return self  # keep the tracked view bound (e.g. `blob.data *= 2`)
         return result
 
@@ -196,6 +205,7 @@ class Net:
                 self._net.params[name][key] = jnp.asarray(
                     np.asarray(root), dtype=dtype)
             view._on_write = push
+            view._wt_root = view
             blob = Blob.__new__(Blob)
             blob.data = view
             return blob

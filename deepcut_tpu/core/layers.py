@@ -204,8 +204,13 @@ def _scale_param_spec(spec, bottom_shapes):
         # blobs positionally and decay an unused parameter
         one = PbNode(); one.add("type", "constant"); one.add("value", 1.0)
         out.append(("gamma", (c,), sp.get("filler", one)))
+        bias_shape = (c,)
+    else:
+        # the bias blob is shaped LIKE THE SCALE, i.e. like bottom[1]
+        # (scale_layer.cpp:44-60 reuses the scale's shape for the bias)
+        bias_shape = tuple(bottom_shapes[1])
     if sp.get_bool("bias_term", False):
-        out.append(("beta", (c,), sp.get("bias_filler", PbNode())))
+        out.append(("beta", bias_shape, sp.get("bias_filler", PbNode())))
     return out
 
 

@@ -18,6 +18,13 @@ from deepcut_tpu.data.transformer import DataTransformer
 from deepcut_tpu.data.datum import Datum
 
 
+def _cround(v: float) -> int:
+    """C round(): half away from zero — Python's round() is half-to-even,
+    which diverges on exact .5 ties (window_data_layer.cpp uses ::round)."""
+    import math
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
 class DataLayerSource:
     tops: List[str]
 
@@ -338,7 +345,7 @@ class WindowDataSource(DataLayerSource):
             pool = self.fg if (is_fg and self.fg) else (self.bg or self.fg)
             path, window = pool[int(self.rng.randint(len(pool)))]
             cls = window[0]
-            x1, y1, x2, y2 = (int(round(c)) for c in window[1:])
+            x1, y1, x2, y2 = (_cround(c) for c in window[1:])
             do_mirror = bool(self.mirror and self.rng.randint(2))  # any phase (ref :279)
             img = self._load(path)
             ih, iw = img.shape[:2]
@@ -353,8 +360,8 @@ class WindowDataSource(DataLayerSource):
                 cx, cy = x1 + half_w, y1 + half_h
                 if self.use_square:
                     half_h = half_w = max(half_h, half_w)
-                x1 = int(round(cx - half_w * ctx)); x2 = int(round(cx + half_w * ctx))
-                y1 = int(round(cy - half_h * ctx)); y2 = int(round(cy + half_h * ctx))
+                x1 = _cround(cx - half_w * ctx); x2 = _cround(cx + half_w * ctx)
+                y1 = _cround(cy - half_h * ctx); y2 = _cround(cy + half_h * ctx)
                 # clip to the image, tracking the out-of-image extent (:335-349)
                 uw, uh = x2 - x1 + 1, y2 - y1 + 1
                 px1, py1 = max(0, -x1), max(0, -y1)
@@ -364,10 +371,10 @@ class WindowDataSource(DataLayerSource):
                 # paste at the scaled pad offset; padding stays at the mean
                 # (zeros post-subtraction), ref :355-397
                 sx, sy = cs / float(uw), cs / float(uh)
-                out_w = int(round((x2 - x1 + 1) * sx))
-                out_h = int(round((y2 - y1 + 1) * sy))
-                px1 = int(round(px1 * sx)); px2 = int(round(px2 * sx))
-                py1 = int(round(py1 * sy))
+                out_w = _cround((x2 - x1 + 1) * sx)
+                out_h = _cround((y2 - y1 + 1) * sy)
+                px1 = _cround(px1 * sx); px2 = _cround(px2 * sx)
+                py1 = _cround(py1 * sy)
                 pad_h = py1
                 pad_w = px2 if do_mirror else px1  # mirrored padding (:372-377)
                 out_h = min(out_h, cs - pad_h)

@@ -201,8 +201,10 @@ class Prefetcher:
                     break
                 except queue.Full:
                     continue
-            if isinstance(batch, _ProducerError):
-                return  # producer is dead; error is queued for the consumer
+            # after an error the loop CONTINUES: a consumer that treats the
+            # raised exception as transient (skips the bad sample) gets fresh
+            # batches on the next get() instead of deadlocking on a dead
+            # producer; a persistent failure just re-raises every get()
 
     def get(self) -> Dict[str, np.ndarray]:
         batch = self.queue.get()

@@ -740,3 +740,84 @@ def test_scale_two_bottom_has_no_gamma_param():
     s = np.full((2, 3), 2.0, np.float32)
     out = net.forward(x=x, s=s)
     np.testing.assert_allclose(np.asarray(out["y"]), x * 2.0, rtol=1e-6)
+
+
+# ---- self-review of the round-2 session batches ----------------------------
+
+
+def test_cround_is_half_away_from_zero():
+    """window_data_layer.cpp uses C ::round (half away from zero); Python's
+    banker's rounding diverges on .5 ties (e.g. square-mode expansion of a
+    (0,0,1,2) window must reach x2=3, width 5 — not round(2.5)=2)."""
+    from deepcut_tpu.data.layers import _cround
+
+    assert _cround(2.5) == 3 and round(2.5) == 2  # the divergence
+    assert _cround(-0.5) == -1 and _cround(0.5) == 1
+    assert _cround(-2.5) == -3 and _cround(1.49) == 1
+
+
+def test_prefetcher_survives_transient_errors():
+    from deepcut_tpu.data.pipeline import Prefetcher
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("bad sample")
+        return {"x": np.ones(1)}
+
+    pf = Prefetcher(flaky)
+    with pytest.raises(RuntimeError):
+        pf.get()
+    # the producer keeps running: skipping the bad batch works
+    batch = pf.get()
+    np.testing.assert_array_equal(batch["x"], [1.0])
+    pf.stop()
+
+
+def test_param_view_copy_mutation_does_not_push():
+    """Mutating a COPY (or ufunc result) derived from a param view must not
+    re-upload the parameter — only true memory aliases write through."""
+    from deepcut_tpu import compat
+    from deepcut_tpu.core.graph import Net as GNet
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "data" input_shape { dim: 1 dim: 3 }
+      layer { name: "ip" type: "InnerProduct" bottom: "data" top: "out"
+        inner_product_param { num_output: 2
+          weight_filler { type: "constant" value: 1.0 } } }
+    """)
+    net = compat.Net.__new__(compat.Net)
+    net._net = GNet(proto, compute_dtype=None)
+    net.blobs = {}
+    net._params_dirty = False
+    w = net.params["ip"][0].data
+    derived = w * 2.0          # fresh buffer, not a view
+    derived[0, 0] = 99.0       # must NOT reach the device
+    copied = w.copy()
+    copied.fill(55.0)          # must NOT reach the device
+    np.testing.assert_allclose(net.params["ip"][0].data, 1.0)
+    w[0, 0] = 7.0              # the true view still writes through
+    assert float(net.params["ip"][0].data[0, 0]) == 7.0
+
+
+def test_scale_two_bottom_bias_shaped_like_scale():
+    """scale_layer.cpp:44-60: the bias blob reuses the SCALE's shape
+    (bottom[1]), not a per-channel vector."""
+    from deepcut_tpu.core.graph import Net as GNet
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "x" input_shape { dim: 2 dim: 3 }
+      input: "s" input_shape { dim: 2 dim: 3 }
+      layer { name: "sc" type: "Scale" bottom: "x" bottom: "s" top: "y"
+        scale_param { bias_term: true } }
+    """)
+    net = GNet(proto, phase="TEST", compute_dtype=None)
+    assert tuple(net.params["sc"]["beta"].shape) == (2, 3)
+    x = np.ones((2, 3), np.float32)
+    s = np.full((2, 3), 3.0, np.float32)
+    out = net.forward(x=x, s=s)
+    np.testing.assert_allclose(np.asarray(out["y"]), 3.0)  # beta inits to 0
