@@ -74,3 +74,50 @@ def test_web_demo_roundtrip(tmp_path):
         assert probs == sorted(probs, reverse=True)
     finally:
         httpd.shutdown()
+
+
+def test_pose_serve_roundtrip():
+    """examples/pose/serve.py: in-process pose service with a tiny estimator,
+    multipart upload -> 5xJ pose JSON with named joints."""
+    import jax
+    from PIL import Image
+
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.pose.estimate import PoseEstimator
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                          num_joints=3)
+    est = PoseEstimator(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                        bucket_step=64, max_size=256)
+
+    spec = importlib.util.spec_from_file_location(
+        "ex_pose_serve", "/root/repo/examples/pose/serve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    app = mod.PoseApp(estimator=est)
+    httpd = mod.serve(app, port=0, background=True)
+    try:
+        port = httpd.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            assert b"Pose estimation" in r.read()
+        buf = _io.BytesIO()
+        Image.fromarray(np.random.RandomState(1).randint(
+            0, 255, (48, 64, 3), np.uint8)).save(buf, format="PNG")
+        boundary = "poseboundary"
+        body = (f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="image"; '
+                f'filename="p.png"\r\n'
+                f"Content-Type: image/png\r\n\r\n").encode() + buf.getvalue() \
+            + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/estimate", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req) as r:
+            resp = json.loads(r.read())
+        assert resp["ok"], resp
+        assert len(resp["pose"]) == 5 and len(resp["pose"][0]) == 3
+        assert len(resp["joints"]) == 3
+        assert {"name", "x", "y", "confidence"} <= set(resp["joints"][0])
+    finally:
+        httpd.shutdown()
