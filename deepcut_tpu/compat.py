@@ -447,6 +447,12 @@ class Solver:
         return self._test_net_views
 
     @property
+    def smoothed_loss(self) -> float:
+        """Average loss over the last `average_loss` iterations (the
+        UpdateSmoothedLoss window the backing GraphSolver maintains)."""
+        return self._solver.smoothed_loss
+
+    @property
     def iter(self) -> int:
         return self._solver.iter
 

@@ -263,7 +263,14 @@ class Net:
         if isinstance(weights, str):
             blobs = load_caffemodel(weights)
             deconvs = [s.name for s in self.layer_specs if s.type == "Deconvolution"]
-            converted = blobs_to_params(blobs, deconv_names=deconvs)
+            # layers whose single blob is a BIAS (not a gamma/weight): Bias
+            # layers, and 2-bottom Scale (scale comes from bottom[1],
+            # blobs_[0] is the bias — scale_layer.cpp:15-60)
+            biases = [s.name for s in self.layer_specs
+                      if s.type == "Bias"
+                      or (s.type == "Scale" and len(s.bottoms) == 2)]
+            converted = blobs_to_params(blobs, deconv_names=deconvs,
+                                        bias_names=biases)
         else:
             converted = weights
         # Match by name (reference: Net::CopyTrainedLayersFrom semantics) on

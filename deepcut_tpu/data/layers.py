@@ -8,6 +8,7 @@ is a `next_batch() -> [np arrays (NCHW)]` producer the Net pulls from when
 
 from __future__ import annotations
 
+import math as _math
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -20,9 +21,15 @@ from deepcut_tpu.data.datum import Datum
 
 def _cround(v: float) -> int:
     """C round(): half away from zero — Python's round() is half-to-even,
-    which diverges on exact .5 ties (window_data_layer.cpp uses ::round)."""
-    import math
-    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+    which diverges on exact .5 ties (window_data_layer.cpp uses ::round).
+    Implemented by explicit fraction compare: the floor(v+0.5) idiom rounds
+    up spuriously when v+0.5 crosses a float boundary (e.g. the largest
+    double below 0.5)."""
+    f = _math.floor(v)
+    frac = v - f
+    if frac > 0.5 or (frac == 0.5 and v > 0):
+        return int(f) + 1
+    return int(f)
 
 
 class DataLayerSource:

@@ -189,22 +189,31 @@ class Prefetcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    _MAX_CONSECUTIVE_ERRORS = 3
+
     def _run(self):
+        errors = 0
         while not self._stop.is_set():
             try:
                 batch = self._make()
-            except BaseException as e:  # surface in the consumer, don't hang
+                errors = 0
+            except Exception as e:  # surface in the consumer, don't hang
+                # (Exception only: SystemExit/KeyboardInterrupt propagate
+                # and end the thread)
                 batch = _ProducerError(e)
+                errors += 1
             while not self._stop.is_set():
                 try:
                     self.queue.put(batch, timeout=0.25)
                     break
                 except queue.Full:
                     continue
-            # after an error the loop CONTINUES: a consumer that treats the
-            # raised exception as transient (skips the bad sample) gets fresh
-            # batches on the next get() instead of deadlocking on a dead
-            # producer; a persistent failure just re-raises every get()
+            # transient errors don't kill the producer — a consumer that
+            # skips the bad sample gets fresh batches on the next get();
+            # PERSISTENT failure (several in a row) terminates the thread
+            # instead of spinning forever holding the data source alive
+            if errors >= self._MAX_CONSECUTIVE_ERRORS:
+                return
 
     def get(self) -> Dict[str, np.ndarray]:
         batch = self.queue.get()

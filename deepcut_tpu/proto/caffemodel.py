@@ -125,6 +125,7 @@ def blobs_to_params(
     blobs_by_name: "OrderedDict[str, List[Blob]]",
     *,
     deconv_names: Optional[List[str]] = None,
+    bias_names: Optional[List[str]] = None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Map Caffe blobs into the native param pytree by layer-name pattern.
 
@@ -133,10 +134,19 @@ def blobs_to_params(
     - 3 blobs of shape (C,),(C,),(1,) => BatchNorm {mean, var, scale_factor}
     - 2 blobs (C,),(C,) => Scale {gamma, beta}; 1 blob (C,) => {gamma}
     - 2-D first blob => InnerProduct weight (N_out, K), kept Caffe layout
+    - names in `bias_names` (Bias layers; 2-bottom Scale with bias_term,
+      whose ONLY blob is the bias — scale_layer.cpp:15-60): single blob
+      => {beta} at its stored shape (the shape heuristics above would
+      otherwise misfile it as gamma or a weight)
     """
     deconv_set = set(deconv_names or [])
+    bias_set = set(bias_names or [])
     params: Dict[str, Dict[str, np.ndarray]] = {}
     for name, blobs in blobs_by_name.items():
+        if name in bias_set and len(blobs) == 1:
+            b = blobs[0]
+            params[name] = {"beta": b.data.reshape(b.shape)}
+            continue
         # Legacy V0 blobs are always 4-D ((1,1,1,C) vectors, (1,1,N,K) IP
         # weights — blob.cpp legacy shape); squeeze the unit leading dims so
         # the layout heuristics below see canonical ranks. Only blobs that

@@ -19,13 +19,15 @@ Response: {"ok": true, "pose": [[x..],[y..],[conf..],[off_y..],[off_x..]],
 import argparse
 import io
 import json
+import os
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-sys.path.insert(0, "examples/web_demo")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", "web_demo"))
 
 JOINT_NAMES = [
     "r_ankle", "r_knee", "r_hip", "l_hip", "l_knee", "l_ankle",
@@ -58,8 +60,10 @@ class PoseApp:
 
         img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
                          np.uint8)[:, :, ::-1]  # BGR like the reference CLI
-        pose = np.asarray(self.est.estimate_pose(img, scales=self.scales),
-                          np.float64)
+        raw_pose = self.est.estimate_pose(img, scales=self.scales)
+        if raw_pose is None:  # no scale cleared the min-confidence bar
+            raise ValueError("no pose found at the requested scales")
+        pose = np.asarray(raw_pose, np.float64)
         joints = [{"name": JOINT_NAMES[j] if j < len(JOINT_NAMES) else str(j),
                    "x": round(float(pose[0, j]), 2),
                    "y": round(float(pose[1, j]), 2),

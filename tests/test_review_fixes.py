@@ -821,3 +821,29 @@ def test_scale_two_bottom_bias_shaped_like_scale():
     s = np.full((2, 3), 3.0, np.float32)
     out = net.forward(x=x, s=s)
     np.testing.assert_allclose(np.asarray(out["y"]), 3.0)  # beta inits to 0
+
+
+def test_scale_two_bottom_bias_caffemodel_roundtrip(tmp_path):
+    """A 2-bottom Scale's single beta blob must survive save->load (the
+    shape heuristics would otherwise misfile it as gamma/weight and the
+    learned bias would silently vanish after snapshot/restore)."""
+    from deepcut_tpu.core.graph import Net as GNet
+    from deepcut_tpu.proto.caffemodel import save_caffemodel
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "x" input_shape { dim: 2 dim: 3 }
+      input: "s" input_shape { dim: 2 dim: 3 }
+      layer { name: "sc" type: "Scale" bottom: "x" bottom: "s" top: "y"
+        scale_param { bias_term: true } }
+    """)
+    net = GNet(proto, phase="TEST", compute_dtype=None)
+    net.params["sc"]["beta"] = jnp.full((2, 3), 5.0, jnp.float32)
+    path = str(tmp_path / "sc.caffemodel")
+    save_caffemodel(path, {n: {k: np.asarray(v) for k, v in e.items()}
+                           for n, e in net.params.items()})
+    net2 = GNet(proto, weights=path, phase="TEST", compute_dtype=None)
+    assert "beta" in net2.params["sc"], net2.params["sc"].keys()
+    x = np.ones((2, 3), np.float32)
+    s = np.full((2, 3), 3.0, np.float32)
+    np.testing.assert_allclose(np.asarray(net2.forward(x=x, s=s)["y"]), 8.0)
