@@ -29,8 +29,9 @@ def make_train_step(
 ):
     """Returns jitted (params, state, batch) -> (params, state, metrics).
 
-    With a mesh: batch sharded (N over 'data', H over 'spatial'), params and
-    optimizer state replicated; XLA inserts the gradient reductions over ICI.
+    With a mesh: batch sharded over 'data' (pure DP), params and optimizer
+    state replicated; XLA inserts the gradient reductions over ICI. The
+    'spatial' axis is inference-only — see the note at the sharding setup.
     """
     if getattr(solver_cfg, "iter_size", 1) > 1:
         # update_rules.step divides grads by iter_size (preprocess_grads) on
@@ -55,8 +56,19 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
+    from jax.sharding import PartitionSpec as _P
+
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
+    # TRAINING shards the batch dim ONLY (pure DP, like the reference's
+    # P2PSync). Spatially sharding H under autodiff is blocked by an
+    # upstream XLA SPMD bug (jax 0.9): the conv WEIGHT gradient comes back
+    # multiplied by the size of any mesh axis the activation is replicated
+    # over whenever halo exchange is involved (kernel > 1x1) — forward
+    # values are exact, gradients silently wrong (minimal repro in
+    # tests/test_parallel.py::test_spatial_sharded_conv_weight_grad_guard).
+    # Spatial sharding remains an INFERENCE feature (forward verified equal
+    # to unsharded in test_spatial_sharding_matches).
+    bsh = NamedSharding(mesh, _P("data"))
     batch_shardings = {
         # every target is an NHWC map sharded like the image
         "image": bsh, "part_score_targets": bsh, "part_score_weights": bsh,

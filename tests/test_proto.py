@@ -182,3 +182,97 @@ def test_full_resnet152_legacy_containers_decode_identically(tmp_path):
             assert set(got[name]) == set(ref[name]), name
             for key in ref[name]:
                 np.testing.assert_array_equal(got[name][key], ref[name][key])
+
+
+def test_prototxt_roundtrip_fuzz():
+    """Property fuzz: random nested messages survive dump -> parse exactly
+    (field order, repeats, nesting, strings with escapes, enum-likes,
+    scientific floats). Guards the interchange layer against quoting/
+    coercion regressions a fixed fixture would miss."""
+    import random
+
+    from deepcut_tpu.proto.text_format import PbNode, parse, dump
+
+    rng = random.Random(7)
+
+    def rand_scalar():
+        kind = rng.randrange(6)
+        if kind == 0:
+            return rng.randint(-10**9, 10**9)
+        if kind == 1:
+            return round(rng.uniform(-1e4, 1e4), 6)
+        if kind == 2:
+            return float(f"{rng.uniform(-9, 9):.4f}e{rng.randint(-12, 12)}")
+        if kind == 3:
+            return rng.choice([True, False])
+        if kind == 4:
+            return rng.choice(["MAX", "TRAIN", "LMDB", "xavier"])  # enum-like
+        return rng.choice(['a b "q" c', "path/with spaces.png", "x\\y",
+                           "", "newline\nin string"])
+
+    def rand_node(depth):
+        n = PbNode()
+        for _ in range(rng.randint(1, 6)):
+            key = rng.choice(["alpha", "beta", "dim", "name", "layer",
+                              "weight_filler", "value"])
+            for _ in range(rng.randint(1, 3)):  # repeated fields
+                if depth < 3 and rng.random() < 0.3:
+                    n.add(key, rand_node(depth + 1))
+                else:
+                    n.add(key, rand_scalar())
+        return n
+
+    def assert_same(a, b, path=""):
+        assert set(a.fields) == set(b.fields), (path, a.fields, b.fields)
+        for k in a.fields:
+            va, vb = a.fields[k], b.fields[k]
+            assert len(va) == len(vb), (path, k)
+            for i, (x, y) in enumerate(zip(va, vb)):
+                if isinstance(x, PbNode):
+                    assert_same(x, y, f"{path}.{k}[{i}]")
+                elif isinstance(x, float):
+                    assert y == pytest.approx(x, rel=1e-6), (path, k, x, y)
+                elif isinstance(x, str):
+                    assert y == x, (path, k, repr(x), repr(y))
+                else:
+                    assert y == x and type(y) is type(x), (path, k, x, y)
+
+    for trial in range(60):
+        node = rand_node(0)
+        assert_same(node, parse(dump(node)), f"trial{trial}")
+
+
+def test_wire_codec_roundtrip_fuzz():
+    """Property fuzz over the protobuf wire primitives: random mixes of
+    varints, length-delimited bytes, and packed floats decode back exactly
+    (including multi-byte varint boundaries and empty payloads)."""
+    from deepcut_tpu.proto import wire
+
+    rng = np.random.RandomState(11)
+    for _ in range(40):
+        enc = wire.Encoder()
+        expect = {}
+        for field in rng.permutation(np.arange(1, 12))[: rng.randint(2, 8)]:
+            field = int(field)
+            kind = rng.randint(3)
+            if kind == 0:
+                v = int(rng.randint(0, 2) * (2 ** int(rng.randint(0, 62))))
+                enc.varint(field, v)
+                expect[field] = ("varint", v)
+            elif kind == 1:
+                v = rng.bytes(int(rng.randint(0, 300)))
+                enc.bytes_(field, v)
+                expect[field] = ("bytes", v)
+            else:
+                v = rng.randn(int(rng.randint(0, 50))).astype(np.float32)
+                enc.packed_floats(field, v)
+                expect[field] = ("floats", v)
+        fields = wire.decode(enc.tobytes())
+        for field, (kind, v) in expect.items():
+            assert field in fields, (field, kind)
+            if kind == "varint":
+                assert fields[field][0][1] == v
+            elif kind == "bytes":
+                assert fields[field][0][1] == v
+            else:
+                np.testing.assert_array_equal(wire.read_floats(fields[field]), v)
