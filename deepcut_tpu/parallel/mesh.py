@@ -54,7 +54,12 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """NHWC batch: N over 'data', H over 'spatial'."""
+    """NHWC batch: N over 'data', H over 'spatial'.
+
+    INFERENCE-scoped: do not feed spatially-sharded batches to a train step
+    (make_train_step requires P('data') and raises on mismatch) — conv
+    weight grads under spatial sharding hit an upstream XLA bug; see
+    parallel/train_step.py."""
     return NamedSharding(mesh, P("data", "spatial", None, None))
 
 
