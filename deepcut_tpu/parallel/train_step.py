@@ -56,8 +56,6 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
-    from jax.sharding import PartitionSpec as _P
-
     rep = replicated(mesh)
     # TRAINING shards the batch dim ONLY (pure DP, like the reference's
     # P2PSync). Spatially sharding H under autodiff is blocked by an
@@ -68,19 +66,13 @@ def make_train_step(
     # tests/test_parallel.py::test_spatial_sharded_conv_weight_grad_guard).
     # Spatial sharding remains an INFERENCE feature (forward verified equal
     # to unsharded in test_spatial_sharding_matches).
-    bsh = NamedSharding(mesh, _P("data"))
-    batch_shardings = {
-        # every target is an NHWC map sharded like the image
-        "image": bsh, "part_score_targets": bsh, "part_score_weights": bsh,
-        "locref_targets": bsh, "locref_weights": bsh,
-        "pairwise_targets": bsh, "pairwise_weights": bsh,
-    }
+    bsh = NamedSharding(mesh, P("data"))
 
     def in_shardings(params, state, batch):
         return (
             jax.tree_util.tree_map(lambda _: rep, params),
             jax.tree_util.tree_map(lambda _: rep, state),
-            {k: batch_shardings.get(k, bsh) for k in batch},
+            {k: bsh for k in batch},
         )
 
     # cache the PjitFunction per (param-structure, batch-key) signature —

@@ -350,4 +350,9 @@ else:
     print('BUG-PRESENT ratio=%.3f' % ratio)
 """
     out = run_in_cpu_mesh(code, n_devices=8)
-    assert "UPSTREAM-FIXED" in out or "BUG-PRESENT" in out
+    if "UPSTREAM-FIXED" in out:
+        pytest.fail(
+            "the upstream XLA spatial conv-weight-grad fix landed: "
+            "re-enable spatial batch sharding in parallel/train_step.py "
+            "(and drop this canary)")
+    assert "BUG-PRESENT" in out
