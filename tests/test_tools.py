@@ -144,3 +144,58 @@ def test_deprecated_tool_verbs(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "net_speed_benchmark is deprecated" in err
     assert "test_net is deprecated" in err
+
+
+def test_cli_train_mesh_flag(tmp_path):
+    """`train -mesh N` (the reference's `-gpu 0,1,..` analog) builds a
+    data-parallel mesh for the generic graph path and trains; the snapshot
+    must match a single-device run of the same schedule (DP trajectory
+    equivalence at the CLI surface)."""
+    import numpy as np
+    from deepcut_tpu.data.lmdb_store import LMDBWriter
+    from deepcut_tpu.data.datum import Datum
+    from deepcut_tpu.proto.caffemodel import load_caffemodel
+    from deepcut_tpu.tools import cli
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs >= 2 devices")
+
+    db = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    with LMDBWriter(db) as w:
+        for i in range(8):
+            w.put(f"{i:08d}".encode(),
+                  Datum.from_array(rng.randint(0, 255, (1, 4, 4), np.uint8),
+                                   i % 2).encode())
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(f"""
+layer {{ name: "data" type: "Data" top: "data" top: "label"
+        data_param {{ source: "{db}" batch_size: 4 }} }}
+layer {{ name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+        inner_product_param {{ num_output: 2
+          weight_filler {{ type: "gaussian" std: 0.1 }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }}
+""")
+
+    def run(tag, extra):
+        solver_path = tmp_path / f"solver_{tag}.prototxt"
+        solver_path.write_text(f"""
+net: "{net_path}"
+base_lr: 0.1
+momentum: 0.9
+lr_policy: "fixed"
+display: 0
+max_iter: 3
+random_seed: 1
+snapshot: 3
+snapshot_prefix: "{tmp_path}/{tag}"
+""")
+        assert cli.main(["train", "-solver", str(solver_path)] + extra) == 0
+        return load_caffemodel(str(tmp_path / f"{tag}_iter_3.caffemodel"))
+
+    single = run("single", [])
+    mesh = run("mesh", ["-mesh", "2"])
+    np.testing.assert_allclose(mesh["ip"][0].data, single["ip"][0].data,
+                               rtol=1e-5, atol=1e-6)
