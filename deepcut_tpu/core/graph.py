@@ -274,12 +274,26 @@ class Net:
         else:
             converted = weights
         # Match by name (reference: Net::CopyTrainedLayersFrom semantics) on
-        # top of existing params so missing layers keep their init.
+        # top of existing params so missing layers keep their init. Shapes
+        # are CHECKED like the reference (net.cpp:805-846 CHECKs blob
+        # shapes): silently loading a mismatched blob would crash later with
+        # a cryptic XLA error — or worse, "succeed".
         for name, entry in converted.items():
             if name in self.params:
-                self.params[name] = {
-                    k: jnp.asarray(v) for k, v in entry.items()
-                } if isinstance(entry, dict) else entry
+                if isinstance(entry, dict):
+                    cur = self.params[name]
+                    for k, v in entry.items():
+                        have = cur.get(k)
+                        if have is not None and tuple(np.shape(v)) != tuple(have.shape):
+                            raise ValueError(
+                                f"load_weights: layer '{name}' blob '{k}' shape "
+                                f"{tuple(np.shape(v))} != net's {tuple(have.shape)} "
+                                "(rename the layer to re-initialise it, the "
+                                "reference finetune idiom)")
+                    self.params[name] = {k: jnp.asarray(v)
+                                         for k, v in entry.items()}
+                else:
+                    self.params[name] = entry
 
     def _ensure_params(self, input_shapes_nhwc: Dict[str, Tuple[int, ...]]) -> None:
         """Materialise parameters via a shape-propagation pass.

@@ -187,8 +187,15 @@ def softmax_with_loss(
     logp = jax.nn.log_softmax(x, axis=-1)
     lab = labels.astype(jnp.int32)
     picked = jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    live = (lab != ignore_label) if ignore_label is not None \
+        else jnp.ones(lab.shape, bool)
+    # Caffe CHECKs 0 <= label < C (softmax_loss_layer.cpp DCHECK_GE/LT);
+    # take_along_axis CLAMPS instead, which would silently train every
+    # out-of-range label toward class C-1 — poison the loss to NaN so the
+    # config error is visible (jit cannot raise on traced values)
+    bad = jnp.any(live & ((lab < 0) | (lab >= x.shape[-1])))
+    picked = jnp.where(bad, jnp.float32(jnp.nan), picked)
     if ignore_label is not None:
-        live = lab != ignore_label
         loss_sum = -jnp.sum(jnp.where(live, picked, 0.0))
         valid = jnp.sum(live)
     else:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
+import os
+
 import numpy as np
 
 from deepcut_tpu.proto import wire
@@ -360,6 +362,9 @@ def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *,
         blobs = _entry_to_blobs(name, entry, deconv_names)
         if blobs:
             layers[name] = blobs
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "wb") as f:
         f.write(encode_netparameter(layers, net_name=net_name,
                                     container=container))

@@ -139,6 +139,12 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_checkpoint(path: str, params: Any, state: Any) -> None:
+    # snapshot prefixes routinely point into not-yet-existing directories
+    # (reference users mkdir by habit; failing here after hours of training
+    # would lose the run)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     flat = {}
     flat.update({f"params/{k}": v for k, v in _flatten(params).items()})
     flat.update({f"state/{k}": v for k, v in _flatten(state).items()})
@@ -488,7 +494,12 @@ class PoseSolver:
             self.snapshot()
 
     # -- snapshot/restore (reference: solver.cpp:411-481) ------------------
-    def snapshot(self, export_caffemodel: bool = False) -> str:
+    def snapshot(self, export_caffemodel: bool = True) -> str:
+        """Writes BOTH artifacts by default, like GraphSolver: the .npz
+        (params + solver state, for -snapshot resume) and the
+        reference-format .caffemodel the inference loaders (pose demo,
+        serve, estimate_pose) consume — the documented train->infer
+        workflow needs the latter."""
         path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
         save_checkpoint(path, self.net_params, self.state)
         self.log(f"Snapshotting to {path}")

@@ -126,7 +126,11 @@ def train(args) -> int:
         mixed_train=bool(getattr(args, "mixed_precision", False)),
         remat=bool(getattr(args, "remat", False)),
     )
-    prefetch = Prefetcher(lambda: source.next_batch(args.batch_size), depth=3)
+    # prototxt `pose_data_param.batch_size` is the Caffe-native knob; the
+    # CLI flag overrides it when given explicitly (default None)
+    batch_size = (args.batch_size if args.batch_size
+                  else pp.get_int("batch_size", 1))
+    prefetch = Prefetcher(lambda: source.next_batch(batch_size), depth=3)
     net_params = None
     if args.weights:
         from deepcut_tpu.proto.caffemodel import load_deepercut_params
@@ -357,7 +361,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-solver", required=True)
     p.add_argument("-snapshot", default="", help="resume from .npz snapshot")
     p.add_argument("-weights", default="", help="finetune from .caffemodel")
-    p.add_argument("-batch_size", type=int, default=1)
+    p.add_argument("-batch_size", type=int, default=None,
+                   help="override pose_data_param.batch_size (default: "
+                        "use the prototxt's, else 1)")
     p.add_argument("-resnet", type=int, default=152, choices=(50, 101, 152))
     p.add_argument("-mesh", type=int, default=0,
                    help="data-parallel over N devices (the -gpu 0,1,.. analog)")

@@ -50,7 +50,8 @@ def render_image(cls: int, rng: np.random.RandomState, size: int = 256) -> np.nd
     return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
 
-def main(n_train: int = 400, out_dir: str = "examples/imagenet/data"):
+def main(n_train: int = 400, out_dir: str = "examples/imagenet/data",
+         n_classes: int = 8):
     from PIL import Image
 
     from deepcut_tpu.tools import datasets
@@ -62,7 +63,7 @@ def main(n_train: int = 400, out_dir: str = "examples/imagenet/data"):
         os.makedirs(img_dir, exist_ok=True)
         lines = []
         for i in range(count):
-            cls = i % 8
+            cls = i % n_classes
             name = f"{split}_{i:05d}.png"
             Image.fromarray(render_image(cls, rng)).save(
                 os.path.join(img_dir, name))

@@ -92,7 +92,12 @@ def test_caffenet_train_snapshot_finetune(data_dir, tmp_path):
     assert resumed.iter == 14
 
     # --- finetune with renamed head (examples/finetune) ---
-    ft = _make_solver(tmp_path, data_dir, "finetune_train_val.prototxt",
+    # the target task has 4 classes (fc8_target num_output: 4); labels must
+    # stay in range — out-of-range labels now poison the loss to NaN by
+    # design (softmax_with_loss range guard) instead of silently clamping
+    d4 = str(tmp_path / "ft_data")
+    _load_make_dataset().main(16, d4, n_classes=4)
+    ft = _make_solver(tmp_path, d4, "finetune_train_val.prototxt",
                       "finetune_solver.prototxt", max_iter=2)
     before = np.asarray(ft.net.params["conv1"]["w"]).copy()
     ft.net.load_weights(caffemodel)
@@ -103,6 +108,7 @@ def test_caffenet_train_snapshot_finetune(data_dir, tmp_path):
     assert ft.net.params["fc8_target"]["w"].shape[0] == 4
     ft.solve()
     assert ft.iter == 2
+    assert np.isfinite(ft.smoothed_loss), "finetune loss went non-finite"
 
     # --- deploy net + Classifier (00-classification notebook flow) ---
     from deepcut_tpu.classifier import Classifier

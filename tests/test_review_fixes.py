@@ -847,3 +847,36 @@ def test_scale_two_bottom_bias_caffemodel_roundtrip(tmp_path):
     x = np.ones((2, 3), np.float32)
     s = np.full((2, 3), 3.0, np.float32)
     np.testing.assert_allclose(np.asarray(net2.forward(x=x, s=s)["y"]), 8.0)
+
+
+def test_load_weights_shape_mismatch_raises():
+    """Net::CopyTrainedLayersFrom CHECKs blob shapes (net.cpp:805-846);
+    loading a same-named layer with a different shape must raise a clear
+    error, not crash later inside XLA (the finetune idiom is to RENAME)."""
+    from deepcut_tpu.core.graph import Net as GNet
+
+    proto = text_format.parse("""
+      name: "n"
+      input: "x" input_shape { dim: 1 dim: 4 }
+      layer { name: "ip" type: "InnerProduct" bottom: "x" top: "y"
+        inner_product_param { num_output: 3 } }
+    """)
+    net = GNet(proto, phase="TEST", compute_dtype=None)
+    with pytest.raises(ValueError, match="shape"):
+        net.load_weights({"ip": {"w": np.zeros((5, 4), np.float32)}})
+
+
+def test_softmax_loss_out_of_range_labels_poison_to_nan():
+    """Caffe CHECKs 0 <= label < C; under jit we can't raise, so an
+    out-of-range (non-ignored) label poisons the loss to NaN instead of
+    silently training toward the clamped class C-1."""
+    from deepcut_tpu.ops.losses import softmax_with_loss
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+    ok = softmax_with_loss(x, jnp.asarray([0.0, 1, 2, 1]))
+    assert np.isfinite(float(ok))
+    bad = softmax_with_loss(x, jnp.asarray([0.0, 1, 5, 1]))  # 5 >= C=3
+    assert np.isnan(float(bad))
+    # an out-of-range IGNORED label stays legal (ignore_label=255 idiom)
+    ign = softmax_with_loss(x, jnp.asarray([0.0, 1, 255, 1]), ignore_label=255)
+    assert np.isfinite(float(ign))
