@@ -82,47 +82,55 @@ class Detector(caffe.Net):
                 ix += 1
         return detections
 
+    @staticmethod
+    def _context_axis(lo: float, hi: float, im_dim: int, out_size: int,
+                      enlarge: float) -> Tuple[int, int, int, int]:
+        """One axis of the context-crop geometry.
+
+        The window span [lo, hi] (inclusive endpoints, Caffe window-file
+        convention) is enlarged about its midpoint by `enlarge`, then mapped
+        onto a canvas axis of `out_size` pixels.  Returns
+        (src_lo, src_hi, dst_off, dst_len): the in-image source slice and
+        where its resized content lands on the canvas — parts of the
+        enlarged span outside the image become canvas (mean) pixels rather
+        than stretched content.  Semantics re-derived from reference
+        detector.py:125-178 (window_inputs context embedding).
+        """
+        half = (hi - lo + 1) / 2.0
+        mid = lo + half
+        lo_e = float(np.round(mid - enlarge * half))
+        hi_e = float(np.round(mid + enlarge * half))
+        to_canvas = out_size / (hi_e - lo_e + 1)  # enlarged-span -> canvas px
+        dst_off = int(round(max(0.0, -lo_e) * to_canvas))
+        src_lo = min(max(lo_e, 0.0), float(im_dim))
+        src_hi = min(max(hi_e, 0.0), float(im_dim))
+        if src_hi <= src_lo:
+            raise ValueError("context window lies outside the image")
+        dst_len = min(int(round((src_hi - src_lo + 1) * to_canvas)),
+                      out_size - dst_off)
+        return int(src_lo), int(src_hi), dst_off, dst_len
+
     def crop(self, im: np.ndarray, window) -> np.ndarray:
-        """Crop a window (ymin, xmin, ymax, xmax) — reference
-        detector.py:125-178 semantics: plain crops are EXCLUSIVE slices;
-        with context_pad the box is scaled about its center, the clipped
-        image content resized, and embedded at its true offset into a
-        mean-filled crop_dims canvas (so out-of-image context is mean,
-        not stretched pixels)."""
-        window = np.asarray(window)
-        crop = im[int(window[0]):int(window[2]), int(window[1]):int(window[3])]
+        """Crop a window (ymin, xmin, ymax, xmax).
+
+        Plain crops are EXCLUSIVE slices.  With context_pad, the box is
+        enlarged about its centre so the window occupies the central
+        (crop_size - 2*context_pad) pixels of the net input, the in-image
+        content is resized, and embedded at its true offset into a
+        mean-filled crop_dims canvas (reference detector.py:125-178
+        semantics, re-derived as a per-axis geometry helper).
+        """
+        y0, x0, y1, x1 = (float(v) for v in np.asarray(window, np.float64))
         if not self.context_pad:
-            return crop
+            return im[int(y0):int(y1), int(x0):int(x1)]
 
-        box = window.astype(np.float64).copy()
-        crop_h0, crop_w0 = self.crop_dims[0], self.crop_dims[1]
-        crop_size = crop_w0  # reference assumes square net input
-        scale = crop_size / (1.0 * crop_size - self.context_pad * 2)
-        half_h = (box[2] - box[0] + 1) / 2.0
-        half_w = (box[3] - box[1] + 1) / 2.0
-        center = (box[0] + half_h, box[1] + half_w)
-        scaled_dims = scale * np.array((-half_h, -half_w, half_h, half_w))
-        box = np.round(np.tile(center, 2) + scaled_dims)
-        full_h = box[2] - box[0] + 1
-        full_w = box[3] - box[1] + 1
-        scale_h = crop_size / full_h
-        scale_w = crop_size / full_w
-        pad_y = int(round(max(0.0, -box[0]) * scale_h))
-        pad_x = int(round(max(0.0, -box[1]) * scale_w))
-
+        crop_size = self.crop_dims[1]  # reference assumes square net input
+        enlarge = crop_size / float(crop_size - 2 * self.context_pad)
         im_h, im_w = im.shape[:2]
-        box = np.clip(box, 0.0, [im_h, im_w, im_h, im_w])
-        clip_h = box[2] - box[0] + 1
-        clip_w = box[3] - box[1] + 1
-        assert clip_h > 0 and clip_w > 0
-        crop_h = int(round(clip_h * scale_h))
-        crop_w = int(round(clip_w * scale_w))
-        crop_h = min(crop_h, crop_size - pad_y)
-        crop_w = min(crop_w, crop_size - pad_x)
-
-        context_crop = im[int(box[0]):int(box[2]), int(box[1]):int(box[3])]
-        context_crop = dio.resize_image(
-            np.asarray(context_crop, np.float32), (crop_h, crop_w))
+        sy0, sy1, py, ph = self._context_axis(y0, y1, im_h, crop_size, enlarge)
+        sx0, sx1, px, pw = self._context_axis(x0, x1, im_w, crop_size, enlarge)
+        patch = dio.resize_image(
+            np.asarray(im[sy0:sy1, sx0:sx1], np.float32), (ph, pw))
         out = np.ones(self.crop_dims, np.float32) * self.crop_mean
-        out[pad_y:pad_y + crop_h, pad_x:pad_x + crop_w] = context_crop
+        out[py:py + ph, px:px + pw] = patch
         return out

@@ -48,30 +48,25 @@ def resize_image(im: np.ndarray, new_dims: Tuple[int, int], interp_order: int = 
 
 
 def oversample(images: Sequence[np.ndarray], crop_dims: Tuple[int, int]) -> np.ndarray:
-    """10-crop oversampling: 4 corners + center, mirrored (io.py oversample)."""
-    im_shape = np.array(images[0].shape[:2])
-    crop_dims = np.array(crop_dims)
-    im_center = im_shape / 2.0
-    h_indices = (0, im_shape[0] - crop_dims[0])
-    w_indices = (0, im_shape[1] - crop_dims[1])
-    crops_ix = np.empty((5, 4), dtype=int)
-    curr = 0
-    for i in h_indices:
-        for j in w_indices:
-            crops_ix[curr] = (i, j, i + crop_dims[0], j + crop_dims[1])
-            curr += 1
-    crops_ix[4] = np.tile(im_center, (1, 2)) + np.concatenate(
-        [-crop_dims / 2.0, crop_dims / 2.0])
-    crops_ix = np.tile(crops_ix, (2, 1))
-    crops = np.empty((10 * len(images), crop_dims[0], crop_dims[1],
-                      images[0].shape[-1]), dtype=np.float32)
-    ix = 0
+    """10-crop oversampling: 4 corners + centre, each also mirrored.
+
+    Per image the output order matches caffe.io.oversample (re-derived
+    semantics, python/caffe/io.py:340+): the five canonical crops
+    [top-left, top-right, bottom-left, bottom-right, centre] followed by
+    the horizontal mirrors of those same five.
+    """
+    ch, cw = int(crop_dims[0]), int(crop_dims[1])
+    im_h, im_w = images[0].shape[:2]
+    # top-left anchor of each canonical crop; centre truncates like the
+    # reference's float->int cast (floor for the in-bounds case)
+    anchors = [(y, x) for y in (0, im_h - ch) for x in (0, im_w - cw)]
+    anchors.append((int(im_h / 2.0 - ch / 2.0), int(im_w / 2.0 - cw / 2.0)))
+    per_image = []
     for im in images:
-        for crop in crops_ix:
-            crops[ix] = im[crop[0]:crop[2], crop[1]:crop[3], :]
-            ix += 1
-        crops[ix - 5:ix] = crops[ix - 5:ix, :, ::-1, :]  # mirror last 5
-    return crops
+        five = np.stack([im[y:y + ch, x:x + cw] for y, x in anchors])
+        per_image.append(five)
+        per_image.append(five[:, :, ::-1])  # mirrors, same crop order
+    return np.concatenate(per_image).astype(np.float32, copy=False)
 
 
 class Transformer:
