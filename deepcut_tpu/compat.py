@@ -120,9 +120,9 @@ class Blob:
 
     @property
     def diff(self) -> np.ndarray:
-        """pycaffe blob.diff: zeros until a backward pass fills it (input
-        blobs only — intermediate diffs have no persistent analog under
-        jit; see Net.backward)."""
+        """pycaffe blob.diff: zeros until a backward pass fills it — input
+        blobs always, intermediate blobs when requested via
+        Net.backward(diffs=[...]) (zero-tap cotangents; see Net.backward)."""
         cur = getattr(self, "_diff", None)  # views skip __init__
         if cur is None or cur.shape != self.data.shape:
             self._diff = np.zeros_like(self.data)
@@ -252,14 +252,16 @@ class Net:
         wanted |= set(blobs or [])
         return {nm: self.blobs[nm].data for nm in wanted if nm in self.blobs}
 
-    def backward(self, **kwargs) -> Dict[str, np.ndarray]:
+    def backward(self, diffs=None, **kwargs) -> Dict[str, np.ndarray]:
         """pycaffe _Net_backward analog: gradients of the total loss w.r.t.
-        the input blobs (there is no persistent diff_ state in the
-        functional core — parameter gradients live in Net.make_train_step)."""
+        the input blobs, plus any blobs named in `diffs` (the reference
+        returns ANY blob's diff_, pycaffe.py:107-140 — here computed via
+        zero-tap cotangents in the functional core; see core.graph.Net
+        .backward). Parameter gradients live in Net.make_train_step."""
         inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
                   if nm in self.blobs}
         inputs.update({nm: np.asarray(v, np.float32) for nm, v in kwargs.items()})
-        grads = self._net.backward(**inputs)
+        grads = self._net.backward(diffs=diffs, **inputs)
         for nm, g in grads.items():  # populate blob.diff, pycaffe-style
             if nm in self.blobs:
                 self.blobs[nm]._diff = np.asarray(g)
@@ -385,17 +387,8 @@ class Net:
 
     def forward_backward_all(self, blobs=None, diffs=None, **kwargs):
         """pycaffe _Net_forward_backward_all: batched forward + backward;
-        returns ({blob: outputs}, {input: gradients}).
-
-        `diffs` (extra diff blobs to return) is accepted for signature
-        compatibility but only INPUT-blob gradients exist in the functional
-        core (see `backward`); requesting intermediate diffs raises."""
-        if diffs:
-            extra = [d for d in diffs if d not in self._net.input_names]
-            if extra:
-                raise NotImplementedError(
-                    f"only input-blob diffs are available, not {extra} "
-                    "(no persistent per-blob diff_ state under jit)")
+        returns ({blob: outputs}, {blob: gradients}) — input-blob gradients
+        plus any blobs named in `diffs` (pycaffe.py:170-233)."""
         # chunk size BEFORE forward_all mutates the input staging blobs
         # (a trailing remainder chunk would otherwise shrink it)
         batch = self.blobs[self.inputs[0]].data.shape[0] if self.inputs else 1
@@ -405,7 +398,7 @@ class Net:
         for i in range(0, num, batch):
             chunk = {k: np.asarray(v[i:i + batch], np.float32)
                      for k, v in kwargs.items()}
-            g = self._net.backward(**chunk)
+            g = self._net.backward(diffs=diffs, **chunk)
             for nm, val in g.items():
                 grads.setdefault(nm, []).append(np.asarray(val))
         bwd_out = {nm: np.concatenate(vals) for nm, vals in grads.items()}

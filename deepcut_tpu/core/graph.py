@@ -592,10 +592,25 @@ class Net:
         collect_updates: Optional[Dict[str, Dict[str, jax.Array]]] = None,
         rng: Optional[jax.Array] = None,
         plan: Optional[List[Tuple[Callable, "LayerSpec"]]] = None,
+        taps: Optional[Dict[str, jax.Array]] = None,
+        dynamic: bool = False,
     ) -> Dict[str, jax.Array]:
+        """Run the plan over a blobs dict.
+
+        taps: {blob: zero array} added to the blob at its FIRST production —
+        differentiating w.r.t. a tap yields d(loss)/d(blob), i.e. the
+        reference's intermediate blob->diff() (pycaffe.py _Net_backward).
+        First production matches Caffe's in-place chains: after a full
+        backward an in-place blob's diff_ holds the cotangent at the
+        ORIGINAL producer's output (each in-place backward overwrites it).
+
+        dynamic: eager host path — layers exposing a `host_dynamic` variant
+        (Filter) run it, with true dynamic output shapes.
+        """
         from deepcut_tpu.ops.norm import batch_norm_train, BNStats
 
         blobs: Dict[str, jax.Array] = dict(inputs)
+        tapped: set = set()
         for idx, (fn, spec) in enumerate(self._plan if plan is None else plan):
             bottoms = [blobs[b] for b in spec.bottoms]
             # `propagate_down: false` blocks backprop into that bottom
@@ -611,7 +626,9 @@ class Net:
                 bottoms = [jax.lax.stop_gradient(b) if i < len(pdown) and not pdown[i]
                            else b for i, b in enumerate(bottoms)]
             entry = self._entry(params, spec.name)
-            if getattr(fn, "needs_rng", False):
+            if dynamic and getattr(fn, "host_dynamic", None) is not None:
+                outs = fn.host_dynamic(entry, bottoms)
+            elif getattr(fn, "needs_rng", False):
                 # Per-layer, per-step key (replaces Caffe's stateful
                 # caffe_rng_bernoulli draws in dropout_layer.cpp): fold the
                 # layer's plan index into the step key so every stochastic
@@ -639,6 +656,9 @@ class Net:
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for top, val in zip(spec.tops, outs):
+                if taps is not None and top in taps and top not in tapped:
+                    val = val + taps[top].astype(val.dtype)
+                    tapped.add(top)
                 blobs[top] = val
         return blobs
 
@@ -754,9 +774,16 @@ class Net:
         return jax.jit(step, in_shardings=(repl, repl, batch_sh),
                        out_shardings=(repl, repl, repl))
 
-    def backward(self, **inputs) -> Dict[str, np.ndarray]:
+    def backward(self, diffs: Optional[Sequence[str]] = None,
+                 **inputs) -> Dict[str, np.ndarray]:
         """Gradients of the total loss w.r.t. the net inputs (pycaffe
-        net.backward analog; param grads come from make_train_step)."""
+        net.backward analog; param grads come from make_train_step).
+
+        diffs: additional blob names whose d(loss)/d(blob) to return — the
+        reference hands back ANY blob's diff_ (python/caffe/pycaffe.py
+        _Net_backward, _caffe.cpp Blob bindings). Implemented by adding a
+        zero 'tap' at each requested blob's first production and
+        differentiating w.r.t. the taps alongside the inputs."""
         self._pull_data_layers(inputs)
         dev_inputs = {}
         for nm, arr in inputs.items():
@@ -771,12 +798,24 @@ class Net:
                     if jnp.issubdtype(v.dtype, jnp.floating)}
         rest = {nm: v for nm, v in dev_inputs.items() if nm not in diffable}
 
-        def loss_of(d):
-            return self.total_loss(self._execute(self.params, {**d, **rest}))
-        grads = jax.grad(loss_of)(diffable)
+        tap_names = [d for d in (diffs or []) if d not in dev_inputs]
+        taps = {}
+        if tap_names:
+            shapes = jax.eval_shape(
+                lambda d: self._execute(self.params, {**d, **rest}), diffable)
+            missing = [nm for nm in tap_names if nm not in shapes]
+            if missing:
+                raise KeyError(f"backward(diffs=...): unknown blobs {missing}")
+            taps = {nm: jnp.zeros(shapes[nm].shape, shapes[nm].dtype)
+                    for nm in tap_names}
+
+        def loss_of(d, t):
+            blobs = self._execute(self.params, {**d, **rest}, taps=t or None)
+            return self.total_loss(blobs)
+        in_grads, tap_grads = jax.grad(loss_of, argnums=(0, 1))(diffable, taps)
         out = {}
-        for nm, g in grads.items():
-            arr = np.asarray(g)
+        for nm, g in {**in_grads, **tap_grads}.items():
+            arr = np.asarray(g, np.float32)
             if arr.ndim == 4:
                 arr = arr.transpose(0, 3, 1, 2)
             out[nm] = arr
@@ -845,12 +884,21 @@ class Net:
         if self._needs_rng:
             rng = jax.random.fold_in(self._rng, self._forward_calls)
             self._forward_calls += 1
-        key = (start, end) + tuple(
-            sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                lambda p, i, r: self._execute(p, i, rng=r, plan=plan))
-        out = self._jitted[key](self.params, dev_inputs, rng)
+        run_plan = plan if plan is not None else self._plan
+        if any(getattr(fn, "host_dynamic", None) is not None
+               for fn, _ in run_plan):
+            # Filter layers shrink the batch for real on this all-blobs host
+            # path (filter_layer.cpp semantics) — dynamic output shapes, so
+            # the plan runs eagerly instead of through jit.
+            out = self._execute(self.params, dev_inputs, rng=rng, plan=plan,
+                                dynamic=True)
+        else:
+            key = (start, end) + tuple(
+                sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
+            if key not in self._jitted:
+                self._jitted[key] = jax.jit(
+                    lambda p, i, r: self._execute(p, i, rng=r, plan=plan))
+            out = self._jitted[key](self.params, dev_inputs, rng)
         result: "OrderedDict[str, np.ndarray]" = OrderedDict()
         for nm, v in out.items():
             arr = np.asarray(v)

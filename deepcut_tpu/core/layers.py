@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from deepcut_tpu.proto.text_format import PbNode
 from deepcut_tpu.core import fillers
@@ -547,6 +548,11 @@ def _filter(spec, phase, compute_dtype):
     the (traced) count of kept items cannot shrink the array — callers get
     the full batch with kept items first plus a 'filter_count' style mask
     convention is impossible here, so we zero out dropped items instead.
+
+    The all-blobs host path (Net.forward without jit) runs the attached
+    `host_dynamic` variant, which TRULY shrinks the batch like
+    filter_layer.cpp — downstream layers in that path see only the kept
+    items, so e.g. a consumer's batch mean matches the reference exactly.
     """
     n_tops = len(spec.tops)
 
@@ -560,6 +566,14 @@ def _filter(spec, phase, compute_dtype):
             mask = jnp.take(keep, order).reshape((-1,) + (1,) * (b.ndim - 1))
             outs.append(jnp.where(mask, reordered, 0))
         return outs if n_tops > 1 else outs[0]
+
+    def host_dynamic(p, bottoms):
+        # eager-only (dynamic output shape): exact filter_layer.cpp shrink
+        selector = np.asarray(bottoms[-1]).reshape(bottoms[-1].shape[0], -1)[:, 0]
+        kept = np.nonzero(selector != 0)[0]
+        outs = [jnp.take(b, jnp.asarray(kept), axis=0) for b in bottoms[:-1]]
+        return outs if n_tops > 1 else outs[0]
+    fn.host_dynamic = host_dynamic
     return fn
 
 

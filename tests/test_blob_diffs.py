@@ -1,0 +1,184 @@
+"""Intermediate-blob diffs (pycaffe _Net_backward diffs=[...] contract,
+python/caffe/pycaffe.py:107-140) and the host-path Filter batch shrink
+(src/caffe/layers/filter_layer.cpp semantics)."""
+
+import numpy as np
+import pytest
+
+
+DIFF_NET = """
+name: "diffnet"
+input: "data"
+input_shape { dim: 2 dim: 3 }
+input: "target"
+input_shape { dim: 2 dim: 3 }
+layer { name: "ip1" type: "InnerProduct" bottom: "data" top: "ip1"
+  inner_product_param { num_output: 4
+    weight_filler { type: "gaussian" std: 0.5 }
+    bias_filler { type: "gaussian" std: 0.2 } } }
+layer { name: "relu1" type: "ReLU" bottom: "ip1" top: "ip1" }
+layer { name: "ip2" type: "InnerProduct" bottom: "ip1" top: "ip2"
+  inner_product_param { num_output: 3
+    weight_filler { type: "gaussian" std: 0.5 } } }
+layer { name: "loss" type: "EuclideanLoss" bottom: "ip2" bottom: "target"
+  top: "loss" }
+"""
+
+
+def _build_diff_net():
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    return Net(text_format.parse(DIFF_NET), phase="TRAIN", compute_dtype=None)
+
+
+def test_backward_intermediate_diffs_finite_difference():
+    """d(loss)/d(ip1) from backward(diffs=...) matches central finite
+    differences computed through the public partial-forward API."""
+    net = _build_diff_net()
+    rng = np.random.RandomState(0)
+    data = rng.randn(2, 3).astype(np.float32)
+    target = rng.randn(2, 3).astype(np.float32)
+
+    grads = net.backward(diffs=["ip1", "ip2"], data=data, target=target)
+    assert set(grads) >= {"data", "target", "ip1", "ip2"}
+    assert grads["ip1"].shape == (2, 4)
+    assert grads["ip2"].shape == (2, 3)
+
+    # FD oracle for ip1: the PRE-relu activation (in-place chain => diff at
+    # the original producer's output, like Caffe's shared-blob diff_)
+    net.forward(end="ip1", data=data)
+    ip1_val = net.blobs["ip1"].copy()
+
+    def loss_from_ip1(v):
+        out = net.forward(start="relu1", ip1=v, target=target)
+        return float(out["loss"].reshape(()))
+
+    eps = 1e-3
+    for idx in [(0, 0), (0, 3), (1, 1), (1, 2)]:
+        up = ip1_val.copy(); up[idx] += eps
+        dn = ip1_val.copy(); dn[idx] -= eps
+        fd = (loss_from_ip1(up) - loss_from_ip1(dn)) / (2 * eps)
+        np.testing.assert_allclose(grads["ip1"][idx], fd, rtol=2e-2, atol=2e-4)
+
+    # ip2 diff must equal the EuclideanLoss analytic gradient (pred-target)/N
+    net.forward(data=data, target=target)
+    analytic = (net.blobs["ip2"] - target) / data.shape[0]
+    np.testing.assert_allclose(grads["ip2"], analytic, rtol=1e-5, atol=1e-6)
+
+
+def test_backward_diffs_unknown_blob_raises():
+    net = _build_diff_net()
+    rng = np.random.RandomState(1)
+    with pytest.raises(KeyError):
+        net.backward(diffs=["nosuchblob"],
+                     data=rng.randn(2, 3).astype(np.float32),
+                     target=rng.randn(2, 3).astype(np.float32))
+
+
+def test_compat_backward_populates_intermediate_blob_diff():
+    import deepcut_tpu.compat as caffe
+
+    net = caffe.Net.__new__(caffe.Net)
+    net._net = _build_diff_net()
+    from collections import OrderedDict
+    net.blobs = OrderedDict()
+    for nm, sh in net._net.input_shapes.items():
+        net.blobs[nm] = caffe.Blob(np.zeros(sh, np.float32))
+    net._params_dirty = False
+
+    rng = np.random.RandomState(2)
+    net.blobs["data"].data[...] = rng.randn(2, 3)
+    net.blobs["target"].data[...] = rng.randn(2, 3)
+    net.forward()
+    out = net.backward(diffs=["ip1"])
+    assert "ip1" in out
+    np.testing.assert_array_equal(net.blobs["ip1"].diff, out["ip1"])
+    assert np.abs(net.blobs["ip1"].diff).sum() > 0
+
+
+def test_forward_backward_all_intermediate_diffs():
+    import deepcut_tpu.compat as caffe
+
+    net = caffe.Net.__new__(caffe.Net)
+    net._net = _build_diff_net()
+    from collections import OrderedDict
+    net.blobs = OrderedDict()
+    for nm, sh in net._net.input_shapes.items():
+        net.blobs[nm] = caffe.Blob(np.zeros(sh, np.float32))
+    net._params_dirty = False
+
+    rng = np.random.RandomState(3)
+    fwd, bwd = net.forward_backward_all(
+        diffs=["ip1"],
+        data=rng.randn(4, 3).astype(np.float32),
+        target=rng.randn(4, 3).astype(np.float32))
+    assert bwd["ip1"].shape == (4, 4)
+    assert bwd["data"].shape == (4, 3)
+
+
+# ---- host-path Filter shrink ----------------------------------------------
+
+FILTER_NET = """
+name: "filternet"
+input: "data"
+input_shape { dim: 4 dim: 3 }
+input: "sel"
+input_shape { dim: 4 dim: 1 }
+layer { name: "filt" type: "Filter" bottom: "data" bottom: "sel" top: "fdata" }
+layer { name: "ip" type: "InnerProduct" bottom: "fdata" top: "out"
+  inner_product_param { num_output: 2
+    weight_filler { type: "gaussian" std: 0.5 }
+    bias_filler { type: "constant" value: 0.1 } } }
+"""
+
+
+def test_filter_host_path_truly_shrinks_batch():
+    """Net.forward() (all-blobs host path) shrinks the batch like
+    filter_layer.cpp, and a downstream consumer computes ONLY on kept
+    items — no zero-filled rows."""
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    net = Net(text_format.parse(FILTER_NET), phase="TEST", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    data = rng.randn(4, 3).astype(np.float32)
+    sel = np.array([[1.0], [0.0], [1.0], [0.0]], np.float32)
+
+    out = net.forward(data=data, sel=sel)
+    assert out["fdata"].shape == (2, 3)
+    np.testing.assert_array_equal(out["fdata"], data[[0, 2]])
+    assert out["out"].shape == (2, 2)
+
+    # downstream values equal running the consumer on only the kept rows
+    w = np.asarray(net.params["ip"]["w"], np.float32)
+    b = np.asarray(net.params["ip"]["b"], np.float32)
+    w2 = w if w.shape[0] == 3 else w.T  # (in, out) oracle view
+    np.testing.assert_allclose(out["out"], data[[0, 2]] @ w2 + b,
+                               rtol=1e-5, atol=1e-6)
+
+    # all selected / none selected edge cases
+    out_all = net.forward(data=data, sel=np.ones((4, 1), np.float32))
+    assert out_all["fdata"].shape == (4, 3)
+    out_none = net.forward(data=data, sel=np.zeros((4, 1), np.float32))
+    assert out_none["fdata"].shape == (0, 3)
+
+
+def test_filter_jit_path_keeps_static_shapes():
+    """make_forward (the serving path) keeps the documented static-shape
+    deviation: full batch, kept items first, dropped rows zeroed."""
+    import jax.numpy as jnp
+
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    net = Net(text_format.parse(FILTER_NET), phase="TEST", compute_dtype=None)
+    fwd = net.make_forward(["fdata"])
+    rng = np.random.RandomState(1)
+    data = rng.randn(4, 3).astype(np.float32)
+    sel = np.array([[0.0], [1.0], [0.0], [1.0]], np.float32)
+    out = np.asarray(fwd(net.params, {"data": jnp.asarray(data),
+                                      "sel": jnp.asarray(sel)})["fdata"])
+    assert out.shape == (4, 3)
+    np.testing.assert_array_equal(out[:2], data[[1, 3]])
+    np.testing.assert_array_equal(out[2:], 0)
