@@ -9,8 +9,9 @@ import numpy as np
 
 
 def test_notebooks_valid():
-    paths = sorted(glob.glob("/root/repo/examples/*.ipynb"))
-    assert len(paths) >= 2, paths
+    paths = sorted(glob.glob("/root/repo/examples/*.ipynb")
+                   + glob.glob("/root/repo/examples/*/*.ipynb"))
+    assert len(paths) >= 7, paths  # 00-03 + detection + net_surgery + siamese
     for path in paths:
         with open(path) as f:
             nb = json.load(f)
