@@ -155,3 +155,52 @@ def test_tiled_equals_untiled_misaligned_max_size():
     assert sm_full.shape == sm_tile.shape
     np.testing.assert_allclose(sm_tile, sm_full, rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(loc_tile, loc_full, rtol=5e-4, atol=5e-4)
+
+
+def test_multiscale_averaging_matches_host_oracle_at_scale_ne_1():
+    """The fused on-device resample+average path (estimate_pose_avg) must
+    equal a HOST-numpy pipeline at scale != 1: per-scale host scoremaps,
+    independently-written triangle-filter resample to the scale-1 grid,
+    host averaging (locref divided by its scale), single decode."""
+    from deepcut_tpu.pose.decode import decode_pose
+    from deepcut_tpu.pose.estimate import STRIDE, canvas_size
+
+    def np_resample_axis(m, out_size, axis):
+        # independent PIL-style triangle filter (support widened by the
+        # in/out ratio on downscale, weights normalised)
+        in_size = m.shape[axis]
+        scale = in_size / out_size
+        fscale = max(scale, 1.0)
+        slabs = []
+        for i in range(out_size):
+            center = (i + 0.5) * scale - 0.5
+            lo = int(np.floor(center - fscale))
+            hi = int(np.ceil(center + fscale))
+            xs = np.arange(max(lo, 0), min(hi + 1, in_size))
+            w = np.clip(1.0 - np.abs((xs - center) / fscale), 0.0, None)
+            w = w / w.sum()
+            slabs.append(np.tensordot(np.take(m, xs, axis=axis), w,
+                                      axes=([axis], [0])))
+        return np.stack(slabs, axis=axis)
+
+    est = _estimator()
+    img = np.random.RandomState(7).randint(0, 255, (90, 120, 3), np.uint8)
+    scales = [0.6, 1.0, 1.4]
+    h, w = img.shape[:2]
+    gh = canvas_size(h, 1.0) // int(STRIDE)
+    gw = canvas_size(w, 1.0) // int(STRIDE)
+
+    acc_sm = np.zeros((gh, gw, 3), np.float64)
+    acc_loc = np.zeros((gh, gw, 6), np.float64)
+    for s in scales:
+        sm, loc = est.scoremaps(img, s)  # host numpy, per-scale grid
+        assert (s == 1.0) == (sm.shape[:2] == (gh, gw))
+        sm_r = np_resample_axis(np_resample_axis(sm, gw, 1), gh, 0)
+        loc_r = np_resample_axis(np_resample_axis(loc, gw, 1), gh, 0)
+        acc_sm += sm_r
+        acc_loc += loc_r / s
+    ref = np.asarray(decode_pose(jnp.asarray(acc_sm / len(scales), jnp.float32),
+                                 jnp.asarray(acc_loc / len(scales), jnp.float32)))
+
+    got = est.estimate_pose_avg(img, scales)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
