@@ -23,6 +23,7 @@ Differences from the reference engine (by design, not omission):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -249,15 +250,38 @@ def forward(
     # bf16 (the MXU still accumulates f32 internally) — standard mixed
     # precision. Folded inference keeps the explicit f32 accumulate.
     acc = None if (cfg.mixed_train and not folded) else jnp.float32
+    res5c, skip = run_trunk(
+        params, x, cfg,
+        conv_fn=functools.partial(conv2d, compute_dtype=cdt, accum_dtype=acc),
+        pool_fn=lambda y: max_pool2d(y, kernel=3, stride=2),
+        folded=folded,
+    )
+    return compute_heads(params, res5c, skip, cfg, compute_dtype=cdt,
+                         accum_dtype=acc)
 
+
+def run_trunk(
+    params: Params,
+    x: jax.Array,
+    cfg: DeeperCutConfig,
+    *,
+    conv_fn,
+    pool_fn,
+    folded: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """The dilated-ResNet trunk (conv1 .. res5c), generic over the conv/pool
+    implementations: the single-device forward passes ops/conv.conv2d, the
+    spatially-sharded training path (parallel/spatial.py) passes
+    halo-exchange variants. Returns (res5c, skip_tap).
+
+    conv_fn(x, w, b, *, stride, pad, dilation) must honour Caffe conv
+    geometry; pool_fn(y) is the stem 3x3/2 ceil-mode maxpool.
+    """
     def cbr(x, name, *, stride=1, pad=0, dilation=1, act=True):
         p = params[name]
-        if folded:
-            y = conv2d(x, p["w"], p.get("b"), stride=stride, pad=pad,
-                       dilation=dilation, compute_dtype=cdt)
-        else:
-            y = conv2d(x, p["w"], p.get("b"), stride=stride, pad=pad,
-                       dilation=dilation, compute_dtype=cdt, accum_dtype=acc)
+        y = conv_fn(x, p["w"], p.get("b"), stride=stride, pad=pad,
+                    dilation=dilation)
+        if not folded:
             bn_key = "_conv1" if name == "conv1" else name[len("res"):]
             bn = params[f"bn{bn_key}"]
             sc = params[f"scale{bn_key}"]
@@ -269,7 +293,7 @@ def forward(
     x = (x.astype(cfg.compute_dtype) if (folded or cfg.mixed_train)
          else x.astype(jnp.float32))
     y = cbr(x, "conv1", stride=2, pad=3)
-    y = max_pool2d(y, kernel=3, stride=2)
+    y = pool_fn(y)
 
     taps: Dict[str, jax.Array] = {}
     skip_name = _skip_block(cfg)
@@ -291,16 +315,30 @@ def forward(
             y = jax.checkpoint(one_block)(y) if cfg.remat else one_block(y)
             if block == skip_name:
                 taps["skip"] = y
-    res5c = y
-    skip = taps["skip"]
+    return y, taps["skip"]
 
+
+def compute_heads(
+    params: Params,
+    res5c: jax.Array,
+    skip: jax.Array,
+    cfg: DeeperCutConfig,
+    *,
+    compute_dtype=None,
+    accum_dtype=jnp.float32,
+) -> Dict[str, jax.Array]:
+    """Deconv + skip-conv prediction heads over the trunk taps (shared by
+    the single-device forward and the spatially-sharded training path,
+    parallel/spatial.py — the heads run on the gathered full grid there).
+
+    The three heads run as ONE deconv + ONE skip conv over concatenated
+    output channels (14+28+364 = 406), then slice. Mathematically identical
+    to per-head convs (channel concat commutes with conv), but a 14-channel
+    deconv leaves 89% of the MXU's 128 lanes idle — fused, the heads cost
+    one well-filled pass instead of three starved ones.
+    """
+    cdt, acc = compute_dtype, accum_dtype
     outs: Dict[str, jax.Array] = {}
-
-    # The three heads run as ONE deconv + ONE skip conv over concatenated
-    # output channels (14+28+364 = 406), then slice. Mathematically identical
-    # to per-head convs (channel concat commutes with conv), but a 14-channel
-    # deconv leaves 89% of the MXU's 128 lanes idle — fused, the heads cost
-    # one well-filled pass instead of three starved ones.
     head_list = [("pose", cfg.num_joints)]
     if cfg.location_refinement:
         head_list.append(("locref", cfg.locref_channels))

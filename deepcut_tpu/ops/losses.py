@@ -62,6 +62,38 @@ def _smooth_l1_bwd(res, g):
 smooth_l1_loss.defvjp(_smooth_l1_fwd, _smooth_l1_bwd)
 
 
+def make_smooth_l1_loss(psum_axes: Tuple = ()):
+    """smooth_l1_loss with normalisers reduced over `psum_axes` mesh axes —
+    for use INSIDE jax.shard_map (parallel/spatial.py): the error sum and
+    |weights| sum are lax.psum'ed so every device sees the GLOBAL
+    normaliser, making the sharded loss/gradients bit-equal in semantics to
+    the single-device fork loss (max(sum w, 100) backward clamp included).
+    The psums live inside the custom_vjp fwd, so they are never
+    differentiated through (raw psum transposes to psum under shard_map and
+    would inflate gradients by the axis size)."""
+    if not psum_axes:
+        return smooth_l1_loss
+
+    @jax.custom_vjp
+    def fn(pred, target, weights=None):
+        return fwd(pred, target, weights)[0]
+
+    def fwd(pred, target, weights):
+        d = pred - target
+        if weights is not None:
+            d = d * weights
+            wsum = jax.lax.psum(jnp.sum(jnp.abs(weights)), psum_axes)
+        else:
+            wsum = jax.lax.psum(
+                jnp.asarray(float(pred.size), jnp.float32), psum_axes)
+        err = jax.lax.psum(jnp.sum(_smooth_l1(d)), psum_axes)
+        loss = jnp.where(wsum != 0, err / jnp.where(wsum == 0, 1.0, wsum), 0.0)
+        return loss, (d, wsum)
+
+    fn.defvjp(fwd, _smooth_l1_bwd)  # bwd is local math over global wsum
+    return fn
+
+
 def _sigmoid_ce_elem(x: jax.Array, t: jax.Array) -> jax.Array:
     """Per-element sigmoid cross-entropy, the overflow-safe Caffe form:
     -(x*(t - (x>=0)) - log(1 + exp(x - 2x*(x>=0))))."""
@@ -102,16 +134,17 @@ def softmax_loss_vec(
     return _SLV_CACHE[key](scores, labels, weights)
 
 
-def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize):
+def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize,
+             psum_axes=()):
     x = scores.astype(jnp.float32)
     t = labels.astype(jnp.float32)
-    n = x.shape[0]
+    n = jnp.asarray(float(x.shape[0]), jnp.float32)
     if cross_entropy:
         live = t != IGNORE_VALUE
         w = weights if weights is not None else jnp.ones_like(x)
         elem = _sigmoid_ce_elem(x, jnp.where(live, t, 0.0)) * w
         loss_sum = jnp.sum(jnp.where(live, elem, 0.0))
-        count = jnp.sum(jnp.any(live, axis=-1))
+        count = jnp.sum(jnp.any(live, axis=-1)).astype(jnp.float32)
         prob = jax.nn.sigmoid(x)
     else:
         if no_softmax:
@@ -123,16 +156,27 @@ def _slv_fwd(scores, labels, weights, *, cross_entropy, no_softmax, normalize):
         live_pos = t[..., 0] != IGNORE_VALUE
         tiny = jnp.float32(1.175494e-38)  # FLT_MIN, matching the reference clamp
         loss_sum = -jnp.sum(jnp.where(live_pos, jnp.log(jnp.maximum(picked, tiny)), 0.0))
-        count = jnp.sum(live_pos)
+        count = jnp.sum(live_pos).astype(jnp.float32)
         live = jnp.broadcast_to(live_pos[..., None], x.shape)
-    denom = jnp.maximum(count.astype(jnp.float32), 100.0) if normalize else jnp.float32(n)
+    # backward normaliser numerator: channel-0 weight sum when weighted
+    # (softmax_loss_vec_layer.cpp:185-189), else the live count
+    bwd_norm = jnp.sum(weights[..., 0]) if weights is not None else count
+    if psum_axes:
+        # sharded variant (jax.shard_map): global sums so every device
+        # normalises like the single-device loss; inside custom_vjp so the
+        # psums are never differentiated through (see make_smooth_l1_loss)
+        loss_sum = jax.lax.psum(loss_sum, psum_axes)
+        count = jax.lax.psum(count, psum_axes)
+        bwd_norm = jax.lax.psum(bwd_norm, psum_axes)
+        n = jax.lax.psum(n, psum_axes)
+    denom = jnp.maximum(count, 100.0) if normalize else n
     loss = loss_sum / denom
-    res = (prob, t, weights, live, count, cross_entropy, normalize, n)
+    res = (prob, t, weights, live, bwd_norm, n)
     return loss, res
 
 
 def _slv_bwd(cross_entropy, no_softmax, normalize, res, g):
-    prob, t, weights, live, count, _, _, n = res
+    prob, t, weights, live, bwd_norm, n = res
     if weights is not None:
         # the reference's weighted backward skips the ignore-zeroing
         # branches ENTIRELY (softmax_loss_vec_layer.cpp:171-176: the
@@ -141,25 +185,28 @@ def _slv_bwd(cross_entropy, no_softmax, normalize, res, g):
         # exactly (in the fork's configs weight maps carry no 1000-labels,
         # so this is latent there, but the contract is step-for-step parity)
         diff = (prob - t) * weights
-        # weight_sum counts channel 0 only (softmax_loss_vec_layer.cpp:185-189)
-        norm = jnp.sum(weights[..., 0])
     else:
         diff = prob - jnp.where(live, t, prob)  # zero where ignored
-        norm = count.astype(jnp.float32)
-    denom = jnp.maximum(norm, 100.0) if normalize else jnp.float32(n)
+    denom = jnp.maximum(bwd_norm, 100.0) if normalize else n
     return (g * diff / denom, None, None)
 
 
 # custom_vjp over keyword-static args: wrap per-config.
-def make_softmax_loss_vec(*, cross_entropy=True, no_softmax=False, normalize=True):
+def make_softmax_loss_vec(*, cross_entropy=True, no_softmax=False,
+                          normalize=True, psum_axes: Tuple = ()):
+    """psum_axes: mesh axes to reduce the sums/normalisers over — the
+    shard_map variant for spatially/data-sharded training (see
+    make_smooth_l1_loss)."""
     @jax.custom_vjp
     def fn(scores, labels, weights=None):
         return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
-                        no_softmax=no_softmax, normalize=normalize)[0]
+                        no_softmax=no_softmax, normalize=normalize,
+                        psum_axes=psum_axes)[0]
 
     def fwd(scores, labels, weights=None):
         return _slv_fwd(scores, labels, weights, cross_entropy=cross_entropy,
-                        no_softmax=no_softmax, normalize=normalize)
+                        no_softmax=no_softmax, normalize=normalize,
+                        psum_axes=psum_axes)
 
     def bwd(res, g):
         return _slv_bwd(cross_entropy, no_softmax, normalize, res, g)

@@ -7,7 +7,11 @@ collapses here into sharding declarations over a `jax.sharding.Mesh`:
 - data parallelism  = batch dim sharded over the 'data' axis; XLA emits the
   gradient all-reduce over ICI (what DevicePair::compute hand-planned).
 - spatial parallelism (the CNN analog of sequence parallelism) = H dim
-  sharded over the 'spatial' axis; XLA inserts halo exchanges for convs.
+  sharded over the 'spatial' axis. Inference: XLA inserts conv halo
+  exchanges from the sharding annotations alone. TRAINING: the shard_map
+  path with framework-owned halo exchange + psum (parallel/spatial.py),
+  because jax 0.9's partitioner mis-scales conv weight grads under halo
+  exchange (canaried in tests/test_parallel.py).
 - parameters/optimizer state are replicated (same model as the reference,
   where every GPU holds a full copy: parallel.cpp:77-115).
 
@@ -56,10 +60,11 @@ def make_mesh(
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """NHWC batch: N over 'data', H over 'spatial'.
 
-    INFERENCE-scoped: do not feed spatially-sharded batches to a train step
-    (make_train_step requires P('data') and raises on mismatch) — conv
-    weight grads under spatial sharding hit an upstream XLA bug; see
-    parallel/train_step.py."""
+    INFERENCE-scoped (GSPMD annotation path). Training over a 2-D mesh goes
+    through make_train_step, which dispatches to the shard_map
+    halo-exchange step and shards its own inputs — do not pre-shard train
+    batches with this helper (conv weight grads under GSPMD spatial
+    sharding hit an upstream XLA bug; see parallel/spatial.py)."""
     return NamedSharding(mesh, P("data", "spatial", None, None))
 
 

@@ -29,9 +29,12 @@ def make_train_step(
 ):
     """Returns jitted (params, state, batch) -> (params, state, metrics).
 
-    With a mesh: batch sharded over 'data' (pure DP), params and optimizer
-    state replicated; XLA inserts the gradient reductions over ICI. The
-    'spatial' axis is inference-only — see the note at the sharding setup.
+    With a mesh: params and optimizer state replicated, batch sharded over
+    'data'; when the mesh also has a 'spatial' axis of size > 1, image rows
+    are sharded over it and the step runs under jax.shard_map with explicit
+    halo exchanges + psum reductions (parallel/spatial.py — bypassing the
+    jax-0.9 GSPMD conv-weight-grad bug the canary in tests/test_parallel.py
+    watches). Either way the trajectory equals single-device (tested).
     """
     if getattr(solver_cfg, "iter_size", 1) > 1:
         # update_rules.step divides grads by iter_size (preprocess_grads) on
@@ -56,16 +59,20 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
+    nsp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
+    if nsp > 1:
+        # 2-D mesh: image rows shard over 'spatial' via the shard_map path
+        # with framework-owned halo exchange + psum (parallel/spatial.py).
+        # The GSPMD partitioner is NOT used for the sharded train step: jax
+        # 0.9 returns conv weight grads scaled by the replicated-axis size
+        # under halo exchange (minimal repro:
+        # tests/test_parallel.py::test_spatial_sharded_conv_weight_grad_guard,
+        # which still canaries the upstream fix).
+        from deepcut_tpu.parallel.spatial import make_spatial_train_step
+        return make_spatial_train_step(model_cfg, solver_cfg, mesh,
+                                       donate=donate)
+
     rep = replicated(mesh)
-    # TRAINING shards the batch dim ONLY (pure DP, like the reference's
-    # P2PSync). Spatially sharding H under autodiff is blocked by an
-    # upstream XLA SPMD bug (jax 0.9): the conv WEIGHT gradient comes back
-    # multiplied by the size of any mesh axis the activation is replicated
-    # over whenever halo exchange is involved (kernel > 1x1) — forward
-    # values are exact, gradients silently wrong (minimal repro in
-    # tests/test_parallel.py::test_spatial_sharded_conv_weight_grad_guard).
-    # Spatial sharding remains an INFERENCE feature (forward verified equal
-    # to unsharded in test_spatial_sharding_matches).
     bsh = NamedSharding(mesh, P("data"))
 
     def in_shardings(params, state, batch):

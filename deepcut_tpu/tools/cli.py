@@ -90,9 +90,13 @@ def train(args) -> int:
             break
     mesh = None
     if getattr(args, "mesh", 0):
-        # data-parallel training over N chips (the `-gpu 0,1,...` analog)
+        # training over N chips (the `-gpu 0,1,...` analog): batch over the
+        # 'data' axis; -spatial S additionally shards image ROWS over a
+        # spatial axis for the pose trainer (shard_map halo-exchange path,
+        # parallel/spatial.py — needs canvas H % (16*S) == 0). The generic
+        # graph trainer uses the data axis only.
         from deepcut_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.mesh, spatial=1)
+        mesh = make_mesh(args.mesh, spatial=max(getattr(args, "spatial", 1), 1))
     if data_layer is None:
         # Generic graph training (LeNet/CaffeNet-style recipes).
         from deepcut_tpu.solver.solver import GraphSolver
@@ -367,6 +371,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-resnet", type=int, default=152, choices=(50, 101, 152))
     p.add_argument("-mesh", type=int, default=0,
                    help="data-parallel over N devices (the -gpu 0,1,.. analog)")
+    p.add_argument("-spatial", type=int, default=1,
+                   help="with -mesh: shard image rows over a spatial axis of "
+                        "this size for pose training (N = data*spatial)")
     p.add_argument("-mixed_precision", action="store_true",
                    help="bf16 conv compute, f32 params/losses (1.6x step speed)")
     p.add_argument("-remat", action="store_true",

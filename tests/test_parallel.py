@@ -278,11 +278,12 @@ print("mesh + iter_size == full batch")
 
 
 def test_2d_mesh_train_step_matches_single_device(run_in_cpu_mesh):
-    """A (data=4, spatial=2) mesh (the dryrun's shape) through a full train
-    step — params after one update must equal the single-device trajectory.
-    Training shards 'data' only (the spatial axis is inference-only: conv
-    WEIGHT grads under spatial sharding hit an upstream XLA bug, see
-    test_spatial_sharded_conv_weight_grad_guard)."""
+    """A (data=4, spatial=2) mesh (the dryrun's shape) through the full
+    train step — image rows genuinely SHARDED over 'spatial' via the
+    shard_map path (parallel/spatial.py: explicit halo exchange + psum,
+    bypassing the GSPMD weight-grad bug the canary below watches). A
+    3-step trajectory (params AND momentum state) must equal
+    single-device."""
     code = """
 import numpy as np, jax, jax.numpy as jnp
 from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
@@ -294,38 +295,86 @@ cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
 scfg = SolverConfig(solver_type='SGD', base_lr=0.05, momentum=0.9,
                     weight_decay=0.0)
 params = init_params(jax.random.PRNGKey(0), cfg)
-n, h, w = 4, 32, 32
+n, h, w = 4, 64, 32   # H = 16 * spatial * 2: the spatial shape contract
+gh, gw = h // 8, w // 8
 key = jax.random.PRNGKey(1)
-batch = {
-  'image': jax.random.normal(key, (n, h, w, 3)),
-  'part_score_targets': jnp.zeros((n, 4, 4, 4)).at[:, 1, 1, :].set(1.0),
-  'part_score_weights': jnp.ones((n, 4, 4, 4)),
-  'locref_targets': jnp.zeros((n, 4, 4, 8)),
-  'locref_weights': jnp.ones((n, 4, 4, 8)),
-}
-state = init_state(scfg, params)
-p1, s1, m1 = make_train_step(cfg, scfg, None, donate=False)(params, state, batch)
+def make_batch(k):
+    kk = jax.random.PRNGKey(k)
+    return {
+      'image': jax.random.normal(kk, (n, h, w, 3)),
+      'part_score_targets': jnp.zeros((n, gh, gw, 4)).at[:, 1, 1, :].set(1.0),
+      'part_score_weights': jnp.ones((n, gh, gw, 4)),
+      'locref_targets': 0.1 * jax.random.normal(kk, (n, gh, gw, 8)),
+      'locref_weights': jnp.ones((n, gh, gw, 8)),
+    }
+state1 = init_state(scfg, params)
+step1 = make_train_step(cfg, scfg, None, donate=False)
+p1, s1 = params, state1
+for k in range(3):
+    p1, s1, m1 = step1(p1, s1, make_batch(k))
 mesh = make_mesh(8, spatial=2)   # (data=4, spatial=2), the dryrun shape
 with mesh:
-    p2, s2, m2 = make_train_step(cfg, scfg, mesh, donate=False)(params, state, batch)
+    step2 = make_train_step(cfg, scfg, mesh, donate=False)
+    p2, s2 = params, init_state(scfg, params)
+    for k in range(3):
+        p2, s2, m2 = step2(p2, s2, make_batch(k))
 for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=5e-5, atol=1e-6)
+                               rtol=1e-4, atol=1e-6)
+for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-6)
 assert abs(float(m1['total_loss']) - float(m2['total_loss'])) < 1e-4 * max(1.0, abs(float(m1['total_loss'])))
-print('2D-MESH-STEP-MATCH')
+print('2D-MESH-SPATIAL-TRAIN-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=8)
-    assert "2D-MESH-STEP-MATCH" in out
+    assert "2D-MESH-SPATIAL-TRAIN-MATCH" in out
+
+
+def test_spatial_train_step_shape_contract(run_in_cpu_mesh):
+    """The shard_map path validates its shape contract with clear errors:
+    H not divisible by 16*n_spatial, or too small for the res5 halo."""
+    code = """
+import jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.parallel.train_step import make_train_step
+from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
+                      pairwise=False, compute_dtype=jnp.float32)
+scfg = SolverConfig(solver_type='SGD', base_lr=0.05)
+params = init_params(jax.random.PRNGKey(0), cfg)
+state = init_state(scfg, params)
+mesh = make_mesh(8, spatial=2)
+def batch(h):
+    gh = -(-h // 8)
+    return {'image': jnp.zeros((4, h, 32, 3)),
+            'part_score_targets': jnp.zeros((4, gh, 4, 4)),
+            'part_score_weights': jnp.ones((4, gh, 4, 4))}
+with mesh:
+    step = make_train_step(cfg, scfg, mesh, donate=False)
+    for h, frag in ((40, 'divisible'), (32, 'too small')):
+        try:
+            step(params, state, batch(h))
+            raise AssertionError(f'H={h} should have been rejected')
+        except ValueError as e:
+            assert frag in str(e), (h, str(e))
+print('SPATIAL-SHAPE-CONTRACT-OK')
+"""
+    out = run_in_cpu_mesh(code, n_devices=8)
+    assert "SPATIAL-SHAPE-CONTRACT-OK" in out
 
 
 def test_spatial_sharded_conv_weight_grad_guard(run_in_cpu_mesh):
-    """Canary for the upstream XLA SPMD bug that keeps training sharding
-    DP-only: with an activation REPLICATED over one mesh axis and spatially
-    sharded over another, the conv WEIGHT gradient comes back multiplied by
-    the replicated axis size whenever halo exchange is involved (3x3 pad 1;
+    """Canary for the upstream XLA SPMD bug that forced spatial TRAINING
+    onto the shard_map halo-exchange path (parallel/spatial.py): with an
+    activation REPLICATED over one mesh axis and spatially sharded over
+    another, the GSPMD conv WEIGHT gradient comes back multiplied by the
+    replicated axis size whenever halo exchange is involved (3x3 pad 1;
     1x1 is exact; forward values are exact). jax 0.9 CPU reproduces a clean
-    4.0x ratio. If this starts XPASSing, the upstream fix landed and
-    parallel.make_train_step can re-enable spatial batch sharding."""
+    4.0x ratio. If this starts XPASSing, the upstream fix landed — the
+    annotation-only GSPMD path becomes viable again and could replace the
+    hand-rolled halos."""
     code = """
 import numpy as np, jax, jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P, Mesh
@@ -356,3 +405,49 @@ else:
             "re-enable spatial batch sharding in parallel/train_step.py "
             "(and drop this canary)")
     assert "BUG-PRESENT" in out
+
+
+def test_pose_solver_spatial_mesh_matches_single_device(run_in_cpu_mesh):
+    """PoseSolver with a (data=4, spatial=2) mesh — the CLI
+    `train -mesh 8 -spatial 2` path — must follow the single-device
+    trajectory (params after 2 steps)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.solver.solver import PoseSolver, SolverParams
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
+                      pairwise=False, compute_dtype=jnp.float32)
+n, h, w = 4, 64, 32
+gh, gw = h // 8, w // 8
+state = {'k': 0}
+def batch_source():
+    kk = jax.random.PRNGKey(state['k']); state['k'] += 1
+    return {
+      'image': np.asarray(jax.random.normal(kk, (n, h, w, 3))),
+      'part_score_targets': np.zeros((n, gh, gw, 4), np.float32),
+      'part_score_weights': np.ones((n, gh, gw, 4), np.float32),
+      'locref_targets': np.zeros((n, gh, gw, 8), np.float32),
+      'locref_weights': np.ones((n, gh, gw, 8), np.float32),
+    }
+sp = SolverParams.from_prototxt('''
+    base_lr: 0.05 momentum: 0.9 lr_policy: "fixed" display: 0 max_iter: 10
+    snapshot: 0 snapshot_prefix: "/tmp/ps" random_seed: 3
+''')
+init = init_params(jax.random.PRNGKey(3), cfg)
+s1 = PoseSolver(sp, cfg, batch_source, net_params=jax.tree_util.tree_map(jnp.copy, init),
+                handle_signals=False, log=lambda *_: None)
+s1.step(2)
+state['k'] = 0
+mesh = make_mesh(8, spatial=2)
+with mesh:
+    s2 = PoseSolver(sp, cfg, batch_source, net_params=jax.tree_util.tree_map(jnp.copy, init),
+                    mesh=mesh, handle_signals=False, log=lambda *_: None)
+    s2.step(2)
+for a, b in zip(jax.tree_util.tree_leaves(s1.net_params),
+                jax.tree_util.tree_leaves(s2.net_params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+print('POSE-SOLVER-SPATIAL-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=8)
+    assert "POSE-SOLVER-SPATIAL-MATCH" in out

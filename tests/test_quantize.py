@@ -59,3 +59,148 @@ def test_int8_resident_stream_close_to_fp():
     e_plain = np.abs(q_plain - fp).max()
     e_res = np.abs(q_res - fp).max()
     assert e_res < max(2.5 * e_plain, 0.15), (e_res, e_plain)
+
+
+# ---- task-level accuracy of the serving transforms (round-3, VERDICT #5) --
+
+LENET_BN_DEPLOY = """
+name: "lenet_bn_deploy"
+input: "data"
+input_shape {{ dim: 64 dim: 1 dim: 28 dim: 28 }}
+{body}
+"""
+
+LENET_BN_TRAIN = """
+name: "lenet_bn"
+layer {{ name: "mnist" type: "Data" top: "data" top: "label"
+  transform_param {{ scale: 0.00390625 }}
+  data_param {{ source: "{db}" batch_size: 32 backend: LMDB }} }}
+{body}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label"
+  top: "loss" }}
+"""
+
+_LENET_BN_BODY = """
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 20 kernel_size: 5 bias_term: false
+    weight_filler { type: "xavier" } } }
+layer { name: "bn1" type: "BatchNorm" bottom: "conv1" top: "conv1" }
+layer { name: "sc1" type: "Scale" bottom: "conv1" top: "conv1"
+  scale_param { bias_term: true } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "conv2" type: "Convolution" bottom: "pool1" top: "conv2"
+  convolution_param { num_output: 50 kernel_size: 5 bias_term: false
+    weight_filler { type: "xavier" } } }
+layer { name: "bn2" type: "BatchNorm" bottom: "conv2" top: "conv2" }
+layer { name: "sc2" type: "Scale" bottom: "conv2" top: "conv2"
+  scale_param { bias_term: true } }
+layer { name: "relu2" type: "ReLU" bottom: "conv2" top: "conv2" }
+layer { name: "pool2" type: "Pooling" bottom: "conv2" top: "pool2"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "ip1" type: "InnerProduct" bottom: "pool2" top: "ip1"
+  inner_product_param { num_output: 200 weight_filler { type: "xavier" } } }
+layer { name: "relu3" type: "ReLU" bottom: "ip1" top: "ip1" }
+layer { name: "ip2" type: "InnerProduct" bottom: "ip1" top: "ip2"
+  inner_product_param { num_output: 10 weight_filler { type: "xavier" } } }
+"""
+
+
+def _train_lenet(tmp_path, train_text, iters=200, base_lr=0.03):
+    """Train a LeNet variant on the synthetic-glyph LMDB; return (solver,
+    eval images, labels)."""
+    import sys
+    sys.path.insert(0, "/root/repo/examples/mnist")
+    from make_dataset import make_lmdb, render_digit
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.solver.solver import SolverParams, GraphSolver
+
+    db = str(tmp_path / "lmdb")
+    make_lmdb(db, 600, seed=0)
+    net = Net(text_format.parse(train_text.format(db=db, body=_LENET_BN_BODY)
+                                if "{db}" in train_text else train_text),
+              phase="TRAIN", compute_dtype=None)
+    sp = SolverParams.from_prototxt(f"""
+        base_lr: {base_lr} momentum: 0.9 weight_decay: 0.0005
+        lr_policy: "inv" gamma: 0.0001 power: 0.75
+        display: 0 max_iter: {iters} snapshot: 0
+        snapshot_prefix: "{tmp_path}/l"
+    """)
+    solver = GraphSolver(sp, net, handle_signals=False, log=lambda *_: None)
+    solver.solve()
+    rng = np.random.RandomState(99)
+    imgs, labels = [], []
+    for i in range(300):
+        cls = i % 10
+        imgs.append(render_digit(cls, rng)[None].astype(np.float32) / 256.0)
+        labels.append(cls)
+    return net, np.stack(imgs), np.asarray(labels)
+
+
+def _deploy_from(trained_net, deploy_text, tmp_path):
+    """TEST-phase deploy net carrying the trained weights."""
+    import jax as _jax
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
+
+    host = _jax.tree_util.tree_map(np.asarray, trained_net.params)
+    dep = Net(text_format.parse(deploy_text), phase="TEST", compute_dtype=None)
+    dep.load_weights(host)
+    return dep
+
+
+def _acc(net, x, labels):
+    fwd = net.make_forward(["ip2"])
+    scores = np.asarray(fwd(net.params, {
+        "data": jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))})["ip2"])
+    return float(np.mean(np.argmax(scores.reshape(len(labels), -1), 1) == labels))
+
+
+def test_int8_task_accuracy_on_trained_lenet(tmp_path):
+    """VERDICT r2 #5: a net TRAINED in-repo to high task accuracy must keep
+    it through quantize_int8() (drop < 0.5%) — random-weight closeness says
+    nothing about end-task degradation."""
+    import sys
+    sys.path.insert(0, "/root/repo/examples/mnist")
+    from make_dataset import make_lmdb  # noqa: F401 (path side effect)
+
+    train_text = open("/root/repo/examples/mnist/lenet_train.prototxt").read()
+    db = str(tmp_path / "lmdb")
+    net, x, labels = _train_lenet(
+        tmp_path, train_text.replace("examples/mnist/train_lmdb", "{db}"))
+    # deploy text: the train prototxt minus the Data and loss layers
+    lines = train_text.split("layer {")
+    body = "layer {" + "layer {".join(
+        chunk for chunk in lines[1:]
+        if '"Data"' not in chunk and '"SoftmaxWithLoss"' not in chunk)
+    deploy = ('name: "lenet_deploy"\ninput: "data"\n'
+              'input_shape { dim: 64 dim: 1 dim: 28 dim: 28 }\n' + body)
+    dep = _deploy_from(net, deploy, tmp_path)
+
+    acc_fp = _acc(dep, x, labels)
+    assert acc_fp > 0.98, f"fp32 LeNet underfit: {acc_fp}"
+
+    calib = x[:64]
+    n_q = dep.quantize_int8(data=calib)
+    assert n_q >= 2  # both convs quantized
+    acc_q = _acc(dep, x, labels)
+    assert acc_fp - acc_q < 0.005, (acc_fp, acc_q)
+
+
+def test_folded_bf16_task_accuracy_on_trained_bn_lenet(tmp_path):
+    """fold_bn + cast_weights(bf16) on a TRAINED BatchNorm net: task
+    accuracy must survive the serving transforms (drop < 0.5%)."""
+    net, x, labels = _train_lenet(tmp_path, LENET_BN_TRAIN, iters=250)
+    deploy = LENET_BN_DEPLOY.format(body=_LENET_BN_BODY)
+    dep = _deploy_from(net, deploy, tmp_path)
+
+    acc_fp = _acc(dep, x, labels)
+    assert acc_fp > 0.98, f"fp32 BN-LeNet underfit: {acc_fp}"
+
+    folded = dep.fold_bn()
+    assert folded == 2
+    dep.cast_weights(jnp.bfloat16)
+    acc_b = _acc(dep, x, labels)
+    assert acc_fp - acc_b < 0.005, (acc_fp, acc_b)
