@@ -457,6 +457,15 @@ class Net:
         each step reads them from HBM at 2 bytes instead of casting f32 per
         forward. 1-D blobs (biases, BN stats) stay f32 — they ride the f32
         epilogue. Serving transform; pair with fold_bn()."""
+        if self.compute_dtype is None and dtype is not None:
+            # the layer fns were built without input casting: bf16 weights
+            # against f32 activations would crash inside lax.conv with a
+            # dtype mismatch three layers deep — fail with the fix instead
+            raise ValueError(
+                "cast_weights: this net was built with compute_dtype=None "
+                "(f32 layer math); construct the serving net with "
+                f"compute_dtype={jnp.dtype(dtype).name} (the default) "
+                "before casting weights")
         def cast(v):
             a = jnp.asarray(v)
             if a.ndim >= 2 and jnp.issubdtype(a.dtype, jnp.floating):

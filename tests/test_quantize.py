@@ -66,18 +66,18 @@ def test_int8_resident_stream_close_to_fp():
 LENET_BN_DEPLOY = """
 name: "lenet_bn_deploy"
 input: "data"
-input_shape {{ dim: 64 dim: 1 dim: 28 dim: 28 }}
-{body}
+input_shape { dim: 64 dim: 1 dim: 28 dim: 28 }
+@BODY@
 """
 
 LENET_BN_TRAIN = """
 name: "lenet_bn"
-layer {{ name: "mnist" type: "Data" top: "data" top: "label"
-  transform_param {{ scale: 0.00390625 }}
-  data_param {{ source: "{db}" batch_size: 32 backend: LMDB }} }}
-{body}
-layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label"
-  top: "loss" }}
+layer { name: "mnist" type: "Data" top: "data" top: "label"
+  transform_param { scale: 0.00390625 }
+  data_param { source: "@DB@" batch_size: 32 backend: LMDB } }
+@BODY@
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label"
+  top: "loss" }
 """
 
 _LENET_BN_BODY = """
@@ -119,9 +119,10 @@ def _train_lenet(tmp_path, train_text, iters=200, base_lr=0.03):
 
     db = str(tmp_path / "lmdb")
     make_lmdb(db, 600, seed=0)
-    net = Net(text_format.parse(train_text.format(db=db, body=_LENET_BN_BODY)
-                                if "{db}" in train_text else train_text),
-              phase="TRAIN", compute_dtype=None)
+    text = (train_text.replace("@DB@", db)
+            .replace("@BODY@", _LENET_BN_BODY)
+            .replace("examples/mnist/train_lmdb", db))
+    net = Net(text_format.parse(text), phase="TRAIN", compute_dtype=None)
     sp = SolverParams.from_prototxt(f"""
         base_lr: {base_lr} momentum: 0.9 weight_decay: 0.0005
         lr_policy: "inv" gamma: 0.0001 power: 0.75
@@ -168,8 +169,7 @@ def test_int8_task_accuracy_on_trained_lenet(tmp_path):
 
     train_text = open("/root/repo/examples/mnist/lenet_train.prototxt").read()
     db = str(tmp_path / "lmdb")
-    net, x, labels = _train_lenet(
-        tmp_path, train_text.replace("examples/mnist/train_lmdb", "{db}"))
+    net, x, labels = _train_lenet(tmp_path, train_text)
     # deploy text: the train prototxt minus the Data and loss layers
     lines = train_text.split("layer {")
     body = "layer {" + "layer {".join(
@@ -192,15 +192,25 @@ def test_int8_task_accuracy_on_trained_lenet(tmp_path):
 def test_folded_bf16_task_accuracy_on_trained_bn_lenet(tmp_path):
     """fold_bn + cast_weights(bf16) on a TRAINED BatchNorm net: task
     accuracy must survive the serving transforms (drop < 0.5%)."""
-    net, x, labels = _train_lenet(tmp_path, LENET_BN_TRAIN, iters=250)
-    deploy = LENET_BN_DEPLOY.format(body=_LENET_BN_BODY)
-    dep = _deploy_from(net, deploy, tmp_path)
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
 
+    net, x, labels = _train_lenet(tmp_path, LENET_BN_TRAIN, iters=250)
+    deploy = LENET_BN_DEPLOY.replace("@BODY@", _LENET_BN_BODY)
+    dep = _deploy_from(net, deploy, tmp_path)   # f32 baseline net
     acc_fp = _acc(dep, x, labels)
     assert acc_fp > 0.98, f"fp32 BN-LeNet underfit: {acc_fp}"
 
-    folded = dep.fold_bn()
+    # cast_weights on an f32-math net must fail LOUDLY, not crash in lax
+    with pytest.raises(ValueError, match="compute_dtype"):
+        dep.cast_weights(jnp.bfloat16)
+
+    # the documented serving flow: bf16-compute net -> fold_bn -> cast
+    host = jax.tree_util.tree_map(np.asarray, net.params)
+    serve = Net(text_format.parse(deploy), phase="TEST")  # default bf16
+    serve.load_weights(host)
+    folded = serve.fold_bn()
     assert folded == 2
-    dep.cast_weights(jnp.bfloat16)
-    acc_b = _acc(dep, x, labels)
+    serve.cast_weights(jnp.bfloat16)
+    acc_b = _acc(serve, x, labels)
     assert acc_fp - acc_b < 0.005, (acc_fp, acc_b)
