@@ -115,10 +115,22 @@ class PoseDataSource:
 
     def next_sample(self) -> Dict[str, np.ndarray]:
         """One rasterized sample (unbatched), retrying rejected images."""
+        rejected = 0
         while True:
             rec = self.records[self._next_index()]
             scale = T.sample_scale(self.cfg, self.rng)
             if not T.accepts(self.cfg, rec.height, rec.width, scale):
+                # the reference silently re-draws (pose_data_layer.cpp
+                # max_input_size rejection) — but a dataset where EVERY
+                # record is rejected would spin forever; fail loudly after
+                # a full epoch's worth of consecutive misses
+                rejected += 1
+                if rejected >= max(20 * len(self.records), 100):
+                    raise RuntimeError(
+                        f"PoseDataSource: {rejected} consecutive samples "
+                        f"rejected (min_image_size={self.cfg.min_image_size}, "
+                        f"max_input_size={self.cfg.max_input_size}) — every "
+                        "record seems outside the accepted size range")
                 continue
             image = self.image_loader(rec.path)
             if self.augment:

@@ -148,3 +148,19 @@ def test_mixed_empty_batch_rpn_segmentation():
         has_joint = np.array([(batch["part_score_targets"][i][..., 1:] == 1).any()
                               for i in range(8)])
         assert has_joint.any() and not has_joint.all()
+
+
+def test_pose_data_source_rejection_loop_fails_loudly(tmp_path):
+    """A dataset whose every record falls outside the accepted size range
+    (e.g. all images < min_image_size) must raise, not spin forever in the
+    silent re-draw loop (pose_data_layer.cpp rejection semantics)."""
+    import pytest
+    from deepcut_tpu.data.pipeline import PoseDataSource
+    from deepcut_tpu.data.window_file import ImageRecord, Person
+
+    rec = ImageRecord("missing.png", 3, 64, 64,  # 64 < min_image_size=100
+                      [Person(np.array([1], np.int32),
+                              np.array([[10.0, 10.0]], np.float32))])
+    src = PoseDataSource([rec], TargetConfig(num_classes=5))
+    with pytest.raises(RuntimeError, match="rejected"):
+        src.next_sample()
