@@ -228,6 +228,14 @@ class PoseEstimator:
             minconf = float(np.min(pose[2]))
             if minconf > best_conf:
                 best_conf, best_pose = minconf, pose
+        if best_pose is None:
+            # every scale's min joint confidence underflowed to exactly 0
+            # (e.g. an untrained/overconfident-negative net). The reference
+            # returns None here (estimate_pose.py:80,122 — highest_confidence
+            # starts at 0.) and its caller would crash; return the last
+            # scale's pose instead so downstream decoding/evaluation stays
+            # total.
+            best_pose = pose
         return best_pose
 
     def estimate_pose_batch(self, images: Sequence[np.ndarray],
