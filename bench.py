@@ -41,7 +41,12 @@ def bench_forward(batch_sizes=(1, 4), size=688, n1=10, n2=50, repeats=3):
 
     cfg = deepercut_config(152)
     params = cast_params(fold_bn(init_params(jax.random.PRNGKey(0), cfg), cfg))
-    fwd = make_forward(cfg, folded=True)
+    # the pose-serving path: prob + loc_pred are what estimate_pose decodes;
+    # the heads subset makes the exclusion of the 364-channel pairwise head
+    # EXPLICIT (sum-based dead-code elimination could not remove it from the
+    # fused head conv, and relying on DCE made earlier per-head numbers
+    # non-comparable — see docs/performance.md round-3 note)
+    fwd = make_forward(cfg, folded=True, heads=("pose", "locref"))
 
     @jax.jit
     def step(params, x):
@@ -92,7 +97,8 @@ def bench_int8(bs=4, size=688, n1=5, n2=45, repeats=3):
 
     @jax.jit
     def step(qp, x):
-        return jnp.sum(forward_int8(qp, scales, x, cfg)["prob"])
+        outs = forward_int8(qp, scales, x, cfg, heads=("pose", "locref"))
+        return jnp.sum(outs["prob"]) + jnp.sum(outs["loc_pred"])
 
     x = jnp.zeros((bs, size, size, 3), jnp.float32)
     _ = float(step(qparams, x))

@@ -20,7 +20,7 @@ against the bf16 path on random weights).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,15 +30,19 @@ from deepcut_tpu.models.resnet import DeeperCutConfig, _block_names, _skip_block
 from deepcut_tpu.ops.pool import max_pool2d
 from deepcut_tpu.ops.activations import relu, sigmoid
 from deepcut_tpu.ops.eltwise import crop_like
-from deepcut_tpu.ops.conv import deconv2d
+from deepcut_tpu.ops.conv import conv2d, deconv2d
 
 
 def quantize_weights(folded_params: Dict) -> Dict:
     """Folded (w, b) params -> {w_q int8, w_scale (Cout,), b} per conv.
-    Deconv heads stay bf16 (tiny cost, shape-sensitive)."""
+    Deconv heads stay bf16 (tiny cost, shape-sensitive). conv1 also stays
+    bf16: a 3-channel int8 conv wastes the MXU's lane packing and the
+    688-squared input quantize pass costs more than int8 saves (round-3
+    ladder A/B: bf16 stem is the faster AND more accurate choice)."""
     out: Dict[str, Dict[str, jax.Array]] = {}
     for name, entry in folded_params.items():
-        if name.startswith("res5c_up_") or "w" not in entry or entry["w"].ndim != 4:
+        if (name.startswith("res5c_up_") or name == "conv1"
+                or "w" not in entry or entry["w"].ndim != 4):
             out[name] = dict(entry)
             continue
         w = entry["w"].astype(jnp.float32)
@@ -68,6 +72,7 @@ def forward_int8(
     cfg: DeeperCutConfig = DeeperCutConfig(),
     *,
     int8_residual: bool = False,
+    heads: Optional[Sequence[str]] = None,
 ) -> Dict[str, jax.Array]:
     """Quantized inference forward. x: (N,H,W,3) float (mean-subtracted).
 
@@ -75,7 +80,12 @@ def forward_int8(
     each block boundary is quantized once (static per-boundary scale from
     calibration, key "res{block}#out") and consumed as int8 by the next
     block's convs and by the identity shortcut — the inter-block activation
-    tensors cost 1 byte/elem of HBM instead of 4."""
+    tensors cost 1 byte/elem of HBM instead of 4.
+
+    heads: optional subset of ("pose", "locref", "next") — the serving path
+    passes ("pose", "locref") so single-person decode never computes the
+    364-channel pairwise head (1.343 -> 1.328 ms/img @688 b4; all-heads
+    1.539 vs the old per-head 1.589)."""
 
     cdt = cfg.compute_dtype  # bf16 inter-conv tensors: halves stream traffic
     # vs the f32 intermediates of round 1 (A/B: 1.72 -> ~1.45 ms/img @688 b4)
@@ -101,7 +111,10 @@ def forward_int8(
         y = acc.astype(jnp.float32) * (s_x * p["w_scale"]) + p["b"]
         return (relu(y) if act else y).astype(cdt)
 
-    y = qconv(x.astype(jnp.float32), "conv1", stride=2, pad=3)
+    # bf16 stem: conv1 stays unquantized (see quantize_weights docstring)
+    p1 = qparams["conv1"]
+    y = relu(conv2d(x.astype(cdt), p1["w"], p1.get("b"), stride=2, pad=3,
+                    compute_dtype=cdt)).astype(cdt)
     y = max_pool2d(y, kernel=3, stride=2)
     skip_name = _skip_block(cfg)
     skip = None
@@ -149,24 +162,48 @@ def forward_int8(
 
     outs: Dict[str, jax.Array] = {}
 
-    # NOTE: unlike the bf16 path, head fusion (one 406-channel deconv+skip)
-    # was A/B-measured SLOWER here (2.07 vs 1.70 ms/img @688 batch 4), so the
-    # int8 heads stay per-head. See docs/performance.md.
-    def head(name):
-        p = qparams[f"res5c_up_{name}"]
-        up = deconv2d(res5c.astype(cfg.compute_dtype), p["w"], p["b"], stride=2,
-                      compute_dtype=cfg.compute_dtype)
-        sk = qconv(skip, f"res3d_{name}", act=False)
-        up = crop_like(up.astype(jnp.float32), sk.shape, axis=1)
-        return up + sk
-
-    fc_pose = head("pose")
-    outs["fc_pose"] = fc_pose
-    outs["prob"] = sigmoid(fc_pose)
+    # FUSED heads over the enabled subset (round-3 re-A/B: round 2's
+    # "fusion is slower" verdict was confounded by XLA dead-code-eliminating
+    # the unused heads in the per-head variant; with the output set held
+    # fixed, fusion wins at every subset size — 1.343 vs 1.372 ms/img for
+    # pose+locref, 1.52 vs 1.59 for all three).
+    enabled = [("pose", cfg.num_joints)]
     if cfg.location_refinement:
-        outs["loc_pred"] = head("locref")
+        enabled.append(("locref", cfg.locref_channels))
     if cfg.pairwise:
-        outs["next_pred"] = head("next")
+        enabled.append(("next", cfg.pairwise_channels))
+    if heads is not None:
+        enabled = [(n, c) for n, c in enabled if n in heads]
+        if not any(n == "pose" for n, _ in enabled):
+            raise ValueError("forward_int8: the 'pose' head is mandatory")
+    names = [n for n, _ in enabled]
+    wup = jnp.concatenate([qparams[f"res5c_up_{n}"]["w"] for n in names],
+                          axis=3).astype(cfg.compute_dtype)
+    bup = jnp.concatenate([qparams[f"res5c_up_{n}"]["b"] for n in names])
+    up = deconv2d(res5c.astype(cfg.compute_dtype), wup, bup, stride=2,
+                  compute_dtype=cfg.compute_dtype)
+    # fused int8 skip conv: ONE quantize of `skip` (the heads share the
+    # input, so calibration gives them identical activation scales; the
+    # per-output-channel w_scales concatenate exactly)
+    s_sk = act_scales[f"res3d_{names[0]}"]
+    wq = jnp.concatenate([qparams[f"res3d_{n}"]["w_q"] for n in names], axis=3)
+    ws = jnp.concatenate([qparams[f"res3d_{n}"]["w_scale"] for n in names])
+    bsk = jnp.concatenate([qparams[f"res3d_{n}"]["b"] for n in names])
+    acc = _conv_i8(quant(skip, s_sk), wq)
+    sk = acc.astype(jnp.float32) * (s_sk * ws) + bsk
+    fused = crop_like(up.astype(jnp.float32), sk.shape, axis=1) + sk
+
+    off = 0
+    for n, c in enabled:
+        val = fused[..., off:off + c]
+        off += c
+        if n == "pose":
+            outs["fc_pose"] = val
+            outs["prob"] = sigmoid(val)
+        elif n == "locref":
+            outs["loc_pred"] = val
+        else:
+            outs["next_pred"] = val
     return outs
 
 

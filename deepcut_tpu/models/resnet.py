@@ -57,11 +57,15 @@ class DeeperCutConfig:
     naming: str = "numbered"
     bn_eps: float = 1e-5
     compute_dtype: Any = jnp.bfloat16
-    # Rematerialise each residual block under autodiff (jax.checkpoint):
+    # Rematerialise residual blocks under autodiff (jax.checkpoint):
     # activations are recomputed in the backward pass instead of stored,
     # trading ~33% extra forward FLOPs for O(depth) -> O(1) per-stage
     # activation memory — lifts the max trainable batch at 688px.
-    remat: bool = False
+    # True/False = all/no stages; a 4-tuple of bools selects per stage
+    # (res2..res5) — the early high-resolution stages hold most of the
+    # activation bytes, so e.g. (True, True, False, False) buys most of the
+    # memory for a fraction of the recompute.
+    remat: Any = False
     # Mixed-precision training: the UNfolded (training) forward computes
     # convs in compute_dtype (bf16) with f32 accumulation while parameters,
     # BN statistics, losses, and updates stay f32 — the MXU runs at its
@@ -236,6 +240,7 @@ def forward(
     cfg: DeeperCutConfig = DeeperCutConfig(),
     *,
     folded: bool = False,
+    heads: Optional[Sequence[str]] = None,
 ) -> Dict[str, jax.Array]:
     """Run the part detector. x: (N, H, W, 3), mean-subtracted BGR, H,W % 8 == 0
     preferred (matches reference canvas padding, estimate_pose.py:85-103).
@@ -257,7 +262,7 @@ def forward(
         folded=folded,
     )
     return compute_heads(params, res5c, skip, cfg, compute_dtype=cdt,
-                         accum_dtype=acc)
+                         accum_dtype=acc, heads=heads)
 
 
 def run_trunk(
@@ -300,6 +305,9 @@ def run_trunk(
     for stage in range(4):
         s = cfg.stage_strides[stage]
         d = cfg.stage_dilations[stage]
+        stage_remat = (bool(cfg.remat[stage])
+                       if isinstance(cfg.remat, (tuple, list))
+                       else bool(cfg.remat))
         for bi, block in enumerate(_block_names(cfg, stage)):
             bs = s if bi == 0 else 1
 
@@ -312,10 +320,12 @@ def run_trunk(
                 z = cbr(z, f"res{block}_branch2b", pad=d, dilation=d)
                 z = cbr(z, f"res{block}_branch2c", act=False)
                 return relu(shortcut + z)
-            y = jax.checkpoint(one_block)(y) if cfg.remat else one_block(y)
+            y = jax.checkpoint(one_block)(y) if stage_remat else one_block(y)
             if block == skip_name:
                 taps["skip"] = y
-    return y, taps["skip"]
+    # skip tap is None for truncated configs (e.g. profiling prefixes with
+    # stage depths zeroed); compute_heads fails loudly on None
+    return y, taps.get("skip")
 
 
 def compute_heads(
@@ -326,16 +336,23 @@ def compute_heads(
     *,
     compute_dtype=None,
     accum_dtype=jnp.float32,
+    heads: Optional[Sequence[str]] = None,
 ) -> Dict[str, jax.Array]:
     """Deconv + skip-conv prediction heads over the trunk taps (shared by
     the single-device forward and the spatially-sharded training path,
     parallel/spatial.py — the heads run on the gathered full grid there).
 
-    The three heads run as ONE deconv + ONE skip conv over concatenated
-    output channels (14+28+364 = 406), then slice. Mathematically identical
-    to per-head convs (channel concat commutes with conv), but a 14-channel
-    deconv leaves 89% of the MXU's 128 lanes idle — fused, the heads cost
-    one well-filled pass instead of three starved ones.
+    The enabled heads run as ONE deconv + ONE skip conv over concatenated
+    output channels (14+28+364 = 406 for all three), then slice.
+    Mathematically identical to per-head convs (channel concat commutes
+    with conv), but a 14-channel deconv leaves 89% of the MXU's 128 lanes
+    idle — fused, the heads cost one well-filled pass instead of three
+    starved ones.
+
+    heads: optional subset of ("pose", "locref", "next") to compute — the
+    serving path passes ("pose", "locref") so the single-person decode
+    never pays the 364-channel pairwise head (fusion would otherwise defeat
+    XLA's dead-code elimination of unused heads; A/B'd on v5e).
     """
     cdt, acc = compute_dtype, accum_dtype
     outs: Dict[str, jax.Array] = {}
@@ -344,6 +361,10 @@ def compute_heads(
         head_list.append(("locref", cfg.locref_channels))
     if cfg.pairwise:
         head_list.append(("next", cfg.pairwise_channels))
+    if heads is not None:
+        head_list = [(n, ch) for n, ch in head_list if n in heads]
+        if not any(n == "pose" for n, _ in head_list):
+            raise ValueError("compute_heads: the 'pose' head is mandatory")
     wup = jnp.concatenate([params[f"res5c_up_{n}"]["w"] for n, _ in head_list], axis=3)
     bup = jnp.concatenate([params[f"res5c_up_{n}"]["b"] for n, _ in head_list])
     wsk = jnp.concatenate([params[f"res3d_{n}"]["w"] for n, _ in head_list], axis=3)
@@ -361,17 +382,21 @@ def compute_heads(
     # run in f32 regardless of the trunk's compute dtype
     outs["fc_pose"] = per_head["pose"].astype(jnp.float32)
     outs["prob"] = sigmoid(outs["fc_pose"])
-    if cfg.location_refinement:
+    if "locref" in per_head:
         outs["loc_pred"] = per_head["locref"].astype(jnp.float32)
-    if cfg.pairwise:
+    if "next" in per_head:
         outs["next_pred"] = per_head["next"].astype(jnp.float32)
     return outs
 
 
-def make_forward(cfg: DeeperCutConfig = DeeperCutConfig(), *, folded: bool = True):
-    """Return a jittable forward fn (params, x) -> outputs."""
+def make_forward(cfg: DeeperCutConfig = DeeperCutConfig(), *, folded: bool = True,
+                 heads: Optional[Sequence[str]] = None):
+    """Return a jittable forward fn (params, x) -> outputs.
+
+    heads: optional head subset (see compute_heads) — serving entry points
+    that only decode pose+locref pass ("pose", "locref")."""
 
     def fn(params, x):
-        return forward(params, x, cfg, folded=folded)
+        return forward(params, x, cfg, folded=folded, heads=heads)
 
     return fn

@@ -157,7 +157,8 @@ class PoseEstimator:
                 canvas = preprocess_on_device.__wrapped__(
                     image_u8, out_h, out_w, canvas_h, canvas_w)
                 x = canvas.astype(cfg.compute_dtype if folded else jnp.float32)
-                outs = forward(params, x, cfg, folded=folded)
+                outs = forward(params, x, cfg, folded=folded,
+                               heads=("pose", "locref"))
                 vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
                 vw = (valid_w + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
                 pose = decode_pose(outs["prob"][0], outs["loc_pred"][0],
@@ -176,7 +177,7 @@ class PoseEstimator:
             @jax.jit
             def fn(params, canvas, valid_h, valid_w, scale):
                 outs = forward(params, canvas.astype(cfg.compute_dtype if folded else jnp.float32),
-                               cfg, folded=folded)
+                               cfg, folded=folded, heads=("pose", "locref"))
                 sm = outs["prob"][0]
                 loc = outs["loc_pred"][0]
                 vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
@@ -196,7 +197,8 @@ class PoseEstimator:
 
             def raw(params, canvas):
                 x = canvas.astype(cfg.compute_dtype if folded else jnp.float32)
-                outs = forward(params, x, cfg, folded=folded)
+                outs = forward(params, x, cfg, folded=folded,
+                               heads=("pose", "locref"))
                 return outs["prob"], outs["loc_pred"]
 
             if self.mesh is not None:
@@ -265,7 +267,7 @@ class PoseEstimator:
             def fn(params, canvases, valid_h, valid_w, s):
                 outs = forward(params, canvases.astype(
                     cfg.compute_dtype if folded else jnp.float32), cfg,
-                    folded=folded)
+                    folded=folded, heads=("pose", "locref"))
                 vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
                 vw = (valid_w + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
                 def one(sm, loc):
