@@ -457,7 +457,8 @@ class Net:
         each step reads them from HBM at 2 bytes instead of casting f32 per
         forward. 1-D blobs (biases, BN stats) stay f32 — they ride the f32
         epilogue. Serving transform; pair with fold_bn()."""
-        if self.compute_dtype is None and dtype is not None:
+        if (self.compute_dtype is None and dtype is not None
+                and jnp.dtype(dtype) != jnp.dtype(jnp.float32)):
             # the layer fns were built without input casting: bf16 weights
             # against f32 activations would crash inside lax.conv with a
             # dtype mismatch three layers deep — fail with the fix instead
