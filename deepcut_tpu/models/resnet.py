@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deepcut_tpu.ops.conv import conv2d, deconv2d
-from deepcut_tpu.ops.norm import batch_norm_inference, scale as scale_op
+from deepcut_tpu.ops.norm import batch_norm_inference, bn_scale_affine, scale as scale_op
 from deepcut_tpu.ops.pool import max_pool2d
 from deepcut_tpu.ops.activations import relu, sigmoid
 from deepcut_tpu.ops.eltwise import crop_like
@@ -290,9 +290,11 @@ def run_trunk(
             bn_key = "_conv1" if name == "conv1" else name[len("res"):]
             bn = params[f"bn{bn_key}"]
             sc = params[f"scale{bn_key}"]
-            y = batch_norm_inference(y, bn["mean"], bn["var"],
-                                     bn.get("scale_factor"), eps=cfg.bn_eps)
-            y = scale_op(y, sc["gamma"], sc["beta"])
+            # BN + Scale as one per-channel fused multiply-add (see
+            # ops/norm.bn_scale_affine) — same math, one tensor pass
+            y = bn_scale_affine(y, bn["mean"], bn["var"],
+                                bn.get("scale_factor"), sc["gamma"],
+                                sc["beta"], eps=cfg.bn_eps)
         return relu(y) if act else y
 
     x = (x.astype(cfg.compute_dtype) if (folded or cfg.mixed_train)

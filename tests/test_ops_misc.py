@@ -257,3 +257,29 @@ def test_im2col_layer():
     # order (im2col.cpp:18-55), and conv_general_dilated_patches matches it
     # element-for-element — a sorted comparison would accept any scrambling
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_bn_scale_affine_matches_separate_ops():
+    """bn_scale_affine == batch_norm_inference + scale (one fused pass vs
+    two; used by the unfolded model forward)."""
+    import jax.numpy as jnp
+    from deepcut_tpu.ops.norm import (batch_norm_inference, bn_scale_affine,
+                                      scale)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32))
+    mean = jnp.asarray(rng.randn(6).astype(np.float32))
+    var = jnp.asarray((1 + rng.rand(6)).astype(np.float32))
+    sf = jnp.asarray([2.5], jnp.float32)
+    gamma = jnp.asarray(rng.randn(6).astype(np.float32))
+    beta = jnp.asarray(rng.randn(6).astype(np.float32))
+
+    ref = scale(batch_norm_inference(x, mean, var, sf, eps=1e-5), gamma, beta)
+    got = bn_scale_affine(x, mean, var, sf, gamma, beta, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # zero scale_factor treated as 1 (batch_norm_layer.cpp guard)
+    ref0 = scale(batch_norm_inference(x, mean, var, jnp.zeros(1)), gamma, beta)
+    got0 = bn_scale_affine(x, mean, var, jnp.zeros(1), gamma, beta)
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(ref0),
+                               rtol=2e-5, atol=2e-5)
