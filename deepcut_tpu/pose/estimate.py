@@ -240,12 +240,21 @@ class PoseEstimator:
             best_pose = pose
         return best_pose
 
+    # Frames per CNN chunk inside the batched jit. Throughput at 688px PEAKS
+    # at 4 and then decays monotonically (batch 8 = 2.14, 16 = 2.26 ms/img:
+    # the working set of 688-squared activations outgrows what fits close to
+    # the cores). Chunking the batch by 4 INSIDE one jitted program keeps
+    # the per-chunk working set at the sweet spot while amortising dispatch:
+    # batch 8 -> 1.91, batch 16 -> 1.91 ms/img — measured flat at the
+    # batch-4 peak (docs/performance.md round-3 sweep).
+    BATCH_CHUNK = 4
+
     def estimate_pose_batch(self, images: Sequence[np.ndarray],
                             scale: float = 1.0) -> np.ndarray:
-        """Batched inference for same-size frames (video serving): one
-        batched CNN forward + fused on-device decode; returns (N, 5, J).
-        Throughput: batch 4 @688 runs at 2.16 ms/img vs 2.55 single-image
-        (docs/performance.md). All frames must share H x W."""
+        """Batched inference for same-size frames (video serving): chunked
+        CNN forwards + fused on-device decode in ONE jitted program;
+        returns (N, 5, J). Per-image time stays at the batch-4 peak
+        (~1.9 ms/img @688) for any batch size. All frames must share H x W."""
         h, w = images[0].shape[:2]
         for im in images:
             assert im.shape[:2] == (h, w), "estimate_pose_batch needs equal sizes"
@@ -262,19 +271,25 @@ class PoseEstimator:
         key = ("batch", len(images), bh, bw)
         if key not in self._fwd_cache:
             cfg, folded = self.cfg, self.folded
+            chunk = self.BATCH_CHUNK
 
             @jax.jit
             def fn(params, canvases, valid_h, valid_w, s):
-                outs = forward(params, canvases.astype(
-                    cfg.compute_dtype if folded else jnp.float32), cfg,
-                    folded=folded, heads=("pose", "locref"))
                 vh = (valid_h + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
                 vw = (valid_w + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+
                 def one(sm, loc):
                     pose = decode_pose(sm, loc, scale=1.0, valid_hw=(vh, vw))
                     pose = pose.at[0].divide(s).at[1].divide(s)
                     return pose.at[3].divide(s).at[4].divide(s)
-                return jax.vmap(one)(outs["prob"], outs["loc_pred"])
+
+                x = canvases.astype(cfg.compute_dtype if folded else jnp.float32)
+                poses = []
+                for i in range(0, x.shape[0], chunk):
+                    outs = forward(params, x[i:i + chunk], cfg, folded=folded,
+                                   heads=("pose", "locref"))
+                    poses.append(jax.vmap(one)(outs["prob"], outs["loc_pred"]))
+                return jnp.concatenate(poses, axis=0)
             self._fwd_cache[key] = fn
         poses = self._fwd_cache[key](self.params, canvases, jnp.int32(ch),
                                      jnp.int32(cw), jnp.float32(scale))
