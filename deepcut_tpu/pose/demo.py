@@ -41,7 +41,7 @@ def npcircle(image: np.ndarray, cx: float, cy: float, radius: int, color,
 def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
                       out_name: Optional[str] = None, scales=(1.0,),
                       visualize: bool = True, folder_image_suffix: str = ".png",
-                      average_scales: bool = False) -> int:
+                      average_scales: bool = False, int8: bool = False) -> int:
     from PIL import Image
     from deepcut_tpu.pose.estimate import estimate_pose
 
@@ -54,6 +54,10 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
     out_name_provided = out_name
     if process_folder and out_name and not os.path.exists(out_name):
         os.mkdir(out_name)
+    est = None
+    if int8:
+        from deepcut_tpu.pose.estimate import get_estimator
+        est = get_estimator(model_def, model_bin)
     for image_path in images:
         if out_name_provided is None:
             out = image_path + "_pose.npz"
@@ -64,7 +68,13 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
         with Image.open(image_path) as im:
             rgb = np.asarray(im.convert("RGB"))
         image = rgb[:, :, ::-1]  # BGR (pose_demo.py:121)
-        if average_scales:
+        if est is not None and not est._int8:
+            # int8 serving: calibrate activation scales on the first image
+            est.quantize_int8(image, scale=scales[0])
+        if est is not None:
+            pose = (est.estimate_pose_avg(image, scales) if average_scales
+                    else est.estimate_pose(image, list(scales)))
+        elif average_scales:
             # look up by key — next(iter(cache)) could grab a DIFFERENT
             # previously-cached model
             from deepcut_tpu.pose.estimate import get_estimator
@@ -94,11 +104,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--folder_image_suffix", default=".png")
     p.add_argument("--average-scales", action="store_true",
                    help="average scoremaps across scales instead of best-of")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 serving (calibrates on the first image; "
+                        "~1.33 vs 1.93 ms/img bf16 @688)")
     args = p.parse_args(argv)
     scales = [float(v) for v in args.scales.split(",")]
     return predict_pose_from(args.image_name, args.model_def, args.model_bin,
                              args.out_name, scales, args.visualize,
-                             args.folder_image_suffix, args.average_scales)
+                             args.folder_image_suffix, args.average_scales,
+                             args.int8)
 
 
 if __name__ == "__main__":

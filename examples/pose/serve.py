@@ -47,19 +47,22 @@ INDEX_HTML = """<!doctype html>
 
 class PoseApp:
     def __init__(self, model_def: str = "", model_bin: str = "",
-                 scales=(1.0,), estimator=None):
+                 scales=(1.0,), estimator=None, int8: bool = False):
         if estimator is None:
             from deepcut_tpu.pose.estimate import get_estimator
 
             estimator = get_estimator(model_def, model_bin)
         self.est = estimator
         self.scales = tuple(scales)
+        self.int8 = int8  # calibrated lazily on the first request's image
 
     def estimate_bytes(self, raw: bytes):
         from PIL import Image
 
         img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
                          np.uint8)[:, :, ::-1]  # BGR like the reference CLI
+        if self.int8 and not self.est._int8:
+            self.est.quantize_int8(img, scale=self.scales[0])
         raw_pose = self.est.estimate_pose(img, scales=self.scales)
         if raw_pose is None:  # no scale cleared the min-confidence bar
             raise ValueError("no pose found at the requested scales")
@@ -124,9 +127,12 @@ def main(argv=None):
                     help=".caffemodel weights (random init if omitted)")
     ap.add_argument("--scales", default="1.0")
     ap.add_argument("--port", type=int, default=5001)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 serving (calibrates on the first request)")
     args = ap.parse_args(argv)
     scales = tuple(float(s) for s in args.scales.split(","))
-    serve(PoseApp(args.model_def, args.model_bin, scales), args.port)
+    serve(PoseApp(args.model_def, args.model_bin, scales, int8=args.int8),
+          args.port)
 
 
 if __name__ == "__main__":

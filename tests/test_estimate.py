@@ -204,3 +204,37 @@ def test_multiscale_averaging_matches_host_oracle_at_scale_ne_1():
 
     got = est.estimate_pose_avg(img, scales)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_estimator_int8_serving_mode():
+    """PoseEstimator.quantize_int8: all pipelines rebuild on the int8
+    forward; poses stay close to the fp path on the same image."""
+    est = _estimator()
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (100, 120, 3), np.uint8)
+    pose_fp = est.estimate_pose(img)
+    sm_fp, _ = est.scoremaps(img)
+
+    est.quantize_int8(img)
+    assert est._int8 and "q" in est.params
+    pose_q = est.estimate_pose(img)
+    assert pose_q.shape == pose_fp.shape
+    # positions stay within a few percent (the fixture's 30x-scaled heads
+    # blow locref offsets into the thousands, so compare relatively)
+    rel = np.abs(pose_q[:2] - pose_fp[:2]) / (np.abs(pose_fp[:2]) + 1.0)
+    assert (rel < 0.10).all(), (pose_fp[:2], pose_q[:2])
+    sm_q, loc_q = est.scoremaps(img)
+    assert sm_q.shape == sm_fp.shape
+    # the fixture's 30x heads SATURATE the sigmoid; quantization noise can
+    # flip a handful of near-zero logits 0<->1, so bound the flip fraction
+    assert np.mean(np.abs(sm_q - sm_fp) > 0.25) < 0.05
+    batch = est.estimate_pose_batch([img, img])
+    assert batch.shape == (2, 5, 3)
+    np.testing.assert_allclose(batch[0], batch[1], rtol=1e-5)
+
+    # int8 + mesh is a guarded combination
+    import pytest
+    est2 = _estimator()
+    est2.mesh = object()
+    with pytest.raises(NotImplementedError):
+        est2.quantize_int8(img)

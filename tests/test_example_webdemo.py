@@ -121,3 +121,33 @@ def test_pose_serve_roundtrip():
         assert {"name", "x", "y", "confidence"} <= set(resp["joints"][0])
     finally:
         httpd.shutdown()
+
+
+def test_pose_serve_int8_lazy_calibration():
+    """PoseApp(int8=True) calibrates the estimator on the first request and
+    serves quantized afterwards."""
+    import jax
+    from PIL import Image
+
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.pose.estimate import PoseEstimator
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                          num_joints=3, compute_dtype=np.float32)
+    est = PoseEstimator(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                        folded=False, bucket_step=64, max_size=256)
+
+    spec = importlib.util.spec_from_file_location(
+        "ex_pose_serve_i8", "/root/repo/examples/pose/serve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    app = mod.PoseApp(estimator=est, int8=True)
+    buf = _io.BytesIO()
+    Image.fromarray(np.random.RandomState(2).randint(
+        0, 255, (48, 64, 3), np.uint8)).save(buf, format="PNG")
+    assert not est._int8
+    out = app.estimate_bytes(buf.getvalue())
+    assert est._int8, "first request must calibrate"
+    assert len(out["pose"]) == 5
+    out2 = app.estimate_bytes(buf.getvalue())  # steady-state int8
+    np.testing.assert_allclose(out["pose"], out2["pose"])
