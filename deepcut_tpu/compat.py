@@ -258,13 +258,28 @@ class Net:
         returns ANY blob's diff_, pycaffe.py:107-140 — here computed via
         zero-tap cotangents in the functional core; see core.graph.Net
         .backward). Parameter gradients live in Net.make_train_step."""
+        import warnings
+
         inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
                   if nm in self.blobs}
         inputs.update({nm: np.asarray(v, np.float32) for nm, v in kwargs.items()})
         grads = self._net.backward(diffs=diffs, **inputs)
         for nm, g in grads.items():  # populate blob.diff, pycaffe-style
             if nm in self.blobs:
-                self.blobs[nm]._diff = np.asarray(g)
+                g = np.asarray(g)
+                if g.shape != tuple(self.blobs[nm].data.shape):
+                    # Filter nets: the host forward TRULY shrinks the batch
+                    # while gradients come from the static zero-fill jit
+                    # semantics, so the shapes legitimately diverge — be
+                    # loud instead of letting Blob.diff silently reset
+                    warnings.warn(
+                        f"backward: gradient for blob '{nm}' has shape "
+                        f"{g.shape} but the blob holds "
+                        f"{tuple(self.blobs[nm].data.shape)} (dynamic-Filter "
+                        "forward vs static backward semantics); Blob.diff "
+                        "stays zeros for this blob", stacklevel=2)
+                    continue
+                self.blobs[nm]._diff = g
         return grads
 
     def forward_all(self, blobs=None, **kwargs) -> Dict[str, np.ndarray]:

@@ -829,6 +829,16 @@ class Net:
             if arr.ndim == 4:
                 arr = arr.transpose(0, 3, 1, 2)
             out[nm] = arr
+        for nm in (diffs or []):
+            if nm in rest and nm not in out:
+                # requested diff of a NON-floating input (integer labels
+                # etc.): pycaffe hands back that blob's diff_ buffer, which
+                # is all zeros — mirror that instead of silently omitting
+                # the key (a typo'd name still raises above)
+                arr = np.zeros(np.shape(rest[nm]), np.float32)
+                if arr.ndim == 4:
+                    arr = arr.transpose(0, 3, 1, 2)
+                out[nm] = arr
         return out
 
     def set_input_arrays(self, data: np.ndarray, labels: np.ndarray) -> None:

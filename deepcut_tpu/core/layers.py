@@ -553,6 +553,10 @@ def _filter(spec, phase, compute_dtype):
     `host_dynamic` variant, which TRULY shrinks the batch like
     filter_layer.cpp — downstream layers in that path see only the kept
     items, so e.g. a consumer's batch mean matches the reference exactly.
+    BACKWARD always uses the static zero-fill semantics (autodiff traces),
+    so after a host forward a filtered blob's data and its gradient can
+    have different batch sizes — compat.Net.backward warns and leaves
+    Blob.diff at zeros for such blobs.
     """
     n_tops = len(spec.tops)
 

@@ -104,10 +104,13 @@ def spatial_max_pool(x, *, kernel: int = 3, stride: int = 2,
                      axis: str = "spatial"):
     """Ceil-mode 3x3/2 maxpool (the stem pool) with H sharded: the bottom
     halo is kernel-stride rows, -inf on the last shard (Caffe's clipped
-    edge window). W keeps the standard ceil-mode -inf padding."""
+    edge window). The W axis reuses ops/pool's ceil-mode arithmetic so
+    Caffe's sizing quirks live in exactly one place."""
+    from deepcut_tpu.ops.pool import pool_output_size
+
     x = halo_exchange(x, 0, kernel - stride, axis, bottom_fill=-jnp.inf)
     w = int(x.shape[2])
-    ow = -(-(w - kernel) // stride) + 1
+    ow = pool_output_size(w, kernel, stride, 0)
     pad_w = max((ow - 1) * stride + kernel - w, 0)
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
@@ -182,6 +185,48 @@ def check_spatial_shapes(h: int, n: int, mesh: Mesh) -> None:
             f"(res5's dilated 3x3 needs a 2-row halo; H >= {32 * nsp})")
 
 
+def spatial_axis_size(mesh: Mesh) -> int:
+    """Size of the mesh's 'spatial' axis (1 when absent)."""
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
+
+
+def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh):
+    """Cached-jitted ((loss, metrics), grads) over the 2-D mesh — the
+    gradient half of the spatial step, shared by PoseSolver (which applies
+    updates separately so host-side iter_size accumulation keeps working)
+    and usable standalone. make_spatial_train_step fuses grad+update into
+    one shard_map program instead (donation + fusion for the hot loop)."""
+    nsp = spatial_axis_size(mesh)
+
+    def local_vg(params, batch):
+        def local_loss(p):
+            outs = spatial_forward(p, batch["image"], model_cfg)
+            return sharded_pose_loss(outs, batch, model_cfg,
+                                     psum_axes=("data",))
+        (loss, metrics), g = jax.value_and_grad(
+            local_loss, has_aux=True)(params)
+        g = jax.tree_util.tree_map(
+            lambda a: lax.psum(a, ("data", "spatial")) / nsp, g)
+        return (loss, metrics), g
+
+    rep, img, dp = P(), P("data", "spatial"), P("data")
+    _cache: Dict = {}
+
+    def vg(params, batch):
+        check_spatial_shapes(int(batch["image"].shape[1]),
+                             int(batch["image"].shape[0]), mesh)
+        key = (jax.tree_util.tree_structure(params), tuple(sorted(batch)))
+        if key not in _cache:
+            pspec = jax.tree_util.tree_map(lambda _: rep, params)
+            bspec = {k: (img if k == "image" else dp) for k in batch}
+            _cache[key] = jax.jit(jax.shard_map(
+                local_vg, mesh=mesh, in_specs=(pspec, bspec),
+                out_specs=((rep, rep), pspec), check_vma=False))
+        return _cache[key](params, batch)
+
+    return vg
+
+
 def make_spatial_train_step(
     model_cfg: DeeperCutConfig,
     solver_cfg: update_rules.SolverConfig,
@@ -193,7 +238,7 @@ def make_spatial_train_step(
     ('data', 'spatial') mesh: batch over 'data', image rows over 'spatial',
     params/opt-state replicated — trajectory-equal to the single-device
     make_train_step (tested)."""
-    nsp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
+    nsp = spatial_axis_size(mesh)
 
     def step(params, state, batch):
         def local_loss(p):

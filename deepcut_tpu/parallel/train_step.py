@@ -59,8 +59,8 @@ def make_train_step(
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
-    nsp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
-    if nsp > 1:
+    from deepcut_tpu.parallel.spatial import spatial_axis_size
+    if spatial_axis_size(mesh) > 1:
         # 2-D mesh: image rows shard over 'spatial' via the shard_map path
         # with framework-owned halo exchange + psum (parallel/spatial.py).
         # The GSPMD partitioner is NOT used for the sharded train step: jax

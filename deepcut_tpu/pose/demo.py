@@ -56,8 +56,12 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
         os.mkdir(out_name)
     est = None
     if int8:
-        from deepcut_tpu.pose.estimate import get_estimator
-        est = get_estimator(model_def, model_bin)
+        # a PRIVATE estimator: quantizing the module-global cached one
+        # would silently switch every later non-int8 call on this model to
+        # int8 numerics (the cache is shared, estimate_pose.get_estimator)
+        from deepcut_tpu.pose.estimate import PoseEstimator, get_estimator
+        cached = get_estimator(model_def, model_bin)
+        est = PoseEstimator(cached.params, cached.cfg, folded=cached.folded)
     for image_path in images:
         if out_name_provided is None:
             out = image_path + "_pose.npz"
@@ -68,7 +72,7 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
         with Image.open(image_path) as im:
             rgb = np.asarray(im.convert("RGB"))
         image = rgb[:, :, ::-1]  # BGR (pose_demo.py:121)
-        if est is not None and not est._int8:
+        if est is not None and not est.is_int8:
             # int8 serving: calibrate activation scales on the first image
             est.quantize_int8(image, scale=scales[0])
         if est is not None:
@@ -82,6 +86,9 @@ def predict_pose_from(image_name: str, model_def: str = "", model_bin: str = "",
                 image, scales)
         else:
             pose = estimate_pose(image, model_def, model_bin, list(scales))
+        if pose is None:  # no scale cleared the min-confidence bar
+            print(f"{image_path}: no pose found at the requested scales")
+            continue
         np.savez_compressed(out, pose=pose)
         print(f"{image_path}: saved {out}")
         if visualize:

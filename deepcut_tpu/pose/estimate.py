@@ -144,6 +144,11 @@ class PoseEstimator:
         self._int8 = False
         self._fwd_cache: Dict = {}
 
+    @property
+    def is_int8(self) -> bool:
+        """True once quantize_int8 has switched serving to the int8 path."""
+        return self._int8
+
     def quantize_int8(self, calibration_image: np.ndarray,
                       scale: float = 1.0) -> None:
         """Switch serving to the int8 path (models/quantize.py): weights get
@@ -153,9 +158,12 @@ class PoseEstimator:
         @688 batch 4 on v5e, `prob` within ~0.1 abs of the bf16 path.
 
         Call once after construction with a REPRESENTATIVE image; garbage
-        calibration (e.g. a zero canvas) yields degenerate scales."""
+        calibration (e.g. a zero canvas) yields degenerate scales. A second
+        call is a no-op (the float params are gone after the first)."""
         from deepcut_tpu.models.quantize import prepare_int8
 
+        if self._int8:
+            return
         if self.mesh is not None:
             raise NotImplementedError(
                 "int8 serving under a spatial mesh is not supported; "
@@ -283,14 +291,11 @@ class PoseEstimator:
             minconf = float(np.min(pose[2]))
             if minconf > best_conf:
                 best_conf, best_pose = minconf, pose
-        if best_pose is None:
-            # every scale's min joint confidence underflowed to exactly 0
-            # (e.g. an untrained/overconfident-negative net). The reference
-            # returns None here (estimate_pose.py:80,122 — highest_confidence
-            # starts at 0.) and its caller would crash; return the last
-            # scale's pose instead so downstream decoding/evaluation stays
-            # total.
-            best_pose = pose
+        # best_pose is None when every scale's min joint confidence is
+        # exactly 0 (reference semantics: estimate_pose.py:80,122 —
+        # highest_confidence starts at 0.); callers distinguish
+        # no-detection from a pose (the HTTP service errors, the PCKh
+        # harness scores it as all-miss).
         return best_pose
 
     # Frames per CNN chunk inside the batched jit. Throughput at 688px PEAKS

@@ -66,7 +66,13 @@ def evaluate_estimator(
     preds, gts, heads = [], [], []
     for s in samples:
         pose = estimator.estimate_pose(s["image"], scales=scales)
-        preds.append(pose[:2].T)          # (J, 2)
+        if pose is None:
+            # reference semantics: no scale cleared the min-confidence bar
+            # (estimate_pose returns None) — score as all joints missed
+            preds.append(np.full_like(np.asarray(s["gt_xy"], np.float32),
+                                      np.inf))
+        else:
+            preds.append(pose[:2].T)      # (J, 2)
         gts.append(s["gt_xy"])
         heads.append(s["head_size"])
     return pckh(np.stack(preds), np.stack(gts), np.asarray(heads), threshold)

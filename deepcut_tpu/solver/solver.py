@@ -423,46 +423,21 @@ class PoseSolver:
         upd = lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
         nsp = 1
         if mesh is not None:
-            nsp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
+            from deepcut_tpu.parallel.spatial import spatial_axis_size
+            nsp = spatial_axis_size(mesh)
         if mesh is None:
             self._grad_fn = jax.jit(vg)
             self._update_fn = jax.jit(upd)
         elif nsp > 1:
             # 2-D mesh: batch over 'data', image ROWS over 'spatial' via the
-            # shard_map halo-exchange path (parallel/spatial.py) — the update
+            # shard_map halo-exchange path — the gradient machinery lives in
+            # parallel/spatial.py (make_spatial_value_and_grad); the update
             # stays a separate replicated jit so iter_size host accumulation
             # keeps working.
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from deepcut_tpu.parallel.spatial import (
-                check_spatial_shapes, sharded_pose_loss, spatial_forward)
+            from deepcut_tpu.parallel.spatial import make_spatial_value_and_grad
 
-            def local_vg(p, batch):
-                def local_loss(pp):
-                    outs = spatial_forward(pp, batch["image"], model_cfg)
-                    return sharded_pose_loss(outs, batch, model_cfg,
-                                             psum_axes=("data",))
-                (loss, metrics), g = jax.value_and_grad(
-                    local_loss, has_aux=True)(p)
-                g = jax.tree_util.tree_map(
-                    lambda a: jax.lax.psum(a, ("data", "spatial")) / nsp, g)
-                return (loss, metrics), g
-
-            rep, img, dp = P(), P("data", "spatial"), P("data")
-            _cache: Dict[Any, Any] = {}
-
-            def grad_fn(p, batch):
-                check_spatial_shapes(int(batch["image"].shape[1]),
-                                     int(batch["image"].shape[0]), mesh)
-                key = (jax.tree_util.tree_structure(p), tuple(sorted(batch)))
-                if key not in _cache:
-                    pspec = jax.tree_util.tree_map(lambda _: rep, p)
-                    bspec = {k: (img if k == "image" else dp) for k in batch}
-                    _cache[key] = jax.jit(jax.shard_map(
-                        local_vg, mesh=mesh, in_specs=(pspec, bspec),
-                        out_specs=((rep, rep), pspec), check_vma=False))
-                return _cache[key](p, batch)
-
-            self._grad_fn = grad_fn
+            self._grad_fn = make_spatial_value_and_grad(model_cfg, mesh)
             repl = NamedSharding(mesh, P())
             self._update_fn = jax.jit(upd, in_shardings=(repl, repl, repl),
                                       out_shardings=(repl, repl))

@@ -61,7 +61,7 @@ class PoseApp:
 
         img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
                          np.uint8)[:, :, ::-1]  # BGR like the reference CLI
-        if self.int8 and not self.est._int8:
+        if self.int8 and not self.est.is_int8:
             self.est.quantize_int8(img, scale=self.scales[0])
         raw_pose = self.est.estimate_pose(img, scales=self.scales)
         if raw_pose is None:  # no scale cleared the min-confidence bar

@@ -182,3 +182,69 @@ def test_filter_jit_path_keeps_static_shapes():
     assert out.shape == (4, 3)
     np.testing.assert_array_equal(out[:2], data[[1, 3]])
     np.testing.assert_array_equal(out[2:], 0)
+
+
+def test_backward_diffs_nonfloat_input_returns_zeros():
+    """Requesting the diff of a non-floating input (integer labels) returns
+    a zeros array like pycaffe's untouched diff_ buffer — not a silent
+    omission (unknown names still raise)."""
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    net = Net(text_format.parse("""
+    input: "data"  input_shape { dim: 3 dim: 4 }
+    input: "label" input_shape { dim: 3 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+      inner_product_param { num_output: 2
+        weight_filler { type: "gaussian" std: 0.3 } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+      top: "loss" }
+    """), phase="TRAIN", compute_dtype=None)
+    rng = np.random.RandomState(0)
+    grads = net.backward(diffs=["label", "ip"],
+                         data=rng.randn(3, 4).astype(np.float32),
+                         label=np.array([0, 1, 0], np.int32))
+    assert "label" in grads
+    np.testing.assert_array_equal(grads["label"], np.zeros(3, np.float32))
+    assert np.abs(grads["ip"]).sum() > 0
+
+
+def test_compat_backward_warns_on_filter_shape_divergence():
+    """After a host forward truly shrinks a Filter net's batch, backward's
+    static-shape gradients cannot populate the shrunk blob — a warning
+    fires instead of a silent Blob.diff reset."""
+    import warnings
+
+    import deepcut_tpu.compat as caffe
+    from collections import OrderedDict
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = """
+    input: "data" input_shape { dim: 4 dim: 3 }
+    input: "target" input_shape { dim: 4 dim: 3 }
+    input: "sel"  input_shape { dim: 4 dim: 1 }
+    layer { name: "filt" type: "Filter" bottom: "data" bottom: "target"
+      bottom: "sel" top: "fdata" top: "ftarget" }
+    layer { name: "loss" type: "EuclideanLoss" bottom: "fdata"
+      bottom: "ftarget" top: "loss" }
+    """
+    net = caffe.Net.__new__(caffe.Net)
+    net._net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    net.blobs = OrderedDict()
+    for nm, sh in net._net.input_shapes.items():
+        net.blobs[nm] = caffe.Blob(np.zeros(sh, np.float32))
+    net._params_dirty = False
+
+    rng = np.random.RandomState(1)
+    net.blobs["data"].data[...] = rng.randn(4, 3)
+    net.blobs["sel"].data[...] = np.array([[1], [0], [1], [1]], np.float32)
+    net.blobs["target"].data[...] = rng.randn(4, 3)
+    net.forward()
+    assert net.blobs["fdata"].data.shape == (3, 3)  # truly shrunk
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        net.backward(diffs=["fdata"])
+    assert any("fdata" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+    assert np.all(net.blobs["fdata"].diff == 0)
