@@ -112,10 +112,15 @@ def train(args) -> int:
     stats = None
     if pp.get_str("joint_pairs_stats"):
         stats = parse_stats_file(pp.get_str("joint_pairs_stats"))
+    # with -spatial S the shard_map train step needs canvas H divisible by
+    # 16*S and >= 32*S (parallel/spatial.py shape contract) — bucketing to
+    # 32*S satisfies both; the default 64 already covers S <= 2
+    spatial = max(getattr(args, "spatial", 1), 1)
     source = PoseDataSource(
         pp.get_str("source"), tcfg, stats,
         root_folder=pp.get_str("root_folder", ""),
         cycle=pp.get_bool("cycle_training_data", False),
+        bucket_step=max(64, 32 * spatial),
         # random_seed < 0 = unseeded (the reference seeds from entropy
         # unless random_seed >= 0, solver.cpp:53-54); clamping the sentinel
         # to 0 would make every unseeded run identical

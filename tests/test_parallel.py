@@ -451,3 +451,43 @@ print('POSE-SOLVER-SPATIAL-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=8)
     assert "POSE-SOLVER-SPATIAL-MATCH" in out
+
+
+def test_spatial4_train_step_matches_single_device(run_in_cpu_mesh):
+    """(data=2, spatial=4): four-shard halo chains (2-row locals at res4/5,
+    boundary shards on both ends) must still reproduce the single-device
+    trajectory."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.parallel.train_step import make_train_step
+from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
+                      pairwise=False, compute_dtype=jnp.float32)
+scfg = SolverConfig(solver_type='SGD', base_lr=0.05, momentum=0.9,
+                    weight_decay=0.0)
+params = init_params(jax.random.PRNGKey(0), cfg)
+n, h, w = 2, 128, 32   # H = 32 * spatial: minimum of the shape contract
+gh, gw = h // 8, w // 8
+kk = jax.random.PRNGKey(5)
+batch = {
+  'image': jax.random.normal(kk, (n, h, w, 3)),
+  'part_score_targets': jnp.zeros((n, gh, gw, 4)).at[:, 2, 1, :].set(1.0),
+  'part_score_weights': jnp.ones((n, gh, gw, 4)),
+  'locref_targets': 0.1 * jax.random.normal(kk, (n, gh, gw, 8)),
+  'locref_weights': jnp.ones((n, gh, gw, 8)),
+}
+state = init_state(scfg, params)
+p1, s1, m1 = make_train_step(cfg, scfg, None, donate=False)(params, state, batch)
+mesh = make_mesh(8, spatial=4)
+with mesh:
+    p2, s2, m2 = make_train_step(cfg, scfg, mesh, donate=False)(params, state, batch)
+for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-6)
+assert abs(float(m1['total_loss']) - float(m2['total_loss'])) < 1e-4 * max(1.0, abs(float(m1['total_loss'])))
+print('SPATIAL4-TRAIN-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=8)
+    assert "SPATIAL4-TRAIN-MATCH" in out
