@@ -60,6 +60,36 @@ WORKER = textwrap.dedent("""
     loss = float(metrics["total_loss"])
     assert loss == loss, "nan loss"
     print(f"DIST_OK proc={pid} loss={loss:.6f}", flush=True)
+
+    # ---- leg 2: SPATIAL training with the 'spatial' axis CROSSING the
+    # process boundary — the shard_map halo ppermutes ride the gloo
+    # transport (multi-host analog of the ICI path)
+    mesh2 = distributed.global_mesh(spatial=2)   # (data=2, spatial=2)
+    n2, h2 = 2, 64
+    hh2 = h2 // 8
+
+    def shard2(name, shape, spec):
+        sh = NamedSharding(mesh2, spec)
+        return jax.make_array_from_callback(
+            shape, sh, lambda idx: jax.random.normal(
+                jax.random.PRNGKey(hash(name) % 2**31), shape)[idx] * 0.1)
+
+    batch2 = {
+        "image": shard2("image2", (n2, h2, w, 3), P("data", "spatial")),
+        "part_score_targets": shard2("pst2", (n2, hh2, ww, J), P("data")),
+        "part_score_weights": shard2("psw2", (n2, hh2, ww, J), P("data")),
+        "locref_targets": shard2("lt2", (n2, hh2, ww, 2 * J), P("data")),
+        "locref_weights": shard2("lw2", (n2, hh2, ww, 2 * J), P("data")),
+        "pairwise_targets": shard2("pt2", (n2, hh2, ww, cfg.pairwise_channels), P("data")),
+        "pairwise_weights": shard2("pw2", (n2, hh2, ww, cfg.pairwise_channels), P("data")),
+    }
+    with mesh2:
+        step2 = make_train_step(cfg, scfg, mesh2, donate=False)
+        p3, s3, m3 = step2(params, state, batch2)
+        jax.block_until_ready(p3)
+    loss2 = float(m3["total_loss"])
+    assert loss2 == loss2, "nan spatial loss"
+    print(f"SPATIAL_DIST_OK proc={pid} loss2={loss2:.6f}", flush=True)
 """)
 
 
@@ -84,6 +114,10 @@ def test_two_process_distributed_train_step(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{out}\n{err[-3000:]}"
         assert "DIST_OK" in out
-    # both processes computed the same globally-reduced loss
+        assert "SPATIAL_DIST_OK" in out
+    # both processes computed the same globally-reduced losses (DP leg and
+    # the cross-process spatial shard_map leg)
     losses = {o.split("loss=")[1].split()[0] for _, o, _ in outs}
     assert len(losses) == 1, losses
+    losses2 = {o.split("loss2=")[1].split()[0] for _, o, _ in outs}
+    assert len(losses2) == 1, losses2
