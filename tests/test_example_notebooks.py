@@ -59,3 +59,34 @@ def test_smoothed_loss_api(tmp_path):
     assert np.isfinite(first)
     solver.step(20)
     assert solver.smoothed_loss < first  # converging on fixed dummy labels
+
+
+def _exec_notebook(path, timeout_note=""):
+    """Execute a notebook's code cells in-process (matplotlib Agg)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import os
+    with open(path) as f:
+        nb = json.load(f)
+    src = "\n\n".join("".join(c["source"]) for c in nb["cells"]
+                      if c["cell_type"] == "code")
+    cwd = os.getcwd()
+    os.chdir("/root/repo")
+    try:
+        exec(compile(src, path, "exec"), {"__name__": "__nb__"})
+    finally:
+        os.chdir(cwd)
+
+
+def test_detection_notebook_executes():
+    _exec_notebook("/root/repo/examples/detection.ipynb")
+
+
+def test_net_surgery_notebook_executes():
+    _exec_notebook("/root/repo/examples/net_surgery.ipynb")
+
+
+def test_siamese_notebook_executes():
+    """Trains 500 iters on the paired-LevelDB fixture (~1 min CPU) and
+    embeds digits through the deploy branch."""
+    _exec_notebook("/root/repo/examples/siamese/mnist_siamese.ipynb")
