@@ -491,3 +491,49 @@ print('SPATIAL4-TRAIN-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=8)
     assert "SPATIAL4-TRAIN-MATCH" in out
+
+
+def test_pose_solver_spatial_mesh_iter_size_matches_single_device(run_in_cpu_mesh):
+    """iter_size host accumulation composed with the spatial shard_map
+    gradient path: PoseSolver(iter_size=2) on a (data=2, spatial=2) mesh
+    follows the single-device iter_size=2 trajectory."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.solver.solver import PoseSolver, SolverParams
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=4,
+                      pairwise=False, compute_dtype=jnp.float32)
+n, h, w = 2, 64, 32
+gh, gw = h // 8, w // 8
+state = {'k': 0}
+def batch_source():
+    kk = jax.random.PRNGKey(state['k']); state['k'] += 1
+    return {
+      'image': np.asarray(jax.random.normal(kk, (n, h, w, 3))),
+      'part_score_targets': np.zeros((n, gh, gw, 4), np.float32),
+      'part_score_weights': np.ones((n, gh, gw, 4), np.float32),
+      'locref_targets': np.zeros((n, gh, gw, 8), np.float32),
+      'locref_weights': np.ones((n, gh, gw, 8), np.float32),
+    }
+sp = SolverParams.from_prototxt('''
+    base_lr: 0.05 momentum: 0.9 lr_policy: "fixed" iter_size: 2 display: 0
+    max_iter: 10 snapshot: 0 snapshot_prefix: "/tmp/psi" random_seed: 7
+''')
+init = init_params(jax.random.PRNGKey(7), cfg)
+s1 = PoseSolver(sp, cfg, batch_source, net_params=jax.tree_util.tree_map(jnp.copy, init),
+                handle_signals=False, log=lambda *_: None)
+s1.step(2)
+state['k'] = 0
+mesh = make_mesh(4, spatial=2)   # (data=2, spatial=2)
+with mesh:
+    s2 = PoseSolver(sp, cfg, batch_source, net_params=jax.tree_util.tree_map(jnp.copy, init),
+                    mesh=mesh, handle_signals=False, log=lambda *_: None)
+    s2.step(2)
+for a, b in zip(jax.tree_util.tree_leaves(s1.net_params),
+                jax.tree_util.tree_leaves(s2.net_params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+print('POSE-SOLVER-SPATIAL-ITERSIZE-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=4)
+    assert "POSE-SOLVER-SPATIAL-ITERSIZE-MATCH" in out
