@@ -771,6 +771,27 @@ class Net:
             return params2, state2, loss
         if mesh is None:
             return jax.jit(step)
+        from deepcut_tpu.parallel.spatial import spatial_axis_size
+
+        if spatial_axis_size(mesh) > 1:
+            # 2-D mesh: image rows shard over 'spatial' via the generic
+            # plan splitter (parallel/graph_spatial.py): sharded halo
+            # prefix -> all_gather -> replicated suffix with psum'ed loss
+            # normalisers. Trajectory-equal to single-device (tested).
+            if iter_size > 1:
+                raise NotImplementedError(
+                    "iter_size > 1 with a spatial mesh is not supported in "
+                    "the graph engine yet; accumulate on the host (PoseSolver "
+                    "pattern) or use a data-only mesh")
+            if self._needs_rng:
+                raise NotImplementedError(
+                    "stochastic layers (Dropout/stochastic pooling) are not "
+                    "supported under a spatial mesh (per-device rng streams "
+                    "cannot reproduce the single-device mask sequence)")
+            from deepcut_tpu.parallel.graph_spatial import (
+                make_graph_spatial_train_step)
+            return make_graph_spatial_train_step(
+                self, solver_cfg, mesh, lr_mults=mults, decay_mults=dmults)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())

@@ -724,15 +724,16 @@ def _softmax_with_loss_vec(spec, phase, compute_dtype):
     lp = spec.param("loss_param")
     cross_entropy = vp.get_bool("cross_entropy", False)
     no_softmax = vp.get_bool("no_softmax", False)
-    fn_loss = loss_ops.make_softmax_loss_vec(
-        cross_entropy=cross_entropy,
-        no_softmax=no_softmax,
-        normalize=lp.get_bool("normalize", True),
-    )
+    normalize = lp.get_bool("normalize", True)
 
     def fn(p, bottoms):
         w = bottoms[2] if len(bottoms) > 2 else None
-        loss = fn_loss(bottoms[0], bottoms[1], w)
+        # dispatch at TRACE time (not build time) so the sharded_losses
+        # context can swap in the psum'ed-normaliser variant under a
+        # spatial mesh (parallel/graph_spatial.py)
+        loss = loss_ops.softmax_loss_vec(
+            bottoms[0], bottoms[1], w, cross_entropy=cross_entropy,
+            no_softmax=no_softmax, normalize=normalize)
         if len(spec.tops) > 1:
             # top[1] shares prob_ (softmax_loss_vec_layer.cpp:149-151):
             # sigmoid in CE mode, passthrough with no_softmax, else softmax

@@ -20,6 +20,35 @@ import jax.numpy as jnp
 
 IGNORE_VALUE = 1000.0  # softmax_loss_vec_layer.cpp:12
 
+# -- sharded-normaliser context ---------------------------------------------
+# Under jax.shard_map every device sees only its batch shard, so loss
+# normalisers (counts, weight sums, batch sizes) must be lax.psum'ed to keep
+# single-device semantics. Loss entry points below consult this context at
+# TRACE time and dispatch to psum'ed custom_vjp variants (the psums must live
+# inside custom_vjp: a raw psum on the differentiation path transposes to
+# another psum and inflates gradients by the axis size). The graph engine's
+# spatial train step wraps its loss-region trace in `sharded_losses(axes)`.
+_SHARDED_AXES: Tuple = ()
+
+
+class sharded_losses:
+    """Context manager: `with sharded_losses(("data",)): ...` makes every
+    loss entry point in this module reduce its sums/normalisers over the
+    given mesh axes (shard_map only)."""
+
+    def __init__(self, axes):
+        self.axes = tuple(axes)
+
+    def __enter__(self):
+        global _SHARDED_AXES
+        self._prev, _SHARDED_AXES = _SHARDED_AXES, self.axes
+        return self
+
+    def __exit__(self, *exc):
+        global _SHARDED_AXES
+        _SHARDED_AXES = self._prev
+        return False
+
 
 def _smooth_l1(d: jax.Array) -> jax.Array:
     ad = jnp.abs(d)
@@ -31,13 +60,19 @@ def _smooth_l1_grad(d: jax.Array) -> jax.Array:
 
 
 @jax.custom_vjp
+def _smooth_l1_plain(pred, target, weights=None):
+    return _smooth_l1_fwd(pred, target, weights)[0]
+
+
 def smooth_l1_loss(pred: jax.Array, target: jax.Array, weights: Optional[jax.Array] = None) -> jax.Array:
     """Huber loss, fork semantics (smooth_L1_loss_layer.cu).
 
     forward: d = w*(pred-target); loss = sum f(d) / sum(|w|)  (0 if sum w == 0)
     backward: dpred = f'(d) / max(sum w, 100)   — note: no extra w factor.
+
+    Dispatches to the psum'ed variant inside a `sharded_losses` context.
     """
-    return _smooth_l1_fwd(pred, target, weights)[0]
+    return make_smooth_l1_loss(_SHARDED_AXES)(pred, target, weights)
 
 
 def _smooth_l1_fwd(pred, target, weights):
@@ -59,7 +94,8 @@ def _smooth_l1_bwd(res, g):
     return grad, -grad, None
 
 
-smooth_l1_loss.defvjp(_smooth_l1_fwd, _smooth_l1_bwd)
+_smooth_l1_plain.defvjp(_smooth_l1_fwd, _smooth_l1_bwd)
+_SL1_CACHE: dict = {}
 
 
 def make_smooth_l1_loss(psum_axes: Tuple = ()):
@@ -71,8 +107,11 @@ def make_smooth_l1_loss(psum_axes: Tuple = ()):
     The psums live inside the custom_vjp fwd, so they are never
     differentiated through (raw psum transposes to psum under shard_map and
     would inflate gradients by the axis size)."""
+    psum_axes = tuple(psum_axes)
     if not psum_axes:
-        return smooth_l1_loss
+        return _smooth_l1_plain
+    if psum_axes in _SL1_CACHE:
+        return _SL1_CACHE[psum_axes]
 
     @jax.custom_vjp
     def fn(pred, target, weights=None):
@@ -91,6 +130,7 @@ def make_smooth_l1_loss(psum_axes: Tuple = ()):
         return loss, (d, wsum)
 
     fn.defvjp(fwd, _smooth_l1_bwd)  # bwd is local math over global wsum
+    _SL1_CACHE[psum_axes] = fn
     return fn
 
 
@@ -124,13 +164,14 @@ def softmax_loss_vec(
     backward normaliser: max(weight_sum or count, 100).
 
     Dispatches to a per-config custom_vjp wrapper (make_softmax_loss_vec):
-    custom_vjp cannot close over keyword-static args directly.
+    custom_vjp cannot close over keyword-static args directly. Inside a
+    `sharded_losses` context the psum'ed variant is selected.
     """
-    key = (cross_entropy, no_softmax, normalize)
+    key = (cross_entropy, no_softmax, normalize, _SHARDED_AXES)
     if key not in _SLV_CACHE:
         _SLV_CACHE[key] = make_softmax_loss_vec(
             cross_entropy=cross_entropy, no_softmax=no_softmax,
-            normalize=normalize)
+            normalize=normalize, psum_axes=_SHARDED_AXES)
     return _SLV_CACHE[key](scores, labels, weights)
 
 
@@ -218,6 +259,62 @@ def make_softmax_loss_vec(*, cross_entropy=True, no_softmax=False,
 # -- upstream Caffe losses --------------------------------------------------
 
 
+_SWL_CACHE: dict = {}
+
+
+def make_softmax_with_loss(psum_axes: Tuple, *, ignore_label=None,
+                           normalization: str = "VALID"):
+    """Sharded (psum'ed normaliser) SoftmaxWithLoss as a custom_vjp — the
+    shard_map twin of softmax_with_loss (see make_smooth_l1_loss for why the
+    psums must live inside custom_vjp)."""
+    psum_axes = tuple(psum_axes)
+    key = (psum_axes, ignore_label, normalization)
+    if key in _SWL_CACHE:
+        return _SWL_CACHE[key]
+
+    def fwd(scores, labels):
+        x = scores.astype(jnp.float32)
+        prob = jax.nn.softmax(x, axis=-1)
+        logp = jax.nn.log_softmax(x, axis=-1)
+        lab = labels.astype(jnp.int32)
+        picked = jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+        live = (lab != ignore_label) if ignore_label is not None \
+            else jnp.ones(lab.shape, bool)
+        bad = jnp.any(live & ((lab < 0) | (lab >= x.shape[-1])))
+        picked = jnp.where(bad, jnp.float32(jnp.nan), picked)
+        loss_sum = -jnp.sum(jnp.where(live, picked, 0.0))
+        valid = jnp.sum(live).astype(jnp.float32)
+        outer = jnp.asarray(float(scores.shape[0]), jnp.float32)
+        full = jnp.asarray(float(lab.size), jnp.float32)
+        if psum_axes:
+            loss_sum = jax.lax.psum(loss_sum, psum_axes)
+            valid = jax.lax.psum(valid, psum_axes)
+            outer = jax.lax.psum(outer, psum_axes)
+            full = jax.lax.psum(full, psum_axes)
+        if normalization == "VALID":
+            denom = jnp.maximum(valid, 1.0)
+        elif normalization == "BATCH_SIZE":
+            denom = outer
+        elif normalization == "FULL":
+            denom = full
+        else:
+            denom = jnp.float32(1.0)
+        return loss_sum / denom, (prob, lab, live, denom)
+
+    def bwd(res, g):
+        prob, lab, live, denom = res
+        onehot = jax.nn.one_hot(lab, prob.shape[-1], dtype=jnp.float32)
+        diff = (prob - onehot) * live[..., None].astype(jnp.float32)
+        return (g * diff / denom, None)
+
+    @jax.custom_vjp
+    def fn(scores, labels):
+        return fwd(scores, labels)[0]
+    fn.defvjp(fwd, bwd)
+    _SWL_CACHE[key] = fn
+    return fn
+
+
 def softmax_with_loss(
     scores: jax.Array,
     labels: jax.Array,
@@ -228,8 +325,12 @@ def softmax_with_loss(
     """SoftmaxWithLoss (softmax_loss_layer.cpp): integer labels over axis -1.
 
     scores: (..., C); labels: (...) int. normalization: VALID (count of
-    non-ignored), BATCH_SIZE, FULL, NONE.
+    non-ignored), BATCH_SIZE, FULL, NONE. Inside a `sharded_losses` context
+    the psum'ed custom_vjp variant is used.
     """
+    if _SHARDED_AXES:
+        return make_softmax_with_loss(_SHARDED_AXES, ignore_label=ignore_label,
+                                      normalization=normalization)(scores, labels)
     x = scores.astype(jnp.float32)
     logp = jax.nn.log_softmax(x, axis=-1)
     lab = labels.astype(jnp.int32)
@@ -261,16 +362,67 @@ def softmax_with_loss(
     return loss_sum / denom
 
 
+def _make_sum_over_n_loss(psum_axes, elem_fn, grad_fn, half=False):
+    """Shared factory for the sum(elem)/N-normalised losses (sigmoid CE,
+    euclidean) with psum'ed N under sharding."""
+    psum_axes = tuple(psum_axes)
+
+    def fwd(a, b):
+        af = a.astype(jnp.float32)
+        bf = b.astype(jnp.float32)
+        s = jnp.sum(elem_fn(af, bf))
+        n = jnp.asarray(float(a.shape[0]), jnp.float32)
+        if psum_axes:
+            s = jax.lax.psum(s, psum_axes)
+            n = jax.lax.psum(n, psum_axes)
+        scale = 0.5 if half else 1.0
+        return scale * s / n, (af, bf, n)
+
+    def bwd(res, g):
+        af, bf, n = res
+        d = grad_fn(af, bf) / n
+        return g * d, -g * d if grad_fn is _euclid_grad else None
+
+    @jax.custom_vjp
+    def fn(a, b):
+        return fwd(a, b)[0]
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def _euclid_grad(a, b):
+    return a - b
+
+
+_SCE_CACHE: dict = {}
+_EUC_CACHE: dict = {}
+
+
 def sigmoid_cross_entropy_loss(scores: jax.Array, targets: jax.Array) -> jax.Array:
     """SigmoidCrossEntropyLoss (sigmoid_cross_entropy_loss_layer.cpp):
-    sum over all elements / batch size."""
+    sum over all elements / batch size. Inside a `sharded_losses` context
+    the batch size is psum'ed (shard_map)."""
+    if _SHARDED_AXES:
+        key = _SHARDED_AXES
+        if key not in _SCE_CACHE:
+            _SCE_CACHE[key] = _make_sum_over_n_loss(
+                key, _sigmoid_ce_elem,
+                lambda x, t: jax.nn.sigmoid(x) - t)
+        return _SCE_CACHE[key](scores, targets)
     x = scores.astype(jnp.float32)
     t = targets.astype(jnp.float32)
     return jnp.sum(_sigmoid_ce_elem(x, t)) / x.shape[0]
 
 
 def euclidean_loss(a: jax.Array, b: jax.Array) -> jax.Array:
-    """EuclideanLoss: 0.5 * sum((a-b)^2) / N."""
+    """EuclideanLoss: 0.5 * sum((a-b)^2) / N. Inside a `sharded_losses`
+    context N is psum'ed (shard_map)."""
+    if _SHARDED_AXES:
+        key = _SHARDED_AXES
+        if key not in _EUC_CACHE:
+            _EUC_CACHE[key] = _make_sum_over_n_loss(
+                key, lambda x, t: (x - t) ** 2, _euclid_grad, half=True)
+        return _EUC_CACHE[key](a, b)
     d = a.astype(jnp.float32) - b.astype(jnp.float32)
     return 0.5 * jnp.sum(d * d) / a.shape[0]
 

@@ -85,38 +85,50 @@ def halo_exchange(x: jax.Array, top: int, bottom: int, axis: str,
 
 
 def spatial_conv2d(x, w, b=None, *, stride=1, pad=0, dilation=1,
-                   axis: str = "spatial", compute_dtype=None,
-                   accum_dtype=jnp.float32):
-    """conv2d with the H dim sharded over `axis`: halo rows (top=pad,
-    bottom=k_eff-pad-stride) are exchanged, then the conv runs locally with
-    H padding 0 (the halos ARE the padding) and normal W padding. Requires
-    the local row count divisible by the stride and >= the halo depth."""
+                   groups: int = 1, axis: str = "spatial",
+                   compute_dtype=None, accum_dtype=jnp.float32):
+    """conv2d with the H dim sharded over `axis`: halo rows (top=pad_h,
+    bottom=k_eff-pad_h-stride_h) are exchanged, then the conv runs locally
+    with H padding 0 (the halos ARE the padding) and normal W padding.
+    Requires the local row count divisible by the stride and >= the halo
+    depth. stride/pad/dilation accept (h, w) pairs like ops/conv.conv2d."""
+    def _pair(v):
+        return (int(v[0]), int(v[-1])) if isinstance(v, (tuple, list)) else (int(v), int(v))
+    sh, sw = _pair(stride)
+    ph, pw = _pair(pad)
+    dh, dw = _pair(dilation)
     kh = int(w.shape[0])
-    k_eff = dilation * (kh - 1) + 1
-    bottom = k_eff - pad - stride
-    if pad > 0 or bottom > 0:
-        x = halo_exchange(x, pad, max(bottom, 0), axis)
-    return conv2d(x, w, b, stride=stride, pad=(0, pad), dilation=dilation,
-                  compute_dtype=compute_dtype, accum_dtype=accum_dtype)
+    k_eff = dh * (kh - 1) + 1
+    bottom = k_eff - ph - sh
+    if ph > 0 or bottom > 0:
+        x = halo_exchange(x, ph, max(bottom, 0), axis)
+    return conv2d(x, w, b, stride=(sh, sw), pad=(0, pw), dilation=(dh, dw),
+                  groups=groups, compute_dtype=compute_dtype,
+                  accum_dtype=accum_dtype)
 
 
-def spatial_max_pool(x, *, kernel: int = 3, stride: int = 2,
-                     axis: str = "spatial"):
-    """Ceil-mode 3x3/2 maxpool (the stem pool) with H sharded: the bottom
-    halo is kernel-stride rows, -inf on the last shard (Caffe's clipped
-    edge window). The W axis reuses ops/pool's ceil-mode arithmetic so
-    Caffe's sizing quirks live in exactly one place."""
+def spatial_max_pool(x, *, kernel=3, stride=2, axis: str = "spatial"):
+    """Ceil-mode unpadded MAX pool with H sharded: the bottom halo is
+    kernel_h - stride_h rows, -inf on the last shard (Caffe's clipped edge
+    window). The W axis reuses ops/pool's ceil-mode arithmetic so Caffe's
+    sizing quirks live in exactly one place. kernel/stride accept (h, w)
+    pairs."""
     from deepcut_tpu.ops.pool import pool_output_size
 
-    x = halo_exchange(x, 0, kernel - stride, axis, bottom_fill=-jnp.inf)
+    def _pair(v):
+        return (int(v[0]), int(v[-1])) if isinstance(v, (tuple, list)) else (int(v), int(v))
+    kh, kw = _pair(kernel)
+    sh, sw = _pair(stride)
+    if kh > sh:
+        x = halo_exchange(x, 0, kh - sh, axis, bottom_fill=-jnp.inf)
     w = int(x.shape[2])
-    ow = pool_output_size(w, kernel, stride, 0)
-    pad_w = max((ow - 1) * stride + kernel - w, 0)
+    ow = pool_output_size(w, kw, sw, 0)
+    pad_w = max((ow - 1) * sw + kw - w, 0)
     neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x, neg, lax.max,
-        window_dimensions=(1, kernel, kernel, 1),
-        window_strides=(1, stride, stride, 1),
+        window_dimensions=(1, kh, kw, 1),
+        window_strides=(1, sh, sw, 1),
         padding=((0, 0), (0, 0), (0, pad_w), (0, 0)))
 
 

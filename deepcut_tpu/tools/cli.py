@@ -92,9 +92,11 @@ def train(args) -> int:
     if getattr(args, "mesh", 0):
         # training over N chips (the `-gpu 0,1,...` analog): batch over the
         # 'data' axis; -spatial S additionally shards image ROWS over a
-        # spatial axis for the pose trainer (shard_map halo-exchange path,
-        # parallel/spatial.py — needs canvas H % (16*S) == 0). The generic
-        # graph trainer uses the data axis only.
+        # spatial axis. The pose trainer uses the native shard_map path
+        # (parallel/spatial.py, canvas H % (16*S) == 0); the generic graph
+        # trainer uses the plan splitter (parallel/graph_spatial.py), which
+        # shards every geometry-compatible conv/pool prefix and falls back
+        # to data-parallel from the first incompatible layer.
         from deepcut_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh, spatial=max(getattr(args, "spatial", 1), 1))
     if data_layer is None:

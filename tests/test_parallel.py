@@ -537,3 +537,157 @@ print('POSE-SOLVER-SPATIAL-ITERSIZE-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=4)
     assert "POSE-SOLVER-SPATIAL-ITERSIZE-MATCH" in out
+
+
+def test_graph_spatial_train_step_matches_single_device(run_in_cpu_mesh):
+    """GENERIC prototxt under a 2-D mesh: the graph-engine plan splitter
+    shards the conv/pool prefix over 'spatial' (halo exchange), gathers at
+    the InnerProduct boundary, and psums the loss normalisers — 3-step
+    trajectory equals single-device."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.parallel.graph_spatial import split_plan
+from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+PROTO = '''
+input: "data"  input_shape { dim: 4 dim: 3 dim: 32 dim: 32 }
+input: "label" input_shape { dim: 4 }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } bias_filler { type: "constant" } } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "conv2" type: "Convolution" bottom: "pool1" top: "conv2"
+  convolution_param { num_output: 16 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } bias_filler { type: "constant" } } }
+layer { name: "relu2" type: "ReLU" bottom: "conv2" top: "conv2" }
+layer { name: "ip" type: "InnerProduct" bottom: "conv2" top: "ip"
+  inner_product_param { num_output: 10 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+  top: "loss" }
+'''
+scfg = SolverConfig(solver_type='SGD', base_lr=0.05, momentum=0.9,
+                    weight_decay=0.0005)
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32))  # NHWC
+y = jnp.asarray(rng.randint(0, 10, (4,)).astype(np.int32))
+def run(mesh):
+    net = Net(text_format.parse(PROTO), phase='TRAIN', compute_dtype=None)
+    step = net.make_train_step(scfg, mesh=mesh)
+    p, s = net.params, init_state(scfg, net.params)
+    for _ in range(3):
+        p, s, loss = step(p, s, {'data': x, 'label': y})
+    return p, float(loss), net
+p1, l1, _ = run(None)
+mesh = make_mesh(8, spatial=2)
+with mesh:
+    p2, l2, net2 = run(mesh)
+# the splitter genuinely sharded the conv/pool prefix (5 layers), with the
+# boundary at the InnerProduct
+shapes = {'data': (4, 32, 32, 3), 'label': (4,)}
+import jax as _j
+abstract = { 'data': _j.ShapeDtypeStruct((4,32,32,3), jnp.float32),
+             'label': _j.ShapeDtypeStruct((4,), jnp.int32) }
+blobs = _j.eval_shape(lambda p, i: net2._execute(p, i), net2.params, abstract)
+bs = dict(shapes); bs.update({k: tuple(v.shape) for k, v in blobs.items()})
+boundary, infos, s_in, gather = split_plan(net2, bs, 2)
+assert boundary == 5, boundary
+assert s_in == {'data'}, s_in
+assert gather == ['conv2'], gather
+for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-6)
+assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
+print('GRAPH-SPATIAL-TRAIN-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=8)
+    assert "GRAPH-SPATIAL-TRAIN-MATCH" in out
+
+
+def test_graph_spatial_deepercut_style_prototxt(run_in_cpu_mesh):
+    """A reference-style prototxt (strided conv1 + frozen BN/Scale + ceil
+    pool + residual Eltwise block + fork losses SoftmaxWithLossVec/SmoothL1)
+    trains spatially sharded through the graph engine, trajectory-equal to
+    single-device; the boundary lands at the first loss layer."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+PROTO = '''
+input: "data"   input_shape { dim: 4 dim: 3 dim: 64 dim: 32 }
+input: "targets" input_shape { dim: 4 dim: 5 dim: 16 dim: 8 }
+input: "loc_t"  input_shape { dim: 4 dim: 10 dim: 16 dim: 8 }
+input: "loc_w"  input_shape { dim: 4 dim: 10 dim: 16 dim: 8 }
+layer { name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 8 kernel_size: 7 stride: 2 pad: 3
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "bn1" type: "BatchNorm" bottom: "conv1" top: "conv1"
+  batch_norm_param { use_global_stats: true } }
+layer { name: "sc1" type: "Scale" bottom: "conv1" top: "conv1"
+  scale_param { bias_term: true } }
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer { name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 3 stride: 2 } }
+layer { name: "br1" type: "Convolution" bottom: "pool1" top: "br1"
+  convolution_param { num_output: 16 kernel_size: 1
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "br2a" type: "Convolution" bottom: "pool1" top: "br2a"
+  convolution_param { num_output: 8 kernel_size: 1
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "r2a" type: "ReLU" bottom: "br2a" top: "br2a" }
+layer { name: "br2b" type: "Convolution" bottom: "br2a" top: "br2b"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 2 dilation: 2
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "r2b" type: "ReLU" bottom: "br2b" top: "br2b" }
+layer { name: "br2c" type: "Convolution" bottom: "br2b" top: "br2c"
+  convolution_param { num_output: 16 kernel_size: 1
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "res" type: "Eltwise" bottom: "br1" bottom: "br2c" top: "res" }
+layer { name: "relur" type: "ReLU" bottom: "res" top: "res" }
+layer { name: "score" type: "Convolution" bottom: "res" top: "score"
+  convolution_param { num_output: 5 kernel_size: 1
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "locref" type: "Convolution" bottom: "res" top: "locref"
+  convolution_param { num_output: 10 kernel_size: 1
+    weight_filler { type: "gaussian" std: 0.1 } } }
+layer { name: "loss_parts" type: "SoftmaxWithLossVec"
+  bottom: "score" bottom: "targets" top: "loss_parts"
+  softmax_with_loss_vec_param { cross_entropy: true } }
+layer { name: "loss_loc" type: "SmoothL1Loss"
+  bottom: "locref" bottom: "loc_t" bottom: "loc_w" top: "loss_loc" }
+'''
+scfg = SolverConfig(solver_type='SGD', base_lr=0.02, momentum=0.9,
+                    weight_decay=0.0)
+rng = np.random.RandomState(3)
+inputs = {
+  'data': jnp.asarray(rng.randn(4, 64, 32, 3).astype(np.float32)),   # NHWC
+  'targets': jnp.asarray((rng.rand(4, 16, 8, 5) > 0.9).astype(np.float32)),
+  'loc_t': jnp.asarray(0.2 * rng.randn(4, 16, 8, 10).astype(np.float32)),
+  'loc_w': jnp.asarray((rng.rand(4, 16, 8, 10) > 0.5).astype(np.float32)),
+}
+def run(mesh):
+    net = Net(text_format.parse(PROTO), phase='TRAIN', compute_dtype=None)
+    step = net.make_train_step(scfg, mesh=mesh)
+    p, s = net.params, init_state(scfg, net.params)
+    for _ in range(3):
+        p, s, loss = step(p, s, dict(inputs))
+    return p, float(loss)
+p1, l1 = run(None)
+mesh = make_mesh(8, spatial=2)
+with mesh:
+    p2, l2 = run(mesh)
+for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-6)
+assert abs(l1 - l2) < 1e-4 * max(1.0, abs(l1))
+print('GRAPH-SPATIAL-DEEPERCUT-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=8)
+    assert "GRAPH-SPATIAL-DEEPERCUT-MATCH" in out
