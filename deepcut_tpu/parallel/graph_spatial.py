@@ -214,12 +214,20 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                 # sharded prefix: halo convs/pools, pointwise as-built
                 for (fn, spec), info in zip(plan[:boundary], infos):
                     bottoms = [blobs[b] for b in spec.bottoms]
+                    # propagate_down: false (same semantics as _execute)
+                    pdown = [v if isinstance(v, bool)
+                             else bool(v) if isinstance(v, (int, float))
+                             else str(v).lower() == "true"
+                             for v in spec.node.get_list("propagate_down")]
+                    if pdown and not all(pdown):
+                        bottoms = [jax.lax.stop_gradient(b)
+                                   if i < len(pdown) and not pdown[i] else b
+                                   for i, b in enumerate(bottoms)]
                     entry = net._entry(p, spec.name)
                     if spec.type == "Convolution":
-                        y = spatial_conv2d(
+                        outs = [spatial_conv2d(
                             bottoms[0], entry["w"], entry.get("b"),
-                            compute_dtype=cdt, **info)
-                        outs = [y.astype(bottoms[0].dtype)]
+                            compute_dtype=cdt, **info)]
                     elif spec.type == "Pooling":
                         outs = [spatial_max_pool(bottoms[0], **info)]
                     else:
@@ -231,16 +239,10 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                 for b in gather_blobs:
                     blobs[b] = lax.all_gather(blobs[b], "spatial", axis=1,
                                               tiled=True)
-                # replicated suffix with psum'ed loss normalisers
+                # replicated suffix with psum'ed loss normalisers; reuse the
+                # engine's executor (propagate_down, in-place semantics)
                 with loss_ops.sharded_losses(("data",)):
-                    for fn, spec in plan[boundary:]:
-                        bottoms = [blobs[b] for b in spec.bottoms]
-                        entry = net._entry(p, spec.name)
-                        outs = fn(entry, bottoms)
-                        if not isinstance(outs, (list, tuple)):
-                            outs = [outs]
-                        for top, val in zip(spec.tops, outs):
-                            blobs[top] = val
+                    blobs = net._execute(p, blobs, plan=plan[boundary:])
                     return net.total_loss(blobs)
 
             loss, grads = jax.value_and_grad(local_loss)(params)
