@@ -1,0 +1,139 @@
+"""TPU-native checkpointing backend: orbax (async, sharded, multi-host-safe).
+
+The reference's snapshot is a blocking host-side binaryproto write
+(reference: src/caffe/solver.cpp:411-469 — serialize every blob, write,
+resume training). On TPU hardware the idiomatic analog is orbax
+(SURVEY.md §5 names it as the checkpoint/resume equivalent):
+
+- **async**: the device→host copy happens once, then the file write runs on
+  a background thread while training continues — at DeeperCut scale the
+  ~230 MB param+state pytree no longer stalls the step loop;
+- **sharded**: on a multi-host mesh each process writes only the array
+  shards it owns (OCDBT format), producing ONE logical checkpoint with no
+  host-gather round trip;
+- **restore-in-place**: arrays are restored directly onto the target mesh
+  with requested shardings (replicated for this framework's DP/spatial
+  layouts), instead of host numpy → device transfers per leaf.
+
+The solver keeps `.npz` + `.caffemodel`/`.solverstate` as the
+reference-interchange formats; `snapshot_format: ORBAX` (a prototxt-level
+extension value) or `Solver.snapshot_orbax()` opts into this backend.
+Checkpoints are directories named `{prefix}_iter_{N}.orbax`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+_ASYNC_CHECKPOINTER = None  # one background write thread per process
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    global _ASYNC_CHECKPOINTER
+    if _ASYNC_CHECKPOINTER is None:
+        _ASYNC_CHECKPOINTER = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler())
+    return _ASYNC_CHECKPOINTER
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    """True if `path` looks like an orbax checkpoint directory (used by
+    Solver.restore to dispatch between .npz/.solverstate files and this
+    backend). An async save finalizes via a tmp-dir rename, so a
+    just-snapshotted `.orbax` path may not exist yet — join the in-flight
+    write before deciding."""
+    if os.path.isdir(path):
+        return True
+    if path.endswith(".orbax"):
+        wait_until_finished()
+        return os.path.isdir(path)
+    return False
+
+
+def save(path: str, params: Any, state: Any, *, use_async: bool = True,
+         wait: bool = False) -> str:
+    """Write {"params": ..., "state": ...} to the directory `path`.
+
+    use_async=True returns as soon as the on-device arrays are copied to
+    host; the serialization+write completes on orbax's background thread
+    (a later save or `wait_until_finished` joins it). use_async=False (or
+    wait=True) blocks until the checkpoint directory is finalized —
+    including the cross-process commit barrier on a multi-host mesh (even
+    orbax's "standard" checkpointer commits asynchronously, so blocking
+    must be an explicit wait, not a different class). Orbax requires the
+    target not to exist; an existing checkpoint at the same iter is
+    replaced atomically via a tmp-dir rename, matching the reference's
+    overwrite-on-resnapshot behavior.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # at most one write in flight
+    if os.path.exists(path):
+        import shutil
+
+        # ignore_errors: on a shared filesystem both processes may race to
+        # clear the old snapshot; losing the race is fine
+        shutil.rmtree(path, ignore_errors=True)
+    # int leaves (iter counters) ride as numpy scalars; jax arrays keep
+    # their shardings so each process writes only what it owns.
+    tree = {"params": params, "state": state}
+    ckptr.save(path, args=ocp.args.StandardSave(tree))
+    if wait or not use_async:
+        ckptr.wait_until_finished()
+    return path
+
+
+def wait_until_finished() -> None:
+    """Join any in-flight async write (call before reading a just-written
+    checkpoint or at process exit)."""
+    if _ASYNC_CHECKPOINTER is not None:
+        _ASYNC_CHECKPOINTER.wait_until_finished()
+
+
+def restore(path: str, *, like: Optional[Tuple[Any, Any]] = None,
+            mesh=None) -> Tuple[Any, Any]:
+    """Read back (params, state) from `path`.
+
+    like: optional (params, state) template pytree — restored leaves take
+      its dtypes/shapes (shape-checked by orbax, like the reference's
+      CopyTrainedLayersFrom shape checks, net.cpp:805-846).
+    mesh: optional jax.sharding.Mesh — leaves are restored REPLICATED onto
+      the mesh's devices directly (the framework's DP/spatial layouts keep
+      params and optimizer state replicated), so a restored solver can step
+      immediately with no re-placement transfer.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    wait_until_finished()
+    ckptr = _checkpointer()
+    if like is None:
+        tree = ckptr.restore(path, args=ocp.args.StandardRestore())
+    else:
+        template = {"params": like[0], "state": like[1]}
+        sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(mesh, PartitionSpec())
+
+        def as_abstract(x):
+            a = np.asarray(x) if np.isscalar(x) else x
+            if sharding is not None and hasattr(a, "dtype") and hasattr(a, "shape"):
+                return jax.ShapeDtypeStruct(np.shape(a), a.dtype, sharding=sharding)
+            return jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype)
+
+        abstract = jax.tree_util.tree_map(as_abstract, template)
+        tree = ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
+    return tree["params"], tree["state"]

@@ -340,9 +340,18 @@ class GraphSolver:
     def snapshot(self, export_caffemodel: bool = True) -> str:
         """Dual-format snapshot, mirroring the reference's model/state split
         (solver.cpp:411-469): native .npz plus reference-readable
-        .caffemodel + .solverstate binaryprotos."""
-        path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
-        save_checkpoint(path, self.net.params, self.state)
+        .caffemodel + .solverstate binaryprotos. `snapshot_format: ORBAX`
+        swaps the native artifact for an async orbax directory (the
+        TPU-native backend — see solver/orbax_ckpt.py); the interchange
+        exports are unchanged."""
+        if self.params_cfg.snapshot_format.upper() == "ORBAX":
+            from deepcut_tpu.solver import orbax_ckpt
+
+            path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.orbax"
+            orbax_ckpt.save(path, self.net.params, self.state)
+        else:
+            path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
+            save_checkpoint(path, self.net.params, self.state)
         self.log(f"Snapshotting to {path}")
         if export_caffemodel:
             from deepcut_tpu.proto.caffemodel import (
@@ -364,8 +373,14 @@ class GraphSolver:
     def restore(self, path: str) -> None:
         """Resume training. Dispatches on extension like Solver::Restore
         (solver.cpp:471-481): `.solverstate` binaryproto (history blobs in
-        canonical pytree order + the learned_net caffemodel) or native .npz."""
-        if path.endswith(".solverstate"):
+        canonical pytree order + the learned_net caffemodel), an orbax
+        checkpoint directory, or native .npz."""
+        from deepcut_tpu.solver import orbax_ckpt
+
+        if orbax_ckpt.is_orbax_checkpoint(path):
+            self.net.params, self.state = orbax_ckpt.restore(
+                path, like=(self.net.params, self.state), mesh=self.mesh)
+        elif path.endswith(".solverstate"):
             import os
             from deepcut_tpu.proto.caffemodel import decode_solverstate
 
@@ -516,9 +531,16 @@ class PoseSolver:
         (params + solver state, for -snapshot resume) and the
         reference-format .caffemodel the inference loaders (pose demo,
         serve, estimate_pose) consume — the documented train->infer
-        workflow needs the latter."""
-        path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
-        save_checkpoint(path, self.net_params, self.state)
+        workflow needs the latter. `snapshot_format: ORBAX` swaps the .npz
+        for an async orbax directory (solver/orbax_ckpt.py)."""
+        if self.params_cfg.snapshot_format.upper() == "ORBAX":
+            from deepcut_tpu.solver import orbax_ckpt
+
+            path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.orbax"
+            orbax_ckpt.save(path, self.net_params, self.state)
+        else:
+            path = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}.npz"
+            save_checkpoint(path, self.net_params, self.state)
         self.log(f"Snapshotting to {path}")
         if export_caffemodel:
             from deepcut_tpu.proto.caffemodel import save_caffemodel
@@ -528,5 +550,11 @@ class PoseSolver:
         return path
 
     def restore(self, path: str) -> None:
-        self.net_params, self.state = load_checkpoint(path)
+        from deepcut_tpu.solver import orbax_ckpt
+
+        if orbax_ckpt.is_orbax_checkpoint(path):
+            self.net_params, self.state = orbax_ckpt.restore(
+                path, like=(self.net_params, self.state), mesh=self.mesh)
+        else:
+            self.net_params, self.state = load_checkpoint(path)
         self.log(f"Restored from {path} at iter {self.iter}")

@@ -90,6 +90,21 @@ WORKER = textwrap.dedent("""
     loss2 = float(m3["total_loss"])
     assert loss2 == loss2, "nan spatial loss"
     print(f"SPATIAL_DIST_OK proc={pid} loss2={loss2:.6f}", flush=True)
+
+    # ---- leg 3: orbax checkpoint written COOPERATIVELY by both processes
+    # (the multi-host story of solver/orbax_ckpt.py: one logical checkpoint,
+    # synchronized via the same coordination service the mesh runs on),
+    # restored on both and verified equal to the post-step params.
+    import numpy as np
+    from deepcut_tpu.solver import orbax_ckpt
+    ck = os.path.join(sys.argv[3], "dist.orbax")
+    orbax_ckpt.save(ck, params2, state2, use_async=False)
+    pr, sr = orbax_ckpt.restore(ck, like=(params2, state2), mesh=mesh)
+    for a, b in zip(jax.tree_util.tree_leaves(params2),
+                    jax.tree_util.tree_leaves(pr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(sr["iter"]) == int(state2["iter"])
+    print(f"ORBAX_DIST_OK proc={pid}", flush=True)
 """)
 
 
@@ -100,8 +115,11 @@ def test_two_process_distributed_train_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = cpu_subprocess_env(n_devices=2)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
     procs = [
-        subprocess.Popen([sys.executable, str(script), str(pid), str(port)],
+        subprocess.Popen([sys.executable, str(script), str(pid), str(port),
+                          str(ckdir)],
                          env=env, cwd="/root/repo",
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                          text=True)
@@ -115,6 +133,7 @@ def test_two_process_distributed_train_step(tmp_path):
         assert rc == 0, f"worker failed:\n{out}\n{err[-3000:]}"
         assert "DIST_OK" in out
         assert "SPATIAL_DIST_OK" in out
+        assert "ORBAX_DIST_OK" in out
     # both processes computed the same globally-reduced losses (DP leg and
     # the cross-process spatial shard_map leg)
     losses = {o.split("loss=")[1].split()[0] for _, o, _ in outs}
