@@ -33,15 +33,19 @@ from deepcut_tpu.ops.eltwise import crop_like
 from deepcut_tpu.ops.conv import conv2d, deconv2d
 
 
-def quantize_weights(folded_params: Dict) -> Dict:
+def quantize_weights(folded_params: Dict, *, quantize_deconv: bool = False) -> Dict:
     """Folded (w, b) params -> {w_q int8, w_scale (Cout,), b} per conv.
-    Deconv heads stay bf16 (tiny cost, shape-sensitive). conv1 also stays
-    bf16: a 3-channel int8 conv wastes the MXU's lane packing and the
-    688-squared input quantize pass costs more than int8 saves (round-3
-    ladder A/B: bf16 stem is the faster AND more accurate choice)."""
+    Deconv heads stay bf16 by default (tiny cost, shape-sensitive); pass
+    quantize_deconv=True to also emit int8 deconv weights (w layout
+    (kh,kw,Cin,Cout) — per-output-channel absmax over axes 0,1,2, same as
+    conv) for forward_int8(int8_deconv=True). conv1 always stays bf16: a
+    3-channel int8 conv wastes the MXU's lane packing and the 688-squared
+    input quantize pass costs more than int8 saves (round-3 ladder A/B:
+    bf16 stem is the faster AND more accurate choice)."""
     out: Dict[str, Dict[str, jax.Array]] = {}
     for name, entry in folded_params.items():
-        if (name.startswith("res5c_up_") or name == "conv1"
+        if ((name.startswith("res5c_up_") and not quantize_deconv)
+                or name == "conv1"
                 or "w" not in entry or entry["w"].ndim != 4):
             out[name] = dict(entry)
             continue
@@ -53,6 +57,9 @@ def quantize_weights(folded_params: Dict) -> Dict:
             "w_scale": s,
             "b": entry.get("b", jnp.zeros((w.shape[-1],), jnp.float32)),
         }
+        if name.startswith("res5c_up_"):
+            out[name]["w"] = entry["w"]  # keep the float weights too so the
+            # same qparams dict still serves int8_deconv=False programs
     return out
 
 
@@ -65,6 +72,21 @@ def _conv_i8(x_q, w_q, *, stride=1, pad=0, dilation=1):
     )
 
 
+def _deconv_i8(x_q, w_q, *, stride=2):
+    """int8 transposed conv with an int32 accumulator. Same lowering as
+    ops.conv.deconv2d (zero-dilated stride-1 conv over the flipped kernel)
+    but returning the raw int32 accumulator — deconv2d casts its output back
+    to the input dtype, which would wrap int8."""
+    kh, kw = int(w_q.shape[0]), int(w_q.shape[1])
+    return jax.lax.conv_general_dilated(
+        x_q, jnp.flip(w_q, axis=(0, 1)), window_strides=(1, 1),
+        padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def forward_int8(
     qparams: Dict,
     act_scales: Dict[str, jax.Array],
@@ -72,6 +94,7 @@ def forward_int8(
     cfg: DeeperCutConfig = DeeperCutConfig(),
     *,
     int8_residual: bool = False,
+    int8_deconv: bool = False,
     heads: Optional[Sequence[str]] = None,
 ) -> Dict[str, jax.Array]:
     """Quantized inference forward. x: (N,H,W,3) float (mean-subtracted).
@@ -177,11 +200,24 @@ def forward_int8(
         if not any(n == "pose" for n, _ in enabled):
             raise ValueError("forward_int8: the 'pose' head is mandatory")
     names = [n for n, _ in enabled]
-    wup = jnp.concatenate([qparams[f"res5c_up_{n}"]["w"] for n in names],
-                          axis=3).astype(cfg.compute_dtype)
-    bup = jnp.concatenate([qparams[f"res5c_up_{n}"]["b"] for n in names])
-    up = deconv2d(res5c.astype(cfg.compute_dtype), wup, bup, stride=2,
-                  compute_dtype=cfg.compute_dtype)
+    if int8_deconv:
+        # int8 transposed conv: quantize res5c once (scale "res5c_up"), run
+        # the zero-dilated stride-1 conv in int8 with int32 accumulation,
+        # dequantize in the epilogue (per-output-channel w_scales and biases
+        # concatenate exactly like the skip conv's).
+        s_up = act_scales["res5c_up"]
+        wq_up = jnp.concatenate([qparams[f"res5c_up_{n}"]["w_q"] for n in names],
+                                axis=3)
+        ws_up = jnp.concatenate([qparams[f"res5c_up_{n}"]["w_scale"] for n in names])
+        bup = jnp.concatenate([qparams[f"res5c_up_{n}"]["b"] for n in names])
+        acc_up = _deconv_i8(quant(res5c, s_up), wq_up, stride=2)
+        up = (acc_up.astype(jnp.float32) * (s_up * ws_up) + bup).astype(cdt)
+    else:
+        wup = jnp.concatenate([qparams[f"res5c_up_{n}"]["w"] for n in names],
+                              axis=3).astype(cfg.compute_dtype)
+        bup = jnp.concatenate([qparams[f"res5c_up_{n}"]["b"] for n in names])
+        up = deconv2d(res5c.astype(cfg.compute_dtype), wup, bup, stride=2,
+                      compute_dtype=cfg.compute_dtype)
     # fused int8 skip conv: ONE quantize of `skip` (the heads share the
     # input, so calibration gives them identical activation scales; the
     # per-output-channel w_scales concatenate exactly)
@@ -255,16 +291,18 @@ def calibrate_act_scales(
             record(f"res{block}#out", y)  # int8-resident stream boundary
             if block == skip_name:
                 skip = y
+    record("res5c_up", y)  # deconv input, used when int8_deconv=True
     for headname in ("pose",) + (("locref",) if cfg.location_refinement else ()) \
             + (("next",) if cfg.pairwise else ()):
         record(f"res3d_{headname}", skip)
     return {k: jnp.asarray(v) for k, v in scales.items()}
 
 
-def prepare_int8(params: Dict, cfg: DeeperCutConfig, sample: jax.Array):
+def prepare_int8(params: Dict, cfg: DeeperCutConfig, sample: jax.Array,
+                 *, quantize_deconv: bool = False):
     """(folded fp params) -> (qparams, act_scales) ready for forward_int8."""
     from deepcut_tpu.models.resnet import fold_bn
 
     folded = fold_bn(params, cfg) if any(k.startswith("bn") for k in params) else params
     scales = calibrate_act_scales(folded, cfg, sample)
-    return quantize_weights(folded), scales
+    return quantize_weights(folded, quantize_deconv=quantize_deconv), scales

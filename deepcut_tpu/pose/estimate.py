@@ -142,6 +142,7 @@ class PoseEstimator:
         self.max_size = max_size
         self.mesh = mesh
         self._int8 = False
+        self._int8_deconv = False
         self._fwd_cache: Dict = {}
 
     @property
@@ -150,12 +151,16 @@ class PoseEstimator:
         return self._int8
 
     def quantize_int8(self, calibration_image: np.ndarray,
-                      scale: float = 1.0) -> None:
+                      scale: float = 1.0, *, int8_deconv: bool = False) -> None:
         """Switch serving to the int8 path (models/quantize.py): weights get
         per-channel symmetric int8, activation scales are calibrated on the
         given image's preprocessed canvas (one FP forward), and every
         compiled pipeline is rebuilt on forward_int8 — ~1.33 vs 1.93 ms/img
         @688 batch 4 on v5e, `prob` within ~0.1 abs of the bf16 path.
+
+        int8_deconv=True additionally quantizes the transposed-conv head
+        weights (throughput-neutral on v5e — round-3 A/B; 4x smaller head
+        weights, slightly looser numerics).
 
         Call once after construction with a REPRESENTATIVE image; garbage
         calibration (e.g. a zero canvas) yields degenerate scales. A second
@@ -180,9 +185,11 @@ class PoseEstimator:
             lambda a: jnp.asarray(a, jnp.float32)
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
             self.params)
-        qparams, act_scales = prepare_int8(fp, self.cfg, canvas)
+        qparams, act_scales = prepare_int8(fp, self.cfg, canvas,
+                                           quantize_deconv=int8_deconv)
         self.params = {"q": qparams, "s": act_scales}
         self._int8 = True
+        self._int8_deconv = int8_deconv
         self._fwd_cache.clear()
 
     def _net_forward(self):
@@ -192,9 +199,12 @@ class PoseEstimator:
         if self._int8:
             from deepcut_tpu.models.quantize import forward_int8
 
+            use_dq = self._int8_deconv
+
             def fwd(params, x):
                 return forward_int8(params["q"], params["s"],
                                     x.astype(jnp.float32), cfg,
+                                    int8_deconv=use_dq,
                                     heads=("pose", "locref"))
             return fwd
 
