@@ -138,3 +138,63 @@ def test_solver_orbax_snapshot_restore_equivalence(tmp_path):
                     jax.tree_util.tree_leaves(resumed.net_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_graph_solver_prototxt_orbax_roundtrip(tmp_path):
+    """`snapshot_format: ORBAX` parsed from a solver PROTOTXT drives the
+    GraphSolver snapshot to an orbax directory, and restore(dir) continues
+    the exact trajectory (same equivalence pattern as the .solverstate
+    test in test_training.py)."""
+    from deepcut_tpu.proto import text_format
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.solver.solver import GraphSolver
+
+    PROTO = """
+    input: "data"
+    input_shape { dim: 6 dim: 5 }
+    input: "label"
+    input_shape { dim: 6 }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+            inner_product_param { num_output: 3
+              weight_filler { type: "gaussian" std: 0.2 } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label" top: "loss" }
+    """
+    rng = np.random.RandomState(0)
+    x = rng.randn(6, 5).astype(np.float32)
+    y = rng.randint(0, 3, (6,)).astype(np.int32)
+
+    def make(max_iter):
+        sp = SolverParams.from_prototxt(f"""
+            base_lr: 0.2
+            momentum: 0.9
+            lr_policy: "fixed"
+            display: 0
+            max_iter: {max_iter}
+            snapshot: 0
+            snapshot_prefix: "{tmp_path}/gs"
+            snapshot_format: ORBAX
+        """)
+        assert sp.snapshot_format == "ORBAX"
+        net = Net(text_format.parse(PROTO), phase="TRAIN", compute_dtype=None)
+        s = GraphSolver(sp, net, handle_signals=False, log=lambda *_: None)
+        s._next_inputs = lambda: {"data": jnp.asarray(x),
+                                  "label": jnp.asarray(y)}
+        return s
+
+    ref = make(5)
+    ref.solve()
+
+    a = make(3)
+    a.solve()
+    ckpt = a.snapshot(export_caffemodel=False)
+    assert ckpt.endswith(".orbax") and orbax_ckpt.is_orbax_checkpoint(ckpt)
+
+    b = make(5)
+    b.restore(ckpt)
+    assert b.iter == 3
+    b.solve()
+    for name in ref.net.params:
+        for k in ref.net.params[name]:
+            np.testing.assert_allclose(
+                np.asarray(b.net.params[name][k]),
+                np.asarray(ref.net.params[name][k]), rtol=1e-6, atol=1e-7)
