@@ -39,25 +39,40 @@ def load_image_bgr(path: str) -> np.ndarray:
 
 def prepare_canvas(
     image_bgr: np.ndarray, scale: float, input_h: int, input_w: int,
-    mean=MEAN_BGR,
+    mean=MEAN_BGR, *, uint8: bool = False,
 ) -> np.ndarray:
     """Reference image prep (pose_data_layer.cpp:627-667): bilinear resize by
     scale, 64px replicate pad (bottom/right), paste into a mean-filled canvas,
-    subtract mean. Returns float32 (input_h, input_w, 3)."""
+    subtract mean. Returns float32 (input_h, input_w, 3).
+
+    uint8=True skips the subtraction and returns the mean-filled uint8
+    canvas instead — the model does `x - mean` on device
+    (models/resnet.prepare_input), bit-identically (the mean is integer),
+    with 4x less host->device traffic and no full-canvas float pass here."""
     from PIL import Image
 
     h, w = image_bgr.shape[:2]
     nw, nh = int(round(w * scale)), int(round(h * scale))
-    img = np.asarray(
-        Image.fromarray(image_bgr[:, :, ::-1]).resize((nw, nh), Image.BILINEAR)
-    )[:, :, ::-1]
+    if (nw, nh) == (w, h):
+        img = image_bgr  # PIL bilinear to the same size is the identity
+    else:
+        img = np.asarray(
+            Image.fromarray(image_bgr[:, :, ::-1]).resize((nw, nh), Image.BILINEAR)
+        )[:, :, ::-1]
     img = np.pad(img, ((0, PAD_BORDER), (0, PAD_BORDER), (0, 0)), mode="edge")
-    canvas = np.empty((input_h, input_w, 3), np.float32)
-    canvas[:] = np.asarray(mean, np.float32)
     ch = min(input_h, img.shape[0])
     cw = min(input_w, img.shape[1])
-    canvas[:ch, :cw] = img[:ch, :cw]
-    return canvas - np.asarray(mean, np.float32)
+    if uint8:
+        canvas = np.empty((input_h, input_w, 3), np.uint8)
+        canvas[:] = np.asarray(mean, np.uint8)
+        canvas[:ch, :cw] = img[:ch, :cw]
+        return canvas
+    # mean-filled canvas minus mean == zeros outside the pasted region, so
+    # build the subtraction fused into the paste (one full-canvas float
+    # pass instead of three — this is the input pipeline's hottest line)
+    canvas = np.zeros((input_h, input_w, 3), np.float32)
+    canvas[:ch, :cw] = img[:ch, :cw] - np.asarray(mean, np.float32)
+    return canvas
 
 
 def _bucket(v: int, step: int) -> int:
@@ -86,6 +101,8 @@ class PoseDataSource:
         image_loader: Optional[Callable[[str], np.ndarray]] = None,
         augment: bool = False,
         max_rotation_deg: float = 15.0,
+        workers: int = 0,
+        uint8_images: bool = False,
     ):
         if isinstance(source, str):
             self.records = parse_window_file(source, root_folder)
@@ -101,6 +118,16 @@ class PoseDataSource:
         self.image_loader = image_loader or load_image_bgr
         self.augment = augment
         self.max_rotation_deg = max_rotation_deg
+        # workers > 0: decode/warp/canvas of the samples in a batch run on a
+        # thread pool (PIL's jpeg decode and the numpy warp release the GIL).
+        # All RNG draws stay on the calling thread in sample order, so the
+        # produced batches are BIT-IDENTICAL to workers=0 (tested).
+        self.workers = int(workers)
+        # uint8_images: emit mean-FILLED uint8 canvases instead of
+        # mean-SUBTRACTED float32 ones; the train step subtracts on device
+        # (models/resnet.prepare_input), bit-identically. 4x smaller batches.
+        self.uint8_images = uint8_images
+        self._pool = None
         self._order: List[int] = []
         self._pos = 0
 
@@ -113,8 +140,12 @@ class PoseDataSource:
             return idx
         return int(self.rng.randint(len(self.records)))
 
-    def next_sample(self) -> Dict[str, np.ndarray]:
-        """One rasterized sample (unbatched), retrying rejected images."""
+    def _draw_spec(self):
+        """The serial RNG phase of one sample: index/scale draws with
+        rejection, augmentation parameter draws, and target rasterization —
+        everything that consumes `self.rng`, in the exact order the serial
+        path consumes it. Returns (maps, path, affine_M, scale); the image
+        itself is untouched (the heavy phase is RNG-free)."""
         rejected = 0
         while True:
             rec = self.records[self._next_index()]
@@ -132,19 +163,50 @@ class PoseDataSource:
                         f"max_input_size={self.cfg.max_input_size}) — every "
                         "record seems outside the accepted size range")
                 continue
-            image = self.image_loader(rec.path)
-            if self.augment:
-                from deepcut_tpu.pose.augment import augment_record
-                image, rec = augment_record(
-                    rec, image, self.rng, max_rotation_deg=self.max_rotation_deg)
-            maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng, scale=scale)
-            ih, iw = int(maps["input_size"][0]), int(maps["input_size"][1])
-            maps["image"] = prepare_canvas(image, scale, ih, iw)
-            return maps
+            break
+        M = None
+        if self.augment:
+            from deepcut_tpu.pose.augment import draw_affine
+            M, rec = draw_affine(rec, self.rng,
+                                 max_rotation_deg=self.max_rotation_deg)
+        maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng, scale=scale)
+        return maps, rec.path, M, scale
+
+    def _load_canvas(self, path: str, M, scale: float, ih: int, iw: int) -> np.ndarray:
+        """The RNG-free heavy phase: decode, optional affine warp, canvas
+        prep. Safe on a worker thread."""
+        image = self.image_loader(path)
+        if M is not None:
+            from deepcut_tpu.pose.augment import warp_image
+            image = warp_image(image, M, image.shape[:2]).astype(np.uint8)
+        return prepare_canvas(image, scale, ih, iw, uint8=self.uint8_images)
+
+    def _finish(self, spec) -> Dict[str, np.ndarray]:
+        maps, path, M, scale = spec
+        ih, iw = int(maps["input_size"][0]), int(maps["input_size"][1])
+        maps["image"] = self._load_canvas(path, M, scale, ih, iw)
+        return maps
+
+    def next_sample(self) -> Dict[str, np.ndarray]:
+        """One rasterized sample (unbatched), retrying rejected images."""
+        return self._finish(self._draw_spec())
 
     def next_batch(self, batch_size: int = 1) -> Dict[str, np.ndarray]:
-        """Batch of bucket-padded samples (pad with ignore/zero-weight)."""
-        samples = [self.next_sample() for _ in range(batch_size)]
+        """Batch of bucket-padded samples (pad with ignore/zero-weight).
+
+        With workers > 0 the per-sample decode/warp/canvas work fans out to
+        a thread pool; the RNG phase stays serial, so batches equal the
+        workers=0 output exactly."""
+        specs = [self._draw_spec() for _ in range(batch_size)]
+        if self.workers > 0 and batch_size > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.workers,
+                    thread_name_prefix="deepcut-data")
+            samples = list(self._pool.map(self._finish, specs))
+        else:
+            samples = [self._finish(s) for s in specs]
         bh = _bucket(max(s["image"].shape[0] for s in samples), self.bucket_step)
         bw = _bucket(max(s["image"].shape[1] for s in samples), self.bucket_step)
         gh, gw = bh // T.STRIDE, bw // T.STRIDE
@@ -154,6 +216,14 @@ class PoseDataSource:
             pads = []
             for s in samples:
                 a = s[k]
+                if k == "image" and a.dtype == np.uint8:
+                    # uint8 canvases: bucket padding is the MEAN pixel (the
+                    # device-side subtract turns it into the float path's 0)
+                    b = np.empty((bh, bw, a.shape[2]), np.uint8)
+                    b[:] = np.asarray(MEAN_BGR, np.uint8)
+                    b[: a.shape[0], : a.shape[1]] = a
+                    pads.append(b)
+                    continue
                 if k == "image":
                     pad_val, th, tw = 0.0, bh, bw
                 elif k == "segm_cls_targets":

@@ -39,6 +39,22 @@ from deepcut_tpu.ops.eltwise import crop_like
 
 Params = Dict[str, Dict[str, jax.Array]]
 
+# BGR training mean (pose_data_layer.cpp:627-667; same constant as
+# data/pipeline.MEAN_BGR). Integer-valued, so device-side subtraction of a
+# uint8 input is bit-identical to the host float path.
+MEAN_BGR = (104.0, 117.0, 123.0)
+
+
+def prepare_input(x: jax.Array) -> jax.Array:
+    """Accept either a mean-subtracted float image batch (the classic
+    contract) or a raw uint8 BGR canvas: uint8 inputs are converted and
+    mean-subtracted ON DEVICE. This quarters the host->device transfer and
+    removes the input pipeline's full-canvas float pass (its hottest line) —
+    the TPU-idiomatic layout for a production input pipeline."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) - jnp.asarray(MEAN_BGR, jnp.float32)
+    return x
+
 
 @dataclasses.dataclass(frozen=True)
 class DeeperCutConfig:
@@ -255,6 +271,7 @@ def forward(
     # bf16 (the MXU still accumulates f32 internally) — standard mixed
     # precision. Folded inference keeps the explicit f32 accumulate.
     acc = None if (cfg.mixed_train and not folded) else jnp.float32
+    x = prepare_input(x)
     res5c, skip = run_trunk(
         params, x, cfg,
         conv_fn=functools.partial(conv2d, compute_dtype=cdt, accum_dtype=acc),

@@ -51,7 +51,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcut_tpu.models.resnet import (
-    DeeperCutConfig, compute_heads, run_trunk)
+    DeeperCutConfig, compute_heads, prepare_input, run_trunk)
 from deepcut_tpu.ops.conv import conv2d
 from deepcut_tpu.ops import losses as loss_ops
 from deepcut_tpu.solver import update_rules
@@ -139,6 +139,7 @@ def spatial_forward(params, x_local, cfg: DeeperCutConfig,
     folded=False) — same run_trunk/compute_heads code, halo conv ops."""
     cdt = cfg.compute_dtype if cfg.mixed_train else None
     acc = None if cfg.mixed_train else jnp.float32
+    x_local = prepare_input(x_local)  # uint8 canvases: -mean on device
     res5c, skip = run_trunk(
         params, x_local, cfg,
         conv_fn=functools.partial(spatial_conv2d, axis=axis,

@@ -33,12 +33,18 @@ _ASYNC_CHECKPOINTER = None  # one background write thread per process
 
 
 def _checkpointer():
+    import atexit
+
     import orbax.checkpoint as ocp
 
     global _ASYNC_CHECKPOINTER
     if _ASYNC_CHECKPOINTER is None:
         _ASYNC_CHECKPOINTER = ocp.AsyncCheckpointer(
             ocp.StandardCheckpointHandler())
+        # a CLI run that snapshots and exits must not lose the in-flight
+        # async write (the reference's blocking write can't lose one;
+        # neither may we)
+        atexit.register(wait_until_finished)
     return _ASYNC_CHECKPOINTER
 
 

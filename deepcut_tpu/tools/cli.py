@@ -128,6 +128,12 @@ def train(args) -> int:
         # to 0 would make every unseeded run identical
         seed=(sp.random_seed if sp.random_seed >= 0
               else int.from_bytes(os.urandom(4), "little")),
+        # parallel decode/warp/canvas; batches are bit-identical to the
+        # serial path (the RNG phase stays ordered — data/pipeline.py)
+        workers=max(getattr(args, "data_workers", 4), 0),
+        # uint8 canvases with device-side mean subtraction: bit-identical
+        # trajectories (integer mean), 4x less host->device traffic
+        uint8_images=True,
     )
     model_cfg = deepercut_config(
         args.resnet,
@@ -381,6 +387,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-spatial", type=int, default=1,
                    help="with -mesh: shard image rows over a spatial axis of "
                         "this size for pose training (N = data*spatial)")
+    p.add_argument("-data_workers", type=int, default=4,
+                   help="decode threads in the input pipeline (0 = serial; "
+                        "batches are identical either way)")
     p.add_argument("-mixed_precision", action="store_true",
                    help="bf16 conv compute, f32 params/losses (1.6x step speed)")
     p.add_argument("-remat", action="store_true",

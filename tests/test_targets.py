@@ -164,3 +164,126 @@ def test_pose_data_source_rejection_loop_fails_loudly(tmp_path):
     src = PoseDataSource([rec], TargetConfig(num_classes=5))
     with pytest.raises(RuntimeError, match="rejected"):
         src.next_sample()
+
+
+def test_pose_data_source_workers_bitwise_equal(tmp_path):
+    """workers>0 parallelizes only the RNG-free decode/warp/canvas phase
+    (data/pipeline.py), so batches must be BIT-identical to the serial
+    path — with and without augmentation, over real on-disk JPEGs."""
+    from PIL import Image
+    from deepcut_tpu.data.pipeline import PoseDataSource
+
+    rng = np.random.RandomState(11)
+    recs = []
+    for i in range(4):
+        h, w = int(rng.randint(140, 200)), int(rng.randint(160, 240))
+        arr = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        path = str(tmp_path / f"img{i}.jpg")
+        Image.fromarray(arr).save(path, quality=90)
+        r = _record(rng, height=h, width=w)
+        recs.append(ImageRecord(path, 3, h, w, r.people))
+
+    cfg = TargetConfig(soft_labels=False, location_refinement=True)
+    for augment in (False, True):
+        srcs = [PoseDataSource(recs, cfg, seed=3, bucket_step=32,
+                               augment=augment, workers=wk)
+                for wk in (0, 4)]
+        for _ in range(3):
+            a = srcs[0].next_batch(4)
+            b = srcs[1].next_batch(4)
+            assert sorted(a) == sorted(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_pose_data_source_uint8_images_equivalent(tmp_path):
+    """uint8_images=True emits mean-FILLED uint8 canvases whose device-side
+    subtraction (models/resnet.prepare_input) equals the float path
+    bit-exactly — including the bucket-padding region; and a train step fed
+    either batch produces identical params."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+    from deepcut_tpu.data.pipeline import PoseDataSource, MEAN_BGR
+    from deepcut_tpu.models.resnet import prepare_input
+
+    rng = np.random.RandomState(21)
+    recs = []
+    for i in range(3):
+        h, w = int(rng.randint(120, 170)), int(rng.randint(130, 190))
+        arr = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        path = str(tmp_path / f"u{i}.png")
+        Image.fromarray(arr).save(path)
+        r = _record(rng, height=h, width=w)
+        recs.append(ImageRecord(path, 3, h, w, r.people))
+
+    cfg = TargetConfig(soft_labels=False, location_refinement=True,
+                       no_bg_class=True)
+    sf = PoseDataSource(recs, cfg, seed=9, bucket_step=32)
+    su = PoseDataSource(recs, cfg, seed=9, bucket_step=32, uint8_images=True)
+    bf = sf.next_batch(3)
+    bu = su.next_batch(3)
+    assert bu["image"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        np.asarray(prepare_input(jnp.asarray(bu["image"]))), bf["image"])
+    for k in bf:
+        if k != "image":
+            np.testing.assert_array_equal(bf[k], bu[k], err_msg=k)
+
+    # one train step: identical params either way
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.parallel.train_step import make_train_step
+    from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+    mcfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                           num_joints=14, pairwise=False,
+                           compute_dtype=jnp.float32)
+    scfg = SolverConfig(solver_type="SGD", base_lr=0.05, momentum=0.9)
+    params = init_params(jax.random.PRNGKey(0), mcfg)
+    step = make_train_step(mcfg, scfg, None, donate=False)
+    outs = []
+    for batch in (bf, bu):
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        p2, _, m = step(params, init_state(scfg, params), b)
+        outs.append((p2, float(m["total_loss"])))
+    assert outs[0][1] == outs[1][1]
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][0]),
+                    jax.tree_util.tree_leaves(outs[1][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_warp_image_matches_pointwise_oracle():
+    """The scipy-lowered affine warp (pose/augment.warp_image) must equal an
+    independently written per-pixel bilinear gather with mean-fill outside
+    the source — the reference's border extrapolation toward the mean
+    (transform_image.cpp:9-107) — including the blended border band."""
+    from deepcut_tpu.pose.augment import affine_about, warp_image
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 255, (37, 53, 3)).astype(np.uint8)
+    fill = (104.0, 117.0, 123.0)
+    for angle, scale, center in [(12.5, 1.1, (20.0, 15.0)),
+                                 (-30.0, 0.8, (0.0, 0.0)),
+                                 (0.0, 1.35, (26.5, 18.5))]:
+        M = affine_about(center, angle, scale)
+        got = warp_image(img, M, img.shape[:2], fill=fill)
+
+        Minv = np.linalg.inv(np.vstack([M, [0.0, 0.0, 1.0]]))
+        H, W = img.shape[:2]
+        fillv = np.asarray(fill, np.float64)
+        want = np.empty((H, W, 3), np.float64)
+        for oy in range(H):
+            for ox in range(W):
+                sx = Minv[0, 0] * ox + Minv[0, 1] * oy + Minv[0, 2]
+                sy = Minv[1, 0] * ox + Minv[1, 1] * oy + Minv[1, 2]
+                x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+                fx, fy = sx - x0, sy - y0
+                acc = np.zeros(3, np.float64)
+                for dy, wy in ((0, 1 - fy), (1, fy)):
+                    for dx, wx in ((0, 1 - fx), (1, fx)):
+                        yy, xx = y0 + dy, x0 + dx
+                        v = (img[yy, xx].astype(np.float64)
+                             if 0 <= yy < H and 0 <= xx < W else fillv)
+                        acc += wy * wx * v
+                want[oy, ox] = acc
+        np.testing.assert_allclose(got, want, atol=2e-3)
