@@ -174,10 +174,23 @@ class PoseDataSource:
 
     def _load_canvas(self, path: str, M, scale: float, ih: int, iw: int) -> np.ndarray:
         """The RNG-free heavy phase: decode, optional affine warp, canvas
-        prep. Safe on a worker thread."""
+        prep. Safe on a worker thread.
+
+        When augmenting with cv2 available, the scale resize is FUSED into
+        the affine warp (scale*M is still affine): one resample instead of
+        warp + PIL resize — ~2x faster and no double-blur. Joint coords are
+        untouched (the rasterizer applies `scale` itself to the M-warped
+        record). The non-augmented path keeps PIL resize for reference
+        parity (scipy.misc.imresize semantics)."""
         image = self.image_loader(path)
         if M is not None:
-            from deepcut_tpu.pose.augment import warp_image
+            from deepcut_tpu.pose.augment import _cv2, warp_image
+            if _cv2 is not None and scale != 1.0:
+                h, w = image.shape[:2]
+                nh, nw = int(round(h * scale)), int(round(w * scale))
+                image = warp_image(image, scale * np.asarray(M), (nh, nw))
+                return prepare_canvas(image.astype(np.uint8), 1.0, ih, iw,
+                                      uint8=self.uint8_images)
             image = warp_image(image, M, image.shape[:2]).astype(np.uint8)
         return prepare_canvas(image, scale, ih, iw, uint8=self.uint8_images)
 

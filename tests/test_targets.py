@@ -256,7 +256,13 @@ def test_warp_image_matches_pointwise_oracle():
     """The scipy-lowered affine warp (pose/augment.warp_image) must equal an
     independently written per-pixel bilinear gather with mean-fill outside
     the source — the reference's border extrapolation toward the mean
-    (transform_image.cpp:9-107) — including the blended border band."""
+    (transform_image.cpp:9-107) — including the blended border band.
+
+    Tolerance: cv2's bilinear quantizes sample coordinates to 1/32 px via
+    its interpolation tables, so values may differ from exact float
+    bilinear by up to ~2 grey levels at sharp edges; the mean must stay
+    well under one grey level. (The scipy fallback is exact to 2e-3 —
+    asserted separately below.)"""
     from deepcut_tpu.pose.augment import affine_about, warp_image
 
     rng = np.random.RandomState(5)
@@ -286,4 +292,16 @@ def test_warp_image_matches_pointwise_oracle():
                              if 0 <= yy < H and 0 <= xx < W else fillv)
                         acc += wy * wx * v
                 want[oy, ox] = acc
-        np.testing.assert_allclose(got, want, atol=2e-3)
+        import deepcut_tpu.pose.augment as aug
+        if aug._cv2 is not None:
+            assert np.max(np.abs(got - want)) < 4.0
+            assert np.mean(np.abs(got - want)) < 0.5
+            # the scipy fallback keeps exact float coefficients
+            cv2_save, aug._cv2 = aug._cv2, None
+            try:
+                got_scipy = warp_image(img, M, img.shape[:2], fill=fill)
+            finally:
+                aug._cv2 = cv2_save
+            np.testing.assert_allclose(got_scipy, want, atol=2e-3)
+        else:
+            np.testing.assert_allclose(got, want, atol=2e-3)
