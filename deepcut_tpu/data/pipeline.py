@@ -24,7 +24,7 @@ import numpy as np
 from deepcut_tpu.data.window_file import ImageRecord, JointStats, default_stats, parse_window_file
 from deepcut_tpu.pose import targets as T
 
-MEAN_BGR = (104.0, 117.0, 123.0)
+from deepcut_tpu.constants import MEAN_BGR
 PAD_BORDER = 64  # pose_data_layer.cpp:637
 
 
@@ -63,8 +63,21 @@ def prepare_canvas(
     ch = min(input_h, img.shape[0])
     cw = min(input_w, img.shape[1])
     if uint8:
+        # the device-side subtract contract only holds for uint8 pixel data
+        # and an integer mean (constants.MEAN_BGR) — anything else would be
+        # silently wrapped/truncated by the uint8 buffer below
+        if img.dtype != np.uint8:
+            raise TypeError(
+                f"uint8 canvas requires a uint8 image (got {img.dtype}); "
+                "use uint8_images=False with float image loaders")
+        mean_arr = np.asarray(mean, np.float32)
+        if not np.all(mean_arr == np.round(mean_arr)) or \
+                not np.all((0 <= mean_arr) & (mean_arr <= 255)):
+            raise ValueError(
+                f"uint8 canvas requires an integer mean in [0, 255] "
+                f"(got {mean}); use uint8=False for custom means")
         canvas = np.empty((input_h, input_w, 3), np.uint8)
-        canvas[:] = np.asarray(mean, np.uint8)
+        canvas[:] = mean_arr.astype(np.uint8)
         canvas[:ch, :cw] = img[:ch, :cw]
         return canvas
     # mean-filled canvas minus mean == zeros outside the pasted region, so
@@ -122,6 +135,10 @@ class PoseDataSource:
         # thread pool (PIL's jpeg decode and the numpy warp release the GIL).
         # All RNG draws stay on the calling thread in sample order, so the
         # produced batches are BIT-IDENTICAL to workers=0 (tested).
+        # CONTRACT: with workers > 0 a custom image_loader is called
+        # concurrently from pool threads and must be thread-safe (the
+        # default path-based loader is); loaders sharing one handle or
+        # mutable state need workers=0.
         self.workers = int(workers)
         # uint8_images: emit mean-FILLED uint8 canvases instead of
         # mean-SUBTRACTED float32 ones; the train step subtracts on device
@@ -139,6 +156,14 @@ class PoseDataSource:
             self._pos = (self._pos + 1) % len(self.records)
             return idx
         return int(self.rng.randint(len(self.records)))
+
+    def close(self) -> None:
+        """Shut down the decode thread pool (no-op for workers=0). Safe to
+        call more than once; the source stays usable (a later batch just
+        recreates the pool)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def _draw_spec(self):
         """The serial RNG phase of one sample: index/scale draws with

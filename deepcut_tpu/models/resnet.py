@@ -39,10 +39,10 @@ from deepcut_tpu.ops.eltwise import crop_like
 
 Params = Dict[str, Dict[str, jax.Array]]
 
-# BGR training mean (pose_data_layer.cpp:627-667; same constant as
-# data/pipeline.MEAN_BGR). Integer-valued, so device-side subtraction of a
-# uint8 input is bit-identical to the host float path.
-MEAN_BGR = (104.0, 117.0, 123.0)
+# BGR training mean (pose_data_layer.cpp:627-667). Integer-valued, so
+# device-side subtraction of a uint8 input is bit-identical to the host
+# float path — see constants.py for why there is exactly one definition.
+from deepcut_tpu.constants import MEAN_BGR
 
 
 def prepare_input(x: jax.Array) -> jax.Array:

@@ -14,6 +14,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from deepcut_tpu.constants import MEAN_BGR
 from deepcut_tpu.data.window_file import ImageRecord, Person
 
 
@@ -41,7 +42,7 @@ except ImportError:  # pragma: no cover - cv2 is present in the image
 
 
 def warp_image(image: np.ndarray, M: np.ndarray, out_hw: Tuple[int, int],
-               fill: Tuple[float, float, float] = (104.0, 117.0, 123.0)) -> np.ndarray:
+               fill: Tuple[float, float, float] = MEAN_BGR) -> np.ndarray:
     """Inverse-mapped bilinear warp with mean-pixel fill (the reference's
     border extrapolation toward the mean, transform_image.cpp:9-107).
 

@@ -33,7 +33,7 @@ from deepcut_tpu.models.resnet import (
     DeeperCutConfig, cast_params, deepercut_config, fold_bn, forward)
 from deepcut_tpu.pose.decode import decode_pose, STRIDE, LOCREF_SCALE
 
-MEAN_BGR = (104.0, 117.0, 123.0)  # estimate_pose.py:25
+from deepcut_tpu.constants import MEAN_BGR  # estimate_pose.py:25
 PAD_SIZE = 64                     # estimate_pose.py:89
 MAX_SIZE = 700                    # _MAX_SIZE, estimate_pose.py:29
 RF = 224                          # receptive field, estimate_pose.py:162

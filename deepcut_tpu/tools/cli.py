@@ -167,6 +167,7 @@ def train(args) -> int:
         solver.solve()
     finally:
         prefetch.stop()
+        source.close()  # decode thread pool
     return 0
 
 

@@ -294,7 +294,9 @@ def test_warp_image_matches_pointwise_oracle():
                 want[oy, ox] = acc
         import deepcut_tpu.pose.augment as aug
         if aug._cv2 is not None:
-            assert np.max(np.abs(got - want)) < 4.0
+            # 1/32-px coordinate quantization on 255-level noise bounds the
+            # pointwise error near ~8 grey levels; the mean is the signal
+            assert np.max(np.abs(got - want)) < 8.0
             assert np.mean(np.abs(got - want)) < 0.5
             # the scipy fallback keeps exact float coefficients
             cv2_save, aug._cv2 = aug._cv2, None
@@ -305,3 +307,20 @@ def test_warp_image_matches_pointwise_oracle():
             np.testing.assert_allclose(got_scipy, want, atol=2e-3)
         else:
             np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_prepare_canvas_uint8_rejects_bad_inputs():
+    """The uint8 canvas contract (device-side subtract of an integer mean)
+    must fail loudly on float images or non-integer means instead of
+    silently wrapping into the uint8 buffer."""
+    from deepcut_tpu.data.pipeline import prepare_canvas
+
+    img_f = np.random.RandomState(0).rand(40, 50, 3).astype(np.float32)
+    with pytest.raises(TypeError, match="uint8"):
+        prepare_canvas(img_f, 1.0, 64, 64, uint8=True)
+    img_u = (img_f * 255).astype(np.uint8)
+    with pytest.raises(ValueError, match="integer mean"):
+        prepare_canvas(img_u, 1.0, 64, 64, mean=(104.5, 117.0, 123.0),
+                       uint8=True)
+    out = prepare_canvas(img_u, 1.0, 64, 64, uint8=True)
+    assert out.dtype == np.uint8
