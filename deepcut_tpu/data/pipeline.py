@@ -116,6 +116,7 @@ class PoseDataSource:
         max_rotation_deg: float = 15.0,
         workers: int = 0,
         uint8_images: bool = False,
+        device_targets: bool = False,
     ):
         if isinstance(source, str):
             self.records = parse_window_file(source, root_folder)
@@ -144,6 +145,15 @@ class PoseDataSource:
         # mean-SUBTRACTED float32 ones; the train step subtracts on device
         # (models/resnet.prepare_input), bit-identically. 4x smaller batches.
         self.uint8_images = uint8_images
+        # device_targets: ship compact `anno_*` annotation arrays instead of
+        # dense target maps; the train step rasterizes them ON DEVICE
+        # (pose/targets_device.py) — bit-identical targets, ~18x less
+        # host->device traffic for the pairwise configuration. RPN and
+        # segmentation targets (small) stay host-built either way.
+        self.device_targets = device_targets
+        if device_targets:
+            from deepcut_tpu.pose.targets_device import record_limits
+            self._limits = record_limits(self.records)
         self._pool = None
         self._order: List[int] = []
         self._pos = 0
@@ -194,7 +204,13 @@ class PoseDataSource:
             from deepcut_tpu.pose.augment import draw_affine
             M, rec = draw_affine(rec, self.rng,
                                  max_rotation_deg=self.max_rotation_deg)
-        maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng, scale=scale)
+        if self.device_targets:
+            from deepcut_tpu.pose.targets_device import compact_sample
+            maps = compact_sample(rec, self.cfg, self.stats, self.rng,
+                                  scale=scale, limits=self._limits)
+        else:
+            maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng,
+                                      scale=scale)
         return maps, rec.path, M, scale
 
     def _load_canvas(self, path: str, M, scale: float, ih: int, iw: int) -> np.ndarray:
@@ -251,6 +267,19 @@ class PoseDataSource:
         out: Dict[str, np.ndarray] = {}
         keys = [k for k in samples[0] if k not in ("scale", "input_size")]
         for k in keys:
+            if k.startswith("anno_"):
+                if k == "anno_neg_mask":
+                    ms = []
+                    for s in samples:
+                        a = s[k]
+                        b = np.zeros((gh, gw), np.uint8)
+                        b[: a.shape[0], : a.shape[1]] = a
+                        ms.append(b)
+                    out[k] = np.stack(ms)
+                else:
+                    # fixed per-source shapes (CompactLimits) — stack as-is
+                    out[k] = np.stack([s[k] for s in samples])
+                continue
             pads = []
             for s in samples:
                 a = s[k]

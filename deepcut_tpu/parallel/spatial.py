@@ -203,24 +203,45 @@ def spatial_axis_size(mesh: Mesh) -> int:
     return dict(zip(mesh.axis_names, mesh.devices.shape)).get("spatial", 1)
 
 
-def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh):
+def _target_rasterizer(target_cfg, target_stats, batch):
+    """Device rasterizer for the spatial paths: targets are data-sharded
+    only (every spatial shard holds full-grid maps), so the grid is the
+    GLOBAL canvas's stride-8 grid, passed explicitly — inside shard_map the
+    local image shard is 1/nsp of it."""
+    if target_cfg is None:
+        return None
+    from deepcut_tpu.pose.targets_device import make_batch_rasterizer
+    gh = int(batch["image"].shape[1]) // 8
+    gw = int(batch["image"].shape[2]) // 8
+    return make_batch_rasterizer(target_cfg, target_stats, grid=(gh, gw))
+
+
+def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
+                                target_cfg=None, target_stats=None):
     """Cached-jitted ((loss, metrics), grads) over the 2-D mesh — the
     gradient half of the spatial step, shared by PoseSolver (which applies
     updates separately so host-side iter_size accumulation keeps working)
     and usable standalone. make_spatial_train_step fuses grad+update into
-    one shard_map program instead (donation + fusion for the hot loop)."""
+    one shard_map program instead (donation + fusion for the hot loop).
+    target_cfg: on-device rasterization of compact `anno_*` batches
+    (pose/targets_device.py)."""
     nsp = spatial_axis_size(mesh)
 
-    def local_vg(params, batch):
-        def local_loss(p):
-            outs = spatial_forward(p, batch["image"], model_cfg)
-            return sharded_pose_loss(outs, batch, model_cfg,
-                                     psum_axes=("data",))
-        (loss, metrics), g = jax.value_and_grad(
-            local_loss, has_aux=True)(params)
-        g = jax.tree_util.tree_map(
-            lambda a: lax.psum(a, ("data", "spatial")) / nsp, g)
-        return (loss, metrics), g
+    def make_local_vg(rast):
+        def local_vg(params, batch):
+            if rast is not None:
+                batch = rast(batch)
+
+            def local_loss(p):
+                outs = spatial_forward(p, batch["image"], model_cfg)
+                return sharded_pose_loss(outs, batch, model_cfg,
+                                         psum_axes=("data",))
+            (loss, metrics), g = jax.value_and_grad(
+                local_loss, has_aux=True)(params)
+            g = jax.tree_util.tree_map(
+                lambda a: lax.psum(a, ("data", "spatial")) / nsp, g)
+            return (loss, metrics), g
+        return local_vg
 
     rep, img, dp = P(), P("data", "spatial"), P("data")
     _cache: Dict = {}
@@ -228,10 +249,13 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh):
     def vg(params, batch):
         check_spatial_shapes(int(batch["image"].shape[1]),
                              int(batch["image"].shape[0]), mesh)
-        key = (jax.tree_util.tree_structure(params), tuple(sorted(batch)))
+        key = (jax.tree_util.tree_structure(params), tuple(sorted(batch)),
+               batch["image"].shape[1:3] if target_cfg is not None else None)
         if key not in _cache:
             pspec = jax.tree_util.tree_map(lambda _: rep, params)
             bspec = {k: (img if k == "image" else dp) for k in batch}
+            local_vg = make_local_vg(
+                _target_rasterizer(target_cfg, target_stats, batch))
             _cache[key] = jax.jit(jax.shard_map(
                 local_vg, mesh=mesh, in_specs=(pspec, bspec),
                 out_specs=((rep, rep), pspec), check_vma=False))
@@ -246,29 +270,37 @@ def make_spatial_train_step(
     mesh: Mesh,
     *,
     donate: bool = True,
+    target_cfg=None,
+    target_stats=None,
 ):
     """(params, state, batch) -> (params, state, metrics) over a 2-D
     ('data', 'spatial') mesh: batch over 'data', image rows over 'spatial',
     params/opt-state replicated — trajectory-equal to the single-device
-    make_train_step (tested)."""
+    make_train_step (tested). target_cfg: on-device target rasterization
+    of compact `anno_*` batches (pose/targets_device.py)."""
     nsp = spatial_axis_size(mesh)
 
-    def step(params, state, batch):
-        def local_loss(p):
-            outs = spatial_forward(p, batch["image"], model_cfg)
-            return sharded_pose_loss(outs, batch, model_cfg,
-                                     psum_axes=("data",))
-        (total, metrics), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(params)
-        # psum over both axes counts every data row n_spatial times (the
-        # gather transpose + replicated heads, see module docstring) —
-        # divide once, uniformly.
-        grads = jax.tree_util.tree_map(
-            lambda g: lax.psum(g, ("data", "spatial")) / nsp, grads)
-        params2, state2 = update_rules.step(solver_cfg, params, grads, state)
-        metrics = dict(metrics)
-        metrics["lr"] = update_rules.learning_rate(solver_cfg, state["iter"])
-        return params2, state2, metrics
+    def make_step(rast):
+        def step(params, state, batch):
+            if rast is not None:
+                batch = rast(batch)
+
+            def local_loss(p):
+                outs = spatial_forward(p, batch["image"], model_cfg)
+                return sharded_pose_loss(outs, batch, model_cfg,
+                                         psum_axes=("data",))
+            (total, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(params)
+            # psum over both axes counts every data row n_spatial times (the
+            # gather transpose + replicated heads, see module docstring) —
+            # divide once, uniformly.
+            grads = jax.tree_util.tree_map(
+                lambda g: lax.psum(g, ("data", "spatial")) / nsp, grads)
+            params2, state2 = update_rules.step(solver_cfg, params, grads, state)
+            metrics = dict(metrics)
+            metrics["lr"] = update_rules.learning_rate(solver_cfg, state["iter"])
+            return params2, state2, metrics
+        return step
 
     rep = P()
     img = P("data", "spatial")
@@ -280,11 +312,14 @@ def make_spatial_train_step(
         check_spatial_shapes(int(batch["image"].shape[1]),
                              int(batch["image"].shape[0]), mesh)
         key = (jax.tree_util.tree_structure(params),
-               jax.tree_util.tree_structure(state), tuple(sorted(batch)))
+               jax.tree_util.tree_structure(state), tuple(sorted(batch)),
+               batch["image"].shape[1:3] if target_cfg is not None else None)
         if key not in _cache:
             pspec = jax.tree_util.tree_map(lambda _: rep, params)
             sspec = jax.tree_util.tree_map(lambda _: rep, state)
             bspec = {k: (img if k == "image" else dp) for k in batch}
+            step = make_step(
+                _target_rasterizer(target_cfg, target_stats, batch))
             sharded = jax.shard_map(
                 step, mesh=mesh, in_specs=(pspec, sspec, bspec),
                 out_specs=(pspec, sspec, rep), check_vma=False)

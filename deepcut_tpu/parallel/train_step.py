@@ -26,6 +26,8 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     *,
     donate: bool = True,
+    target_cfg=None,
+    target_stats=None,
 ):
     """Returns jitted (params, state, batch) -> (params, state, metrics).
 
@@ -35,6 +37,13 @@ def make_train_step(
     halo exchanges + psum reductions (parallel/spatial.py — bypassing the
     jax-0.9 GSPMD conv-weight-grad bug the canary in tests/test_parallel.py
     watches). Either way the trajectory equals single-device (tested).
+
+    target_cfg (pose.targets.TargetConfig): enables ON-DEVICE target
+    rasterization — batches carry compact ``anno_*`` annotation arrays
+    (PoseDataSource(device_targets=True)) and the dense target maps are
+    built inside this step's XLA program (pose/targets_device.py), instead
+    of crossing the host->device boundary (~25 MB/sample for the pairwise
+    configuration).
     """
     if getattr(solver_cfg, "iter_size", 1) > 1:
         # update_rules.step divides grads by iter_size (preprocess_grads) on
@@ -47,7 +56,14 @@ def make_train_step(
             "core.graph.Net.make_train_step (leading iter_size axis + scan) "
             "for iter_size > 1")
 
+    rast = None
+    if target_cfg is not None:
+        from deepcut_tpu.pose.targets_device import make_batch_rasterizer
+        rast = make_batch_rasterizer(target_cfg, target_stats)
+
     def train_step(params, state, batch):
+        if rast is not None:
+            batch = rast(batch)  # no-op for dense-target batches
         (total, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, model_cfg), has_aux=True
         )(params)
@@ -70,7 +86,8 @@ def make_train_step(
         # which still canaries the upstream fix).
         from deepcut_tpu.parallel.spatial import make_spatial_train_step
         return make_spatial_train_step(model_cfg, solver_cfg, mesh,
-                                       donate=donate)
+                                       donate=donate, target_cfg=target_cfg,
+                                       target_stats=target_stats)
 
     rep = replicated(mesh)
     bsh = NamedSharding(mesh, P("data"))

@@ -418,7 +418,13 @@ class PoseSolver:
         lr_mults: Optional[Any] = None,
         handle_signals: bool = True,
         log: Callable[[str], None] = print,
+        target_cfg=None,
+        target_stats=None,
     ):
+        """target_cfg (pose.targets.TargetConfig): enables ON-DEVICE target
+        rasterization — the batch_source ships compact `anno_*` annotation
+        arrays (PoseDataSource(device_targets=True)) and the dense maps are
+        built inside the jitted gradient step (pose/targets_device.py)."""
         from deepcut_tpu.models.resnet import init_params
         from deepcut_tpu.models.train import loss_fn
 
@@ -434,7 +440,14 @@ class PoseSolver:
         self.signals = SignalHandler(handle_signals)
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
         scfg = params.config
-        vg = jax.value_and_grad(lambda p, b: loss_fn(p, b, model_cfg), has_aux=True)
+        if target_cfg is not None:
+            from deepcut_tpu.pose.targets_device import make_batch_rasterizer
+            _rast = make_batch_rasterizer(target_cfg, target_stats)
+            vg = jax.value_and_grad(
+                lambda p, b: loss_fn(p, _rast(b), model_cfg), has_aux=True)
+        else:
+            vg = jax.value_and_grad(
+                lambda p, b: loss_fn(p, b, model_cfg), has_aux=True)
         upd = lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
         nsp = 1
         if mesh is not None:
@@ -452,7 +465,9 @@ class PoseSolver:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from deepcut_tpu.parallel.spatial import make_spatial_value_and_grad
 
-            self._grad_fn = make_spatial_value_and_grad(model_cfg, mesh)
+            self._grad_fn = make_spatial_value_and_grad(
+                model_cfg, mesh, target_cfg=target_cfg,
+                target_stats=target_stats)
             repl = NamedSharding(mesh, P())
             self._update_fn = jax.jit(upd, in_shardings=(repl, repl, repl),
                                       out_shardings=(repl, repl))

@@ -134,6 +134,12 @@ def train(args) -> int:
         # uint8 canvases with device-side mean subtraction: bit-identical
         # trajectories (integer mean), 4x less host->device traffic
         uint8_images=True,
+        # ship compact annotations and rasterize the dense target maps ON
+        # DEVICE inside the train step (pose/targets_device.py) — ~18x less
+        # host->device traffic for the pairwise configuration; targets match
+        # the host rasterizer to f32 ULP (-host_targets restores the
+        # reference layout)
+        device_targets=not getattr(args, "host_targets", False),
     )
     model_cfg = deepercut_config(
         args.resnet,
@@ -159,8 +165,10 @@ def train(args) -> int:
         base = init_params(jr.PRNGKey(0), model_cfg)
         base.update({k: v for k, v in net_params.items() if k in base})
         net_params = base
-    solver = PoseSolver(sp, model_cfg, prefetch.get, net_params=net_params,
-                        mesh=mesh)
+    solver = PoseSolver(
+        sp, model_cfg, prefetch.get, net_params=net_params, mesh=mesh,
+        target_cfg=None if getattr(args, "host_targets", False) else tcfg,
+        target_stats=None if getattr(args, "host_targets", False) else stats)
     if args.snapshot:
         solver.restore(args.snapshot)
     try:
@@ -395,6 +403,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="bf16 conv compute, f32 params/losses (1.6x step speed)")
     p.add_argument("-remat", action="store_true",
                    help="jax.checkpoint per block (bigger batches/resolutions)")
+    p.add_argument("-host_targets", action="store_true",
+                   help="rasterize target maps on the HOST and ship them "
+                        "dense (the reference layout) instead of the default "
+                        "on-device rasterization from compact annotations; "
+                        "targets differ only at f32-ULP level")
     p.set_defaults(fn=train)
 
     p = sub.add_parser("test", help="score a model")
