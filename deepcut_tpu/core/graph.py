@@ -778,11 +778,6 @@ class Net:
             # plan splitter (parallel/graph_spatial.py): sharded halo
             # prefix -> all_gather -> replicated suffix with psum'ed loss
             # normalisers. Trajectory-equal to single-device (tested).
-            if iter_size > 1:
-                raise NotImplementedError(
-                    "iter_size > 1 with a spatial mesh is not supported in "
-                    "the graph engine yet; accumulate on the host (PoseSolver "
-                    "pattern) or use a data-only mesh")
             if self._needs_rng:
                 raise NotImplementedError(
                     "stochastic layers (Dropout/stochastic pooling) are not "
@@ -791,7 +786,8 @@ class Net:
             from deepcut_tpu.parallel.graph_spatial import (
                 make_graph_spatial_train_step)
             return make_graph_spatial_train_step(
-                self, solver_cfg, mesh, lr_mults=mults, decay_mults=dmults)
+                self, solver_cfg, mesh, lr_mults=mults, decay_mults=dmults,
+                iter_size=iter_size)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())

@@ -185,21 +185,31 @@ def split_plan(net, blob_shapes: Dict[str, Tuple[int, ...]], nsp: int):
 
 
 def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
-                                  lr_mults=None, decay_mults=None):
+                                  lr_mults=None, decay_mults=None,
+                                  iter_size: int = 1):
     """(params, state, inputs) -> (params, state, loss) over a 2-D
     ('data', 'spatial') mesh for a graph-engine Net — trajectory-equal to
     the single-device step. Built lazily per input-shape signature (the
-    split depends on the blob shapes)."""
+    split depends on the blob shapes). With iter_size > 1 the inputs carry
+    a leading micro-batch axis (GraphSolver's stacking convention) and the
+    local step scans over it, summing gradients before the single psum +
+    update — the same accumulate-then-divide semantics as the single-device
+    scan (core/graph.py) and Solver::Step (solver.cpp:218-226)."""
     from deepcut_tpu.solver import update_rules
 
     nsp = spatial_axis_size(mesh)
     cdt = net.compute_dtype
+    iter_size = max(int(iter_size), 1)
     _cache: Dict[Any, Any] = {}
 
     def build(params, state, dev_inputs):
-        shapes = {nm: tuple(v.shape) for nm, v in dev_inputs.items()}
+        micro = dev_inputs
+        if iter_size > 1:  # strip the leading micro-batch axis for planning
+            micro = {nm: jax.ShapeDtypeStruct(v.shape[1:], v.dtype)
+                     for nm, v in dev_inputs.items()}
+        shapes = {nm: tuple(v.shape) for nm, v in micro.items()}
         abstract = {nm: jax.ShapeDtypeStruct(v.shape, v.dtype)
-                    for nm, v in dev_inputs.items()}
+                    for nm, v in micro.items()}
         all_blobs = jax.eval_shape(
             lambda p, i: net._execute(p, i), params, abstract)
         blob_shapes = dict(shapes)
@@ -208,8 +218,8 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
             net, blob_shapes, nsp)
         plan = net._plan
 
-        def local_step(params, state, inputs):
-            def local_loss(p):
+        def local_step(params, state, all_inputs):
+            def local_loss(p, inputs):
                 blobs = dict(inputs)
                 # sharded prefix: halo convs/pools, pointwise as-built
                 for (fn, spec), info in zip(plan[:boundary], infos):
@@ -245,7 +255,26 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                     blobs = net._execute(p, blobs, plan=plan[boundary:])
                     return net.total_loss(blobs)
 
-            loss, grads = jax.value_and_grad(local_loss)(params)
+            if iter_size == 1:
+                loss, grads = jax.value_and_grad(
+                    lambda p: local_loss(p, all_inputs))(params)
+            else:
+                def vg(inp):
+                    return jax.value_and_grad(
+                        lambda p: local_loss(p, inp))(params)
+                first = jax.tree_util.tree_map(lambda a: a[0], all_inputs)
+                loss0, g0 = vg(first)
+
+                def body(carry, inp):
+                    gsum, lsum = carry
+                    l, g = vg(inp)
+                    return (jax.tree_util.tree_map(jnp.add, gsum, g),
+                            lsum + l), None
+                rest = jax.tree_util.tree_map(lambda a: a[1:], all_inputs)
+                (grads, loss_sum), _ = lax.scan(body, (g0, loss0), rest)
+                # grads stay SUMMED — update_rules.step divides by iter_size
+                # (preprocess_grads), identical to the single-device scan
+                loss = loss_sum / iter_size
             grads = jax.tree_util.tree_map(
                 lambda g: lax.psum(g, ("data", "spatial")) / nsp, grads)
             params2, state2 = update_rules.step(
@@ -258,6 +287,10 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
         sspec = jax.tree_util.tree_map(lambda _: rep, state)
 
         def in_spec(nm, v):
+            if iter_size > 1:  # batch dim sits behind the micro-batch axis
+                if nm in sharded_inputs:
+                    return P(None, "data", "spatial")
+                return P(None, "data") if getattr(v, "ndim", 0) >= 2 else P(None)
             if nm in sharded_inputs:
                 return P("data", "spatial")
             return P("data") if getattr(v, "ndim", 0) >= 1 else rep
