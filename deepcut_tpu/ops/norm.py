@@ -78,6 +78,81 @@ class BNStats(NamedTuple):
     scale_factor: jax.Array
 
 
+# Mesh axes over which batch_norm_train reduces its batch statistics —
+# set via `sharded_bn_stats` inside jax.shard_map regions so a batch that
+# is sharded over 'data' (and rows over 'spatial') still normalises with
+# the GLOBAL batch moments, matching the single-device trajectory. Same
+# trace-time context pattern as ops.losses.sharded_losses.
+_BN_PSUM_AXES: Tuple = ()
+
+
+class sharded_bn_stats:
+    """Context manager: `with sharded_bn_stats(("data",)): ...` makes every
+    batch_norm_train traced inside compute global-batch statistics via
+    lax.psum over the named mesh axes (shard_map only)."""
+
+    def __init__(self, axes):
+        self.axes = tuple(axes)
+
+    def __enter__(self):
+        global _BN_PSUM_AXES
+        self._prev, _BN_PSUM_AXES = _BN_PSUM_AXES, self.axes
+        return self
+
+    def __exit__(self, *exc):
+        global _BN_PSUM_AXES
+        _BN_PSUM_AXES = self._prev
+
+
+_BN_SHARDED_CACHE: dict = {}
+
+
+def _bn_normalise_sharded(psum_axes: Tuple, eps: float):
+    """(xf f32) -> y, normalising with psum'ed global-batch moments.
+
+    custom_vjp: the psums live in the forward, and the backward implements
+    the distributed BatchNorm gradient directly —
+        dx = inv * (g - mean(g) - c * inv^2 * mean(g*c))
+    with the two means psum'ed over the same axes (raw psum transposes to
+    psum under shard_map and would inflate gradients by the axis size —
+    the ops/losses.py normaliser trap)."""
+    key = (psum_axes, eps)
+    if key in _BN_SHARDED_CACHE:
+        return _BN_SHARDED_CACHE[key]
+
+    def moments(z):
+        red = tuple(range(z.ndim - 1))
+        local_m = 1.0
+        for a in red:
+            local_m *= z.shape[a]
+        cnt = local_m * jax.lax.psum(jnp.ones((), jnp.float32), psum_axes)
+        mu = jax.lax.psum(jnp.sum(z, axis=red), psum_axes) / cnt
+        c = z - mu
+        var = jax.lax.psum(jnp.sum(c * c, axis=red), psum_axes) / cnt
+        return mu, var, cnt
+
+    @jax.custom_vjp
+    def fn(xf):
+        return _fwd(xf)[0]
+
+    def _fwd(xf):
+        mu, var, cnt = moments(xf)
+        inv = jax.lax.rsqrt(var + eps)
+        c = xf - mu
+        return c * inv, (c, inv, cnt)
+
+    def _bwd(res, gy):
+        c, inv, cnt = res
+        red = tuple(range(gy.ndim - 1))
+        s1 = jax.lax.psum(jnp.sum(gy, axis=red), psum_axes) / cnt
+        s2 = jax.lax.psum(jnp.sum(gy * c, axis=red), psum_axes) / cnt
+        return (inv * (gy - s1 - c * (inv * inv) * s2),)
+
+    fn.defvjp(_fwd, _bwd)
+    _BN_SHARDED_CACHE[key] = (fn, moments)
+    return _BN_SHARDED_CACHE[key]
+
+
 def batch_norm_train(
     x: jax.Array,
     stats: BNStats,
@@ -91,8 +166,22 @@ def batch_norm_train(
     + batch_mean; blobs[1] = momentum*blobs[1] + m/(m-1) * batch_var (biased ->
     unbiased correction with m = N*H*W). Normalisation uses the *batch* stats.
     Functional here: returns (y, new_stats) instead of mutating blobs.
+
+    Inside a `sharded_bn_stats` context the moments psum over the named
+    mesh axes (global-batch semantics under shard_map).
     """
     xf = x.astype(jnp.float32)
+    if _BN_PSUM_AXES:
+        fn, moments = _bn_normalise_sharded(_BN_PSUM_AXES, eps)
+        y = fn(xf)
+        mu, var, cnt = moments(jax.lax.stop_gradient(xf))
+        bias_corr = cnt / jnp.maximum(cnt - 1.0, 1.0)
+        new_stats = BNStats(
+            mean=momentum * stats.mean + mu,
+            var=momentum * stats.var + bias_corr * var,
+            scale_factor=momentum * stats.scale_factor + 1.0,
+        )
+        return y.astype(x.dtype), new_stats
     axes = tuple(range(x.ndim - 1))
     batch_mean = jnp.mean(xf, axis=axes)
     centered = xf - batch_mean

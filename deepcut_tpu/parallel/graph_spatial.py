@@ -7,14 +7,16 @@ can train the reference's own prototxt files with image rows sharded:
 
 1. **Plan split.** A walker classifies each layer: spatially SHARDABLE
    (convolutions and unpadded MAX pools whose geometry tiles the row axis
-   exactly, plus pointwise/per-channel layers) run on local row shards with
+   exactly, plus pointwise/per-channel layers incl. train-mode BatchNorm,
+   whose batch moments psum over both axes) run on local row shards with
    explicit `ppermute` halo exchange; the first layer that cannot shard
    (InnerProduct, Deconvolution, softmax over channels is fine but Flatten
-   isn't, padded/AVE pooling, rng layers, train-mode BatchNorm, any
-   geometry that does not tile) becomes the GATHER BOUNDARY — every live
-   sharded blob is `all_gather`ed over 'spatial' and the suffix runs
-   replicated within each data row. Worst case the boundary is layer 0 and
-   the step degenerates to correct data-parallel training.
+   isn't, padded/AVE pooling, rng layers, any geometry that does not tile)
+   becomes the GATHER BOUNDARY — every live sharded blob is `all_gather`ed
+   over 'spatial' and the suffix runs replicated within each data row
+   (suffix train-BN psums its moments over 'data'). Worst case the
+   boundary is layer 0 and the step degenerates to correct data-parallel
+   training.
 2. **Losses.** The suffix traces inside `ops.losses.sharded_losses(
    ("data",))`, so loss sums and normalisers psum over the data axis from
    INSIDE custom_vjp (single-device semantics; no psum-transpose gradient
@@ -42,6 +44,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepcut_tpu.ops import losses as loss_ops
+from deepcut_tpu.ops import norm as norm_ops
 from deepcut_tpu.parallel.spatial import (
     halo_exchange, spatial_axis_size, spatial_conv2d, spatial_max_pool)
 
@@ -117,7 +120,7 @@ def split_plan(net, blob_shapes: Dict[str, Tuple[int, ...]], nsp: int):
         typ = spec.type
         info: Optional[dict] = None
         ok = False
-        if not getattr(fn, "needs_rng", False) and not getattr(fn, "bn_train", False):
+        if not getattr(fn, "needs_rng", False):
             hs_in = [h_of(b) for b in spec.bottoms]
             hs_out = [h_of(t) for t in spec.tops]
             all_4d = all(h is not None for h in hs_in + hs_out) and hs_in
@@ -169,12 +172,6 @@ def split_plan(net, blob_shapes: Dict[str, Tuple[int, ...]], nsp: int):
                 f"spatial graph training: loss layer '{spec.name}' of type "
                 f"{spec.type} has no psum'ed sharded variant; supported: "
                 f"{sorted(_SHARDED_LOSSES)}")
-        if getattr(fn, "bn_train", False):
-            raise NotImplementedError(
-                f"spatial graph training: train-mode BatchNorm '{spec.name}' "
-                "computes batch statistics and is not supported under a "
-                "spatial mesh yet (freeze it with use_global_stats: true, "
-                "the finetune idiom)")
         if getattr(fn, "needs_rng", False):
             raise NotImplementedError(
                 f"spatial graph training: stochastic layer '{spec.name}' "
@@ -221,7 +218,10 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
         def local_step(params, state, all_inputs):
             def local_loss(p, inputs):
                 blobs = dict(inputs)
-                # sharded prefix: halo convs/pools, pointwise as-built
+                bn_updates: Dict[str, Dict[str, jax.Array]] = {}
+                # sharded prefix: halo convs/pools, pointwise as-built,
+                # train-BN with moments psum'ed over BOTH axes (rows are
+                # spatial shards of the global batch)
                 for (fn, spec), info in zip(plan[:boundary], infos):
                     bottoms = [blobs[b] for b in spec.bottoms]
                     # propagate_down: false (same semantics as _execute)
@@ -240,6 +240,19 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                             compute_dtype=cdt, **info)]
                     elif spec.type == "Pooling":
                         outs = [spatial_max_pool(bottoms[0], **info)]
+                    elif getattr(fn, "bn_train", False):
+                        with norm_ops.sharded_bn_stats(("data", "spatial")):
+                            y, new_stats = norm_ops.batch_norm_train(
+                                bottoms[0],
+                                norm_ops.BNStats(
+                                    entry["mean"], entry["var"],
+                                    entry["scale_factor"].reshape(())),
+                                eps=fn.bn_eps, momentum=fn.bn_momentum)
+                        bn_updates[spec.name] = {
+                            "mean": new_stats.mean, "var": new_stats.var,
+                            "scale_factor": new_stats.scale_factor.reshape((1,)),
+                        }
+                        outs = [y]
                     else:
                         outs = fn(entry, bottoms)
                     if not isinstance(outs, (list, tuple)):
@@ -249,37 +262,50 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                 for b in gather_blobs:
                     blobs[b] = lax.all_gather(blobs[b], "spatial", axis=1,
                                               tiled=True)
-                # replicated suffix with psum'ed loss normalisers; reuse the
-                # engine's executor (propagate_down, in-place semantics)
-                with loss_ops.sharded_losses(("data",)):
-                    blobs = net._execute(p, blobs, plan=plan[boundary:])
-                    return net.total_loss(blobs)
+                # replicated suffix with psum'ed loss normalisers and
+                # data-psum'ed BN moments; reuse the engine's executor
+                # (propagate_down, in-place semantics, BN bookkeeping)
+                with loss_ops.sharded_losses(("data",)), \
+                        norm_ops.sharded_bn_stats(("data",)):
+                    blobs = net._execute(p, blobs, plan=plan[boundary:],
+                                         collect_updates=bn_updates)
+                    return net.total_loss(blobs), bn_updates
 
             if iter_size == 1:
-                loss, grads = jax.value_and_grad(
-                    lambda p: local_loss(p, all_inputs))(params)
+                (loss, bn_updates), grads = jax.value_and_grad(
+                    lambda p: local_loss(p, all_inputs), has_aux=True)(params)
             else:
                 def vg(inp):
                     return jax.value_and_grad(
-                        lambda p: local_loss(p, inp))(params)
+                        lambda p: local_loss(p, inp), has_aux=True)(params)
                 first = jax.tree_util.tree_map(lambda a: a[0], all_inputs)
-                loss0, g0 = vg(first)
+                (loss0, upd0), g0 = vg(first)
 
                 def body(carry, inp):
-                    gsum, lsum = carry
-                    l, g = vg(inp)
+                    gsum, lsum, _ = carry
+                    (l, upd), g = vg(inp)
                     return (jax.tree_util.tree_map(jnp.add, gsum, g),
-                            lsum + l), None
+                            lsum + l, upd), None
                 rest = jax.tree_util.tree_map(lambda a: a[1:], all_inputs)
-                (grads, loss_sum), _ = lax.scan(body, (g0, loss0), rest)
+                (grads, loss_sum, bn_updates), _ = lax.scan(
+                    body, (g0, loss0, upd0), rest)
                 # grads stay SUMMED — update_rules.step divides by iter_size
-                # (preprocess_grads), identical to the single-device scan
+                # (preprocess_grads), identical to the single-device scan;
+                # BN moving averages take the last micro-batch's stats,
+                # like the single-device scan and the reference
                 loss = loss_sum / iter_size
             grads = jax.tree_util.tree_map(
                 lambda g: lax.psum(g, ("data", "spatial")) / nsp, grads)
             params2, state2 = update_rules.step(
                 solver_cfg, params, grads, state, lr_mults=lr_mults,
                 decay_mults=decay_mults)
+            # BN moving averages overwrite whatever the solver did to the
+            # stat blobs (core/graph.py step semantics); values are psum'ed
+            # so they are identical on every shard
+            for name, upd in bn_updates.items():
+                merged = dict(params2[name])
+                merged.update(jax.lax.stop_gradient(upd))
+                params2[name] = merged
             return params2, state2, loss
 
         rep = P()
