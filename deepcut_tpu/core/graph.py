@@ -604,6 +604,7 @@ class Net:
         plan: Optional[List[Tuple[Callable, "LayerSpec"]]] = None,
         taps: Optional[Dict[str, jax.Array]] = None,
         dynamic: bool = False,
+        rng_offset: int = 0,
     ) -> Dict[str, jax.Array]:
         """Run the plan over a blobs dict.
 
@@ -616,6 +617,10 @@ class Net:
 
         dynamic: eager host path — layers exposing a `host_dynamic` variant
         (Filter) run it, with true dynamic output shapes.
+
+        rng_offset: index of plan[0] within the FULL layer plan — keeps the
+        per-layer rng fold (seed, global layer index) identical when a plan
+        SLICE is executed (the spatial suffix, parallel/graph_spatial.py).
         """
         from deepcut_tpu.ops.norm import batch_norm_train, BNStats
 
@@ -643,7 +648,8 @@ class Net:
                 # caffe_rng_bernoulli draws in dropout_layer.cpp): fold the
                 # layer's plan index into the step key so every stochastic
                 # layer sees an independent stream.
-                key = jax.random.fold_in(rng, idx) if rng is not None else None
+                key = (jax.random.fold_in(rng, idx + rng_offset)
+                       if rng is not None else None)
                 outs = fn(entry, bottoms, rng=key)
             elif getattr(fn, "bn_train", False):
                 # Caffe BN training: normalise with batch stats, accumulate
@@ -778,11 +784,6 @@ class Net:
             # plan splitter (parallel/graph_spatial.py): sharded halo
             # prefix -> all_gather -> replicated suffix with psum'ed loss
             # normalisers. Trajectory-equal to single-device (tested).
-            if self._needs_rng:
-                raise NotImplementedError(
-                    "stochastic layers (Dropout/stochastic pooling) are not "
-                    "supported under a spatial mesh (per-device rng streams "
-                    "cannot reproduce the single-device mask sequence)")
             from deepcut_tpu.parallel.graph_spatial import (
                 make_graph_spatial_train_step)
             return make_graph_spatial_train_step(

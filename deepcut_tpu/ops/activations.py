@@ -85,5 +85,7 @@ def dropout(
     kept units are scaled by 1/(1-ratio); at test time identity."""
     if deterministic or rng is None or ratio == 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - ratio, x.shape)
+    from deepcut_tpu.ops.shard_rng import draw_batched
+    keep = draw_batched(
+        lambda shape: jax.random.bernoulli(rng, 1.0 - ratio, shape), x.shape)
     return jnp.where(keep, x / (1.0 - ratio), 0).astype(x.dtype)

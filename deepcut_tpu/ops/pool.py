@@ -117,7 +117,9 @@ def stochastic_pool2d(
     n, h, w, c = x.shape
     oh = (h - kh) // sh + 1
     ow = (w - kw) // sw + 1
-    r = jax.random.uniform(rng, (n, oh, ow, c))
+    from deepcut_tpu.ops.shard_rng import draw_batched
+    r = draw_batched(lambda shape: jax.random.uniform(rng, shape),
+                     (n, oh, ow, c))
     thresh = r * sums
     out = jnp.zeros((n, oh, ow, c), jnp.float32)
     cum = jnp.zeros((n, oh, ow, c), jnp.float32)

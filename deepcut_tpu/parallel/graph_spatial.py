@@ -172,12 +172,10 @@ def split_plan(net, blob_shapes: Dict[str, Tuple[int, ...]], nsp: int):
                 f"spatial graph training: loss layer '{spec.name}' of type "
                 f"{spec.type} has no psum'ed sharded variant; supported: "
                 f"{sorted(_SHARDED_LOSSES)}")
-        if getattr(fn, "needs_rng", False):
-            raise NotImplementedError(
-                f"spatial graph training: stochastic layer '{spec.name}' "
-                f"({spec.type}) is not supported under a spatial mesh "
-                "(per-device rng streams cannot reproduce the single-device "
-                "mask sequence)")
+        # stochastic layers (needs_rng) are fine here: the boundary walker
+        # keeps them out of the sharded prefix, and the suffix draws their
+        # random tensors at the GLOBAL batch size and slices the local rows
+        # (ops/shard_rng.py) — masks equal the single-device sequence.
     return boundary, infos, sharded_inputs, gather_blobs
 
 
@@ -215,8 +213,16 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
             net, blob_shapes, nsp)
         plan = net._plan
 
+        ndata = int(mesh.shape["data"])
+
         def local_step(params, state, all_inputs):
-            def local_loss(p, inputs):
+            # per-step key, identical to the single-device step (fresh masks
+            # every iteration, snapshot/restore-stable); replicated state
+            # makes it equal on every shard
+            base_key = (jax.random.fold_in(net._rng, state["iter"])
+                        if net._rng is not None else None)
+
+            def local_loss(p, inputs, step_key):
                 blobs = dict(inputs)
                 bn_updates: Dict[str, Dict[str, jax.Array]] = {}
                 # sharded prefix: halo convs/pools, pointwise as-built,
@@ -262,33 +268,43 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                 for b in gather_blobs:
                     blobs[b] = lax.all_gather(blobs[b], "spatial", axis=1,
                                               tiled=True)
-                # replicated suffix with psum'ed loss normalisers and
-                # data-psum'ed BN moments; reuse the engine's executor
-                # (propagate_down, in-place semantics, BN bookkeeping)
+                # replicated suffix with psum'ed loss normalisers,
+                # data-psum'ed BN moments, and global-batch stochastic
+                # draws; reuse the engine's executor (propagate_down,
+                # in-place semantics, BN bookkeeping, per-layer rng folds
+                # offset to the layer's global plan index)
+                from deepcut_tpu.ops.shard_rng import sharded_rng_batch
                 with loss_ops.sharded_losses(("data",)), \
-                        norm_ops.sharded_bn_stats(("data",)):
+                        norm_ops.sharded_bn_stats(("data",)), \
+                        sharded_rng_batch(("data",), (ndata,)):
                     blobs = net._execute(p, blobs, plan=plan[boundary:],
-                                         collect_updates=bn_updates)
+                                         collect_updates=bn_updates,
+                                         rng=step_key, rng_offset=boundary)
                     return net.total_loss(blobs), bn_updates
 
             if iter_size == 1:
                 (loss, bn_updates), grads = jax.value_and_grad(
-                    lambda p: local_loss(p, all_inputs), has_aux=True)(params)
+                    lambda p: local_loss(p, all_inputs, base_key),
+                    has_aux=True)(params)
             else:
-                def vg(inp):
+                def vg(inp, key):
                     return jax.value_and_grad(
-                        lambda p: local_loss(p, inp), has_aux=True)(params)
+                        lambda p: local_loss(p, inp, key), has_aux=True)(params)
                 first = jax.tree_util.tree_map(lambda a: a[0], all_inputs)
-                (loss0, upd0), g0 = vg(first)
+                (loss0, upd0), g0 = vg(first, base_key)
 
-                def body(carry, inp):
+                def body(carry, xs):
+                    inp, micro = xs
                     gsum, lsum, _ = carry
-                    (l, upd), g = vg(inp)
+                    key = (jax.random.fold_in(base_key, micro)
+                           if base_key is not None else None)
+                    (l, upd), g = vg(inp, key)
                     return (jax.tree_util.tree_map(jnp.add, gsum, g),
                             lsum + l, upd), None
                 rest = jax.tree_util.tree_map(lambda a: a[1:], all_inputs)
                 (grads, loss_sum, bn_updates), _ = lax.scan(
-                    body, (g0, loss0, upd0), rest)
+                    body, (g0, loss0, upd0),
+                    (rest, jnp.arange(1, iter_size)))
                 # grads stay SUMMED — update_rules.step divides by iter_size
                 # (preprocess_grads), identical to the single-device scan;
                 # BN moving averages take the last micro-batch's stats,

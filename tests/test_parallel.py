@@ -823,3 +823,75 @@ print('GRAPH-SPATIAL-BN-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=4)
     assert "GRAPH-SPATIAL-BN-MATCH" in out
+
+
+def test_graph_spatial_mesh_stochastic_layers_match_single_device(run_in_cpu_mesh):
+    """Dropout + STOCHASTIC pooling under the 2-D mesh: the first rng layer
+    forces the gather boundary, and the suffix draws its random tensors at
+    the GLOBAL batch size, slicing local rows (ops/shard_rng.py) with the
+    per-layer key folds offset to global plan indices — mask sequences and
+    hence trajectories equal the single-device run exactly."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+PROTO = '''
+input: "data"  input_shape { dim: 4 dim: 3 dim: 32 dim: 32 }
+input: "label" input_shape { dim: 4 }
+layer { name: "c1" type: "Convolution" bottom: "data" top: "c1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } } }
+layer { name: "r1" type: "ReLU" bottom: "c1" top: "c1" }
+layer { name: "ps" type: "Pooling" bottom: "c1" top: "ps"
+  pooling_param { pool: STOCHASTIC kernel_size: 2 stride: 2 } }
+layer { name: "ip" type: "InnerProduct" bottom: "ps" top: "ip"
+  inner_product_param { num_output: 16 weight_filler { type: "xavier" } } }
+layer { name: "drop" type: "Dropout" bottom: "ip" top: "ip"
+  dropout_param { dropout_ratio: 0.4 } }
+layer { name: "ip2" type: "InnerProduct" bottom: "ip" top: "ip2"
+  inner_product_param { num_output: 5 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label"
+  top: "loss" }
+'''
+scfg = SolverConfig(solver_type='SGD', base_lr=0.1, momentum=0.9,
+                    weight_decay=0.0)
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32) * 0.3)
+y = jnp.asarray(rng.randint(0, 5, (4,)).astype(np.int32))
+net = Net(text_format.parse(PROTO), phase='TRAIN', compute_dtype=None)
+p0 = jax.tree_util.tree_map(jnp.copy, net.params)
+
+def run(mesh):
+    step = net.make_train_step(scfg, mesh=mesh)
+    params = jax.tree_util.tree_map(jnp.copy, p0)
+    state = init_state(scfg, params)
+    for _ in range(2):
+        params, state, loss = step(params, state, {'data': x, 'label': y})
+    return params, float(loss)
+
+p1, l1 = run(None)
+mesh = make_mesh(4, spatial=2)
+with mesh:
+    p2, l2 = run(mesh)
+# sanity: the stochastic pool must be the boundary (prefix = c1, r1)
+from deepcut_tpu.parallel.graph_spatial import split_plan
+shapes = {'data': (4, 32, 32, 3), 'label': (4,)}
+abstract = {k: jax.ShapeDtypeStruct(v, jnp.float32) for k, v in shapes.items()}
+blobs = jax.eval_shape(lambda p, i: net._execute(p, i), p0, abstract)
+shapes.update({k: tuple(v.shape) for k, v in blobs.items()})
+boundary, _, _, _ = split_plan(net, shapes, 2)
+names = [s.name for _, s in net._plan]
+assert boundary == names.index('ps'), (names, boundary)
+for name in sorted(p1):
+    for k in p1[name]:
+        np.testing.assert_allclose(
+            np.asarray(p2[name][k]), np.asarray(p1[name][k]),
+            rtol=1e-5, atol=1e-6, err_msg=f'{name}/{k}')
+assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1))
+print('GRAPH-SPATIAL-RNG-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=4)
+    assert "GRAPH-SPATIAL-RNG-MATCH" in out
