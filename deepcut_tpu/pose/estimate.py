@@ -363,6 +363,90 @@ class PoseEstimator:
                                      jnp.int32(cw), jnp.float32(scale))
         return np.asarray(poses)
 
+    @staticmethod
+    def _pad_batch(n: int) -> int:
+        """Padded group size for the mixed-size batch program: 1/2/4, then
+        multiples of BATCH_CHUNK — bounds the compile set per bucket to
+        O(max_batch / 4) programs instead of one per request-group size."""
+        if n <= 4:
+            return 1 if n <= 1 else (2 if n == 2 else 4)
+        c = PoseEstimator.BATCH_CHUNK
+        return ((n + c - 1) // c) * c
+
+    def estimate_pose_many(self, images: Sequence[np.ndarray],
+                           scale: float = 1.0) -> np.ndarray:
+        """Mixed-size batched serving: images are grouped by canvas BUCKET,
+        each group runs the chunked batched program once with PER-IMAGE
+        valid extents (decode masks each image's own grid), groups are
+        padded to a bounded size ladder to cap compiles, and oversized
+        frames fall back to the tiled single path. Returns (N, 5, J) in
+        input order; per-image results equal estimate_pose(image, [scale]).
+
+        This is the workhorse of the dynamic-batching HTTP mode
+        (examples/pose/serve.py --batch-window): concurrent requests of
+        arbitrary sizes share device programs whenever their buckets agree.
+        """
+        J = self.cfg.num_joints
+        out = np.zeros((len(images), 5, J), np.float32)
+        groups: Dict[Tuple[int, int], list] = {}
+        max_h, max_w = self._max_dims()
+        for idx, im in enumerate(images):
+            h, w = im.shape[:2]
+            ch, cw = canvas_size(h, scale), canvas_size(w, scale)
+            if ch > max_h or cw > max_w:  # HD: host-tiled single path
+                out[idx] = self._estimate_single_scale(im, scale)
+                continue
+            bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)
+            groups.setdefault((bh, bw), []).append((idx, im, ch, cw))
+        for (bh, bw), items in groups.items():
+            n_pad = self._pad_batch(len(items))
+            canvases, vhs, vws = [], [], []
+            for _, im, ch, cw in items:
+                h, w = im.shape[:2]
+                out_h = int((h + PAD_SIZE) * scale)
+                out_w = int((w + PAD_SIZE) * scale)
+                canvases.append(preprocess_on_device(
+                    jnp.asarray(im), out_h, out_w, bh, bw))
+                vhs.append(ch)
+                vws.append(cw)
+            while len(canvases) < n_pad:  # pad the group with a repeat
+                canvases.append(canvases[-1])
+                vhs.append(vhs[-1])
+                vws.append(vws[-1])
+            key = ("many", n_pad, bh, bw)
+            if key not in self._fwd_cache:
+                cfg, folded = self.cfg, self.folded
+                chunk = self.BATCH_CHUNK
+                net_fwd = self._net_forward()
+
+                @jax.jit
+                def fn(params, canvases, vhs, vws, s):
+                    def one(sm, loc, vh, vw):
+                        gh = (vh + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                        gw = (vw + jnp.int32(STRIDE) - 1) // jnp.int32(STRIDE)
+                        pose = decode_pose(sm, loc, scale=1.0,
+                                           valid_hw=(gh, gw))
+                        pose = pose.at[0].divide(s).at[1].divide(s)
+                        return pose.at[3].divide(s).at[4].divide(s)
+
+                    x = canvases.astype(
+                        cfg.compute_dtype if folded else jnp.float32)
+                    poses = []
+                    for i in range(0, x.shape[0], chunk):
+                        outs = net_fwd(params, x[i:i + chunk])
+                        poses.append(jax.vmap(one)(
+                            outs["prob"], outs["loc_pred"],
+                            vhs[i:i + chunk], vws[i:i + chunk]))
+                    return jnp.concatenate(poses, axis=0)
+                self._fwd_cache[key] = fn
+            poses = np.asarray(self._fwd_cache[key](
+                self.params, jnp.concatenate(canvases, axis=0),
+                jnp.asarray(vhs, jnp.int32), jnp.asarray(vws, jnp.int32),
+                jnp.float32(scale)))
+            for slot, (idx, *_rest) in enumerate(items):
+                out[idx] = poses[slot]
+        return out
+
     def estimate_pose_avg(self, image: np.ndarray,
                           scales: Sequence[float]) -> np.ndarray:
         """Multi-scale pyramid with SCOREMAP AVERAGING: each scale's maps are

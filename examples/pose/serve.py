@@ -20,8 +20,10 @@ import argparse
 import io
 import json
 import os
+import queue
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -45,9 +47,65 @@ INDEX_HTML = """<!doctype html>
 """
 
 
+class _Batcher:
+    """Dynamic micro-batching: concurrent /estimate requests are collected
+    within a latency window (first request opens the window) and run as ONE
+    device program through `PoseEstimator.estimate_pose_many`, which groups
+    mixed sizes by canvas bucket. Per-image results are identical to the
+    unbatched path; throughput rides the estimator's chunked batch peak
+    instead of paying one dispatch per request. The reference has no
+    serving story at all — this is the TPU deployment shape."""
+
+    def __init__(self, est, scale: float, window_ms: float = 4.0,
+                 max_batch: int = 8):
+        self.est = est
+        self.scale = float(scale)
+        self.window_s = window_ms / 1e3
+        self.max_batch = int(max_batch)
+        self.q: "queue.Queue" = queue.Queue()
+        self.batches_run = 0
+        self.images_run = 0
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def submit(self, img: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        slot: dict = {}
+        self.q.put((img, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["pose"]
+
+    def _run(self):
+        while True:
+            batch = [self.q.get()]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            try:
+                poses = self.est.estimate_pose_many(
+                    [b[0] for b in batch], self.scale)
+                self.batches_run += 1
+                self.images_run += len(batch)
+                for (img, done, slot), pose in zip(batch, poses):
+                    slot["pose"] = pose
+                    done.set()
+            except Exception as e:  # pragma: no cover - surfaced per request
+                for _, done, slot in batch:
+                    slot["error"] = e
+                    done.set()
+
+
 class PoseApp:
     def __init__(self, model_def: str = "", model_bin: str = "",
-                 scales=(1.0,), estimator=None, int8: bool = False):
+                 scales=(1.0,), estimator=None, int8: bool = False,
+                 batch_window_ms: float = 0.0, max_batch: int = 8):
         if estimator is None:
             from deepcut_tpu.pose.estimate import get_estimator
 
@@ -55,6 +113,16 @@ class PoseApp:
         self.est = estimator
         self.scales = tuple(scales)
         self.int8 = int8  # calibrated lazily on the first request's image
+        self._calib_lock = threading.Lock()
+        self.batcher = None
+        if batch_window_ms > 0:
+            if len(self.scales) != 1:
+                raise ValueError(
+                    "--batch-window needs a single --scales value (requests "
+                    "in one batch share the scale)")
+            self.batcher = _Batcher(estimator, self.scales[0],
+                                    window_ms=batch_window_ms,
+                                    max_batch=max_batch)
 
     def estimate_bytes(self, raw: bytes):
         from PIL import Image
@@ -62,8 +130,14 @@ class PoseApp:
         img = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"),
                          np.uint8)[:, :, ::-1]  # BGR like the reference CLI
         if self.int8 and not self.est.is_int8:
-            self.est.quantize_int8(img, scale=self.scales[0])
-        raw_pose = self.est.estimate_pose(img, scales=self.scales)
+            with self._calib_lock:
+                if not self.est.is_int8:
+                    self.est.quantize_int8(img, scale=self.scales[0])
+        if self.batcher is not None:
+            pose = self.batcher.submit(img)
+            raw_pose = None if float(np.min(pose[2])) == 0.0 else pose
+        else:
+            raw_pose = self.est.estimate_pose(img, scales=self.scales)
         if raw_pose is None:  # no scale cleared the min-confidence bar
             raise ValueError("no pose found at the requested scales")
         pose = np.asarray(raw_pose, np.float64)
@@ -129,9 +203,17 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=5001)
     ap.add_argument("--int8", action="store_true",
                     help="int8 serving (calibrates on the first request)")
+    ap.add_argument("--batch-window", type=float, default=0.0,
+                    help="dynamic batching: collect concurrent requests for "
+                         "this many ms and run them as one device batch "
+                         "(single --scales value only; 0 = off)")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="max requests per dynamic batch")
     args = ap.parse_args(argv)
     scales = tuple(float(s) for s in args.scales.split(","))
-    serve(PoseApp(args.model_def, args.model_bin, scales, int8=args.int8),
+    serve(PoseApp(args.model_def, args.model_bin, scales, int8=args.int8,
+                  batch_window_ms=args.batch_window,
+                  max_batch=args.max_batch),
           args.port)
 
 

@@ -238,3 +238,27 @@ def test_estimator_int8_serving_mode():
     est2.mesh = object()
     with pytest.raises(NotImplementedError):
         est2.quantize_int8(img)
+
+
+def test_estimate_pose_many_mixed_sizes_matches_single():
+    """Mixed-size batched serving (estimate_pose_many): images of different
+    sizes — two sharing a bucket, one in its own, plus group padding — come
+    back in order, each equal to the single-image path."""
+    import jax
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.pose.estimate import PoseEstimator
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                          num_joints=3, compute_dtype=jnp.float32)
+    est = PoseEstimator(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                        folded=False)
+    est.cfg = cfg
+    rng = np.random.RandomState(1)
+    sizes = [(60, 44), (56, 40), (100, 90), (60, 44), (58, 42)]
+    frames = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for h, w in sizes]
+    many = est.estimate_pose_many(frames)
+    assert many.shape == (5, 5, 3)
+    for i, f in enumerate(frames):
+        single = est._estimate_single_scale(f, 1.0)
+        np.testing.assert_allclose(many[i], single, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"frame {i} {sizes[i]}")

@@ -151,3 +151,63 @@ def test_pose_serve_int8_lazy_calibration():
     assert len(out["pose"]) == 5
     out2 = app.estimate_bytes(buf.getvalue())  # steady-state int8
     np.testing.assert_allclose(out["pose"], out2["pose"])
+
+
+def test_pose_serve_dynamic_batching():
+    """--batch-window mode: concurrent mixed-size requests are grouped into
+    device batches (batches_run < images_run) and every response equals the
+    unbatched single-image answer."""
+    import concurrent.futures
+    import jax
+    from PIL import Image
+
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.pose.estimate import PoseEstimator
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                          num_joints=3)
+    est = PoseEstimator(init_params(jax.random.PRNGKey(0), cfg), cfg,
+                        bucket_step=64, max_size=256)
+
+    spec = importlib.util.spec_from_file_location(
+        "ex_pose_serve_batch", "/root/repo/examples/pose/serve.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    app = mod.PoseApp(estimator=est, batch_window_ms=300.0, max_batch=8)
+    httpd = mod.serve(app, port=0, background=True)
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 255, (h, w, 3), np.uint8)
+              for h, w in [(48, 64), (40, 56), (48, 64), (100, 90), (44, 60)]]
+    # warm the compiled programs so the timed window isn't dominated by
+    # first-compile skew (each size/bucket compiles once)
+    est.estimate_pose_many(frames)
+
+    def post(img):
+        buf = _io.BytesIO()
+        Image.fromarray(img[:, :, ::-1]).save(buf, format="PNG")
+        boundary = "poseb"
+        body = (f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="image"; '
+                f'filename="p.png"\r\n'
+                f"Content-Type: image/png\r\n\r\n").encode() + buf.getvalue() \
+            + f"\r\n--{boundary}--\r\n".encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_address[1]}/estimate", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+    try:
+        with concurrent.futures.ThreadPoolExecutor(5) as pool:
+            resps = list(pool.map(post, frames))
+        assert all(r["ok"] for r in resps), resps
+        assert app.batcher.images_run == 5
+        assert app.batcher.batches_run < 5  # actually batched
+        for img, resp in zip(frames, resps):
+            single = est.estimate_pose(img, scales=[1.0])
+            np.testing.assert_allclose(
+                np.asarray(resp["pose"], np.float64),
+                np.round(np.asarray(single, np.float64), 4),
+                atol=2e-4)
+    finally:
+        httpd.shutdown()
