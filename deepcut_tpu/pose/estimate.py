@@ -169,10 +169,11 @@ class PoseEstimator:
 
         if self._int8:
             return
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "int8 serving under a spatial mesh is not supported; "
-                "construct the estimator without a mesh for int8")
+        # With a spatial mesh the quantized forward shards like the fp one
+        # (XLA inserts the conv halo exchanges; forward-only is exact) —
+        # only CALIBRATION runs unsharded, so the calibration image must
+        # fit a single device (pass a representative <=max_size frame and
+        # serve HD afterwards).
         h, w = calibration_image.shape[:2]
         ch, cw = canvas_size(h, scale), canvas_size(w, scale)
         bh, bw = _bucket(ch, self.bucket_step), _bucket(cw, self.bucket_step)

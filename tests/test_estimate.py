@@ -232,12 +232,6 @@ def test_estimator_int8_serving_mode():
     assert batch.shape == (2, 5, 3)
     np.testing.assert_allclose(batch[0], batch[1], rtol=1e-5)
 
-    # int8 + mesh is a guarded combination
-    import pytest
-    est2 = _estimator()
-    est2.mesh = object()
-    with pytest.raises(NotImplementedError):
-        est2.quantize_int8(img)
 
 
 def test_estimate_pose_many_mixed_sizes_matches_single():

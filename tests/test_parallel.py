@@ -895,3 +895,38 @@ print('GRAPH-SPATIAL-RNG-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=4)
     assert "GRAPH-SPATIAL-RNG-MATCH" in out
+
+
+def test_mesh_estimator_int8_matches_unsharded(run_in_cpu_mesh):
+    """int8 serving under a spatial mesh: calibration runs unsharded on a
+    representative frame; the quantized forward then shards rows like the
+    fp path (forward-only, exact halos) — scoremaps equal the meshless
+    int8 estimator."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+from deepcut_tpu.pose.estimate import PoseEstimator
+from deepcut_tpu.parallel.mesh import make_mesh
+cfg = DeeperCutConfig(depths=(1,1,1,1), stage_widths=(4,4,8,8), num_joints=3,
+                      compute_dtype=jnp.float32)
+params = init_params(jax.random.PRNGKey(0), cfg)
+for head in ('res5c_up_pose', 'res3d_pose', 'res5c_up_locref', 'res3d_locref'):
+    params[head]['w'] = params[head]['w'] * 30.0
+calib = np.random.RandomState(2).randint(0, 255, (96, 120, 3), np.uint8)
+img = np.random.RandomState(0).randint(0, 255, (192, 240, 3), np.uint8)
+plain = PoseEstimator({k: dict(v) for k, v in params.items()}, cfg, folded=False)
+plain.quantize_int8(calib)
+mesh = make_mesh(4, spatial=4)
+with mesh:
+    sharded = PoseEstimator({k: dict(v) for k, v in params.items()}, cfg,
+                            folded=False, mesh=mesh)
+    sharded.quantize_int8(calib)
+    assert sharded.is_int8
+    sm_s, loc_s = sharded.scoremaps(img)
+sm_p, loc_p = plain.scoremaps(img)
+np.testing.assert_allclose(sm_s, sm_p, rtol=2e-4, atol=2e-4)
+np.testing.assert_allclose(loc_s, loc_p, rtol=2e-4, atol=2e-3)
+print('MESH-INT8-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=4)
+    assert "MESH-INT8-MATCH" in out
