@@ -58,6 +58,40 @@ _SHARDED_LOSSES = {
     "SoftmaxWithLoss", "SoftmaxWithLossVec", "SmoothL1Loss",
     "SigmoidCrossEntropyLoss", "EuclideanLoss",
 }
+# losses that are plain PER-SAMPLE MEANS (normaliser = batch size, no
+# valid-count/ignore-label coupling): the generic pmean wrapper below is
+# exact for these. Losses outside both sets still raise loudly.
+_MEAN_LOSSES = {
+    "HingeLoss", "ContrastiveLoss", "MultinomialLogisticLoss", "InfogainLoss",
+}
+
+
+def _wrap_mean_loss(fn, ndata: int):
+    """Exact data-sharded variant of a per-sample-MEAN loss layer: forward
+    = pmean of the local mean-losses (equal per-shard counts by sharding),
+    backward = the local vjp scaled by 1/ndata — the psum lives outside the
+    differentiated region (the losses.sharded_losses transpose trap).
+    Loss-layer params (there are none in practice) are closed over, not
+    differentiated."""
+    def scalar(entry, bs):
+        out = fn(entry, bs)
+        return out[0] if isinstance(out, (list, tuple)) else out
+
+    def wrapped(entry, bottoms):
+        @jax.custom_vjp
+        def call(bs):
+            return lax.psum(scalar(entry, bs), "data") / ndata
+
+        def fwd(bs):
+            return lax.psum(scalar(entry, bs), "data") / ndata, bs
+
+        def bwd(bs, g):
+            _, vjp_fn = jax.vjp(lambda b: scalar(entry, b), bs)
+            return (vjp_fn(g / ndata)[0],)
+
+        call.defvjp(fwd, bwd)
+        return [call(list(bottoms))]
+    return wrapped
 
 
 def _pair(node, base: str, default: int) -> Tuple[int, int]:
@@ -167,11 +201,12 @@ def split_plan(net, blob_shapes: Dict[str, Tuple[int, ...]], nsp: int):
     # replicated-per-data-row trace cannot reproduce
     for fn, spec in plan[boundary:]:
         is_loss = spec.type.endswith("Loss") or spec.type == "SoftmaxWithLossVec"
-        if is_loss and spec.type not in _SHARDED_LOSSES:
+        if is_loss and spec.type not in _SHARDED_LOSSES \
+                and spec.type not in _MEAN_LOSSES:
             raise NotImplementedError(
                 f"spatial graph training: loss layer '{spec.name}' of type "
                 f"{spec.type} has no psum'ed sharded variant; supported: "
-                f"{sorted(_SHARDED_LOSSES)}")
+                f"{sorted(_SHARDED_LOSSES | _MEAN_LOSSES)}")
         # stochastic layers (needs_rng) are fine here: the boundary walker
         # keeps them out of the sharded prefix, and the suffix draws their
         # random tensors at the GLOBAL batch size and slices the local rows
@@ -214,6 +249,12 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
         plan = net._plan
 
         ndata = int(mesh.shape["data"])
+        # per-sample-MEAN losses get the generic pmean wrapper; the rest of
+        # the suffix runs the layer fns as built
+        suffix_plan = [
+            ((_wrap_mean_loss(fn, ndata) if spec.type in _MEAN_LOSSES else fn),
+             spec)
+            for fn, spec in plan[boundary:]]
 
         def local_step(params, state, all_inputs):
             # per-step key, identical to the single-device step (fresh masks
@@ -277,7 +318,7 @@ def make_graph_spatial_train_step(net, solver_cfg, mesh: Mesh, *,
                 with loss_ops.sharded_losses(("data",)), \
                         norm_ops.sharded_bn_stats(("data",)), \
                         sharded_rng_batch(("data",), (ndata,)):
-                    blobs = net._execute(p, blobs, plan=plan[boundary:],
+                    blobs = net._execute(p, blobs, plan=suffix_plan,
                                          collect_updates=bn_updates,
                                          rng=step_key, rng_offset=boundary)
                     return net.total_loss(blobs), bn_updates

@@ -930,3 +930,58 @@ print('MESH-INT8-MATCH')
 """
     out = run_in_cpu_mesh(code, n_devices=4)
     assert "MESH-INT8-MATCH" in out
+
+
+def test_graph_spatial_mesh_mean_loss_matches_single_device(run_in_cpu_mesh):
+    """Per-sample-MEAN losses (Hinge here) under the 2-D mesh: the generic
+    pmean wrapper (graph_spatial._wrap_mean_loss) must reproduce the
+    single-device trajectory exactly."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from deepcut_tpu.proto import text_format
+from deepcut_tpu.core.graph import Net
+from deepcut_tpu.parallel.mesh import make_mesh
+from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+PROTO = '''
+input: "data"  input_shape { dim: 4 dim: 3 dim: 32 dim: 32 }
+input: "label" input_shape { dim: 4 }
+layer { name: "c1" type: "Convolution" bottom: "data" top: "c1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1
+    weight_filler { type: "xavier" } } }
+layer { name: "r1" type: "ReLU" bottom: "c1" top: "c1" }
+layer { name: "p1" type: "Pooling" bottom: "c1" top: "p1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 } }
+layer { name: "ip" type: "InnerProduct" bottom: "p1" top: "ip"
+  inner_product_param { num_output: 5 weight_filler { type: "xavier" } } }
+layer { name: "loss" type: "HingeLoss" bottom: "ip" bottom: "label"
+  top: "loss" }
+'''
+scfg = SolverConfig(solver_type='SGD', base_lr=0.1, momentum=0.9,
+                    weight_decay=0.0)
+rng = np.random.RandomState(0)
+x = jnp.asarray(rng.randn(4, 32, 32, 3).astype(np.float32) * 0.3)
+y = jnp.asarray(rng.randint(0, 5, (4,)).astype(np.int32))
+net = Net(text_format.parse(PROTO), phase='TRAIN', compute_dtype=None)
+p0 = jax.tree_util.tree_map(jnp.copy, net.params)
+
+def run(mesh):
+    step = net.make_train_step(scfg, mesh=mesh)
+    params = jax.tree_util.tree_map(jnp.copy, p0)
+    state = init_state(scfg, params)
+    for _ in range(2):
+        params, state, loss = step(params, state, {'data': x, 'label': y})
+    return params, float(loss)
+
+p1, l1 = run(None)
+mesh = make_mesh(4, spatial=2)
+with mesh:
+    p2, l2 = run(mesh)
+for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1))
+print('GRAPH-SPATIAL-MEANLOSS-MATCH')
+"""
+    out = run_in_cpu_mesh(code, n_devices=4)
+    assert "GRAPH-SPATIAL-MEANLOSS-MATCH" in out
