@@ -210,9 +210,13 @@ def test_pose_stack_learns_keypoints_pckh(tmp_path):
     """).get_list("layer")[0]
     tcfg, pp = _target_config_from_layer(layer)
     assert tcfg.no_bg_class and tcfg.location_refinement
+    # production input layout (the CLI defaults): uint8 canvases with
+    # device-side mean subtraction + compact annotations rasterized ON
+    # DEVICE inside the train step — so the flagship learning proof drives
+    # the real pipeline, not just the host-target reference layout
     source = PoseDataSource(pp.get_str("source"), tcfg, bucket_step=32,
                             cycle=pp.get_bool("cycle_training_data", False),
-                            seed=1)
+                            seed=1, uint8_images=True, device_targets=True)
 
     cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(8, 8, 16, 16),
                           num_joints=J, pairwise=False,
@@ -224,7 +228,8 @@ def test_pose_stack_learns_keypoints_pckh(tmp_path):
         snapshot_prefix: "{tmp_path}/p"
     """)
     solver = PoseSolver(sp, cfg, lambda: source.next_batch(4),
-                        handle_signals=False, log=lambda *_: None)
+                        handle_signals=False, log=lambda *_: None,
+                        target_cfg=tcfg)
 
     held_out = [{"image": img, "gt_xy": xy, "head_size": 25.0}
                 for img, xy in make(8, 99)]
