@@ -257,13 +257,26 @@ class Net:
         the input blobs, plus any blobs named in `diffs` (the reference
         returns ANY blob's diff_, pycaffe.py:107-140 — here computed via
         zero-tap cotangents in the functional core; see core.graph.Net
-        .backward). Parameter gradients live in Net.make_train_step."""
+        .backward). Parameter gradients live in Net.make_train_step.
+
+        kwargs are INJECTED TOP DIFFS, exactly as in the reference
+        (pycaffe.py:118-119 "Keys are output blob names and values are diff
+        ndarrays. If None, top diffs are taken from forward loss"): when
+        given, the keys must be the net's outputs and the returned
+        gradients are of sum(<output, injected diff>) instead of the total
+        loss. Input DATA comes from the staged input blobs (stage it via
+        forward(...) or blobs[...].data[...] = x)."""
         import warnings
 
         inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
                   if nm in self.blobs}
-        inputs.update({nm: np.asarray(v, np.float32) for nm, v in kwargs.items()})
-        grads = self._net.backward(diffs=diffs, **inputs)
+        cot = None
+        if kwargs:
+            if set(kwargs) != set(self.outputs):
+                raise Exception(
+                    "Top diff arguments do not match net outputs.")
+            cot = {nm: np.asarray(v, np.float32) for nm, v in kwargs.items()}
+        grads = self._net.backward(diffs=diffs, cotangents=cot, **inputs)
         for nm, g in grads.items():  # populate blob.diff, pycaffe-style
             if nm in self.blobs:
                 g = np.asarray(g)

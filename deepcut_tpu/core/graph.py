@@ -803,6 +803,7 @@ class Net:
                        out_shardings=(repl, repl, repl))
 
     def backward(self, diffs: Optional[Sequence[str]] = None,
+                 cotangents: Optional[Dict[str, Any]] = None,
                  **inputs) -> Dict[str, np.ndarray]:
         """Gradients of the total loss w.r.t. the net inputs (pycaffe
         net.backward analog; param grads come from make_train_step).
@@ -811,7 +812,16 @@ class Net:
         reference hands back ANY blob's diff_ (python/caffe/pycaffe.py
         _Net_backward, _caffe.cpp Blob bindings). Implemented by adding a
         zero 'tap' at each requested blob's first production and
-        differentiating w.r.t. the taps alongside the inputs."""
+        differentiating w.r.t. the taps alongside the inputs.
+
+        cotangents: injected top diffs, {blob name: d(objective)/d(blob)}
+        in NCHW. When given they REPLACE the forward-loss seeds — the
+        differentiated objective becomes sum_nm <blobs[nm], cotangents[nm]>
+        instead of the net's total loss. This is the reference's "top diffs
+        are taken from forward loss ... kwargs: keys are output blob names
+        and values are diff ndarrays" contract (pycaffe.py _Net_backward;
+        Net::Backward runs the chain rule from whatever diff_ the top blobs
+        hold)."""
         self._pull_data_layers(inputs)
         dev_inputs = {}
         for nm, arr in inputs.items():
@@ -837,8 +847,24 @@ class Net:
             taps = {nm: jnp.zeros(shapes[nm].shape, shapes[nm].dtype)
                     for nm in tap_names}
 
+        cot = None
+        if cotangents is not None:
+            cot = {}
+            for nm, arr in cotangents.items():
+                a = jnp.asarray(arr, jnp.float32)
+                if a.ndim == 4:
+                    a = jnp.transpose(a, (0, 2, 3, 1))
+                cot[nm] = a
+
         def loss_of(d, t):
             blobs = self._execute(self.params, {**d, **rest}, taps=t or None)
+            if cot is not None:
+                missing = [nm for nm in cot if nm not in blobs]
+                if missing:
+                    raise KeyError(
+                        f"backward(cotangents=...): unknown blobs {missing}")
+                return sum(jnp.vdot(blobs[nm].astype(jnp.float32), c)
+                           for nm, c in cot.items())
             return self.total_loss(blobs)
         in_grads, tap_grads = jax.grad(loss_of, argnums=(0, 1))(diffable, taps)
         out = {}

@@ -97,6 +97,77 @@ def test_compat_backward_populates_intermediate_blob_diff():
     assert np.abs(net.blobs["ip1"].diff).sum() > 0
 
 
+def test_backward_injected_cotangents_replace_loss_seed():
+    """cotangents= replaces the forward-loss seed (Net::Backward runs from
+    whatever diff_ the tops hold): injecting ones at the loss blob equals
+    the default backward; scaling the injected diff scales the gradients."""
+    net = _build_diff_net()
+    rng = np.random.RandomState(4)
+    data = rng.randn(2, 3).astype(np.float32)
+    target = rng.randn(2, 3).astype(np.float32)
+
+    base = net.backward(data=data, target=target)
+    ones = net.backward(cotangents={"loss": np.float32(1.0)},
+                        data=data, target=target)
+    np.testing.assert_allclose(ones["data"], base["data"], rtol=1e-6)
+    twos = net.backward(cotangents={"loss": np.float32(2.0)},
+                        data=data, target=target)
+    np.testing.assert_allclose(twos["data"], 2.0 * base["data"], rtol=1e-6)
+
+
+def test_backward_cotangent_at_intermediate_blob_fd():
+    """Injecting a cotangent at a mid-graph blob differentiates
+    sum(<blob, cot>) — checked against central finite differences of that
+    objective through the public forward."""
+    net = _build_diff_net()
+    rng = np.random.RandomState(5)
+    data = rng.randn(2, 3).astype(np.float32)
+    target = rng.randn(2, 3).astype(np.float32)
+    cot = rng.randn(2, 3).astype(np.float32)
+
+    grads = net.backward(cotangents={"ip2": cot}, data=data, target=target)
+
+    def objective(x):
+        net.forward(data=x, target=target)
+        return float(np.vdot(np.asarray(net.blobs["ip2"]), cot))
+
+    eps = 1e-3
+    for idx in [(0, 0), (0, 2), (1, 1)]:
+        up = data.copy(); up[idx] += eps
+        dn = data.copy(); dn[idx] -= eps
+        fd = (objective(up) - objective(dn)) / (2 * eps)
+        np.testing.assert_allclose(grads["data"][idx], fd, rtol=2e-2,
+                                   atol=2e-4)
+
+
+def test_compat_backward_kwargs_are_top_diffs():
+    """pycaffe parity: backward(**kwargs) kwargs are INJECTED TOP DIFFS
+    (pycaffe.py:118-119), keyed by the net's outputs — not input data."""
+    import deepcut_tpu.compat as caffe
+
+    net = caffe.Net.__new__(caffe.Net)
+    net._net = _build_diff_net()
+    from collections import OrderedDict
+    net.blobs = OrderedDict()
+    for nm, sh in net._net.input_shapes.items():
+        net.blobs[nm] = caffe.Blob(np.zeros(sh, np.float32))
+    net._params_dirty = False
+
+    rng = np.random.RandomState(6)
+    net.blobs["data"].data[...] = rng.randn(2, 3)
+    net.blobs["target"].data[...] = rng.randn(2, 3)
+    net.forward()
+    assert net.outputs == ["loss"]
+
+    base = net.backward()
+    injected = net.backward(loss=np.float32(3.0))
+    np.testing.assert_allclose(injected["data"], 3.0 * base["data"],
+                               rtol=1e-5)
+    # keys must match the net outputs exactly (reference raises)
+    with pytest.raises(Exception, match="Top diff"):
+        net.backward(data=np.zeros((2, 3), np.float32))
+
+
 def test_forward_backward_all_intermediate_diffs():
     import deepcut_tpu.compat as caffe
 

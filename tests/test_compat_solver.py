@@ -169,7 +169,7 @@ def test_blob_diff_after_backward(tmp_path):
     t = np.random.RandomState(1).randn(2, 3).astype(np.float32)
     net.forward(data=x, tgt=t)
     assert np.all(net.blobs["data"].diff == 0)
-    grads = net.backward(data=x, tgt=t)
+    grads = net.backward()  # inputs come from the staged blobs (pycaffe)
     np.testing.assert_allclose(net.blobs["data"].diff, grads["data"])
     assert np.abs(net.blobs["data"].diff).max() > 0
     # param blobs expose .diff too (zeros: no persistent grads under jit)
