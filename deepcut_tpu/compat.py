@@ -245,6 +245,12 @@ class Net:
         else:
             inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
                       if nm in self.blobs}
+            # fill-once blobs (constant DummyData tops): staged/current
+            # values persist across forwards like the reference's Blob
+            # memory (dummy_data_layer.cpp fills constants in setup only)
+            for nm in self._net.sticky_top_names():
+                if nm in self.blobs:
+                    inputs[nm] = self.blobs[nm].data
             outs = self._net.forward(**inputs)
             wanted = set(self.outputs)
         for nm, val in outs.items():
@@ -270,6 +276,9 @@ class Net:
 
         inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
                   if nm in self.blobs}
+        for nm in self._net.sticky_top_names():  # fill-once blobs persist
+            if nm in self.blobs:
+                inputs[nm] = self.blobs[nm].data
         cot = None
         if kwargs:
             if set(kwargs) != set(self.outputs):

@@ -671,7 +671,13 @@ class Net:
                 outs = fn(entry, bottoms)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
-            for top, val in zip(spec.tops, outs):
+            sticky = getattr(fn, "sticky_tops", ())
+            for i_top, (top, val) in enumerate(zip(spec.tops, outs)):
+                if i_top in sticky and top in inputs:
+                    # fill-once top (constant DummyData): a staged input
+                    # wins over the layer's refill (dummy_data_layer.cpp
+                    # fills constants in LayerSetUp only)
+                    continue
                 if taps is not None and top in taps and top not in tapped:
                     val = val + taps[top].astype(val.dtype)
                     tapped.add(top)
@@ -992,6 +998,17 @@ class Net:
                 arr = np.asarray(v, np.float32)
                 info[f"param:{lname}/{k}"] = float(np.mean(np.abs(arr)))
         return info
+
+    def sticky_top_names(self) -> set:
+        """Tops with fill-once semantics (constant DummyData): a value
+        supplied as a forward/train-step input persists instead of being
+        overwritten by the layer (dummy_data_layer.cpp LayerSetUp fill)."""
+        out = set()
+        for fn, spec in self._plan:
+            for i in getattr(fn, "sticky_tops", ()):
+                if i < len(spec.tops):
+                    out.add(spec.tops[i])
+        return out
 
     def deconv_names(self) -> List[str]:
         """Deconvolution layer names — needed by the .caffemodel/.h5 writers

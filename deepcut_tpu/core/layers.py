@@ -970,6 +970,14 @@ def _dummy_data(spec, phase, compute_dtype):
     shapes = []
     for sh in dp.get_list("shape"):
         shapes.append(tuple(int(d) for d in sh.get_list("dim")))
+    if not shapes:
+        # legacy 4-field form (dummy_data_layer.cpp: repeated num/channels/
+        # height/width, 1-or-per-top each)
+        legacy = [dp.get_list(k) for k in ("num", "channels", "height", "width")]
+        count = max((len(v) for v in legacy), default=0)
+        for i in range(count):
+            shapes.append(tuple(
+                int(v[min(i, len(v) - 1)]) if v else 1 for v in legacy))
     n_top = len(spec.tops)
     while len(shapes) < n_top:
         shapes.append(shapes[-1] if shapes else (1,))
@@ -1009,4 +1017,12 @@ def _dummy_data(spec, phase, compute_dtype):
                     outs.append(fillers.fill(filler, sub, shape))
         return outs
     fn.needs_rng = any_random
+    # dummy_data_layer.cpp fills CONSTANT tops once in LayerSetUp and leaves
+    # them alone in Forward — so an externally staged value (pycaffe/matcaffe
+    # `blobs('label').set_data(...)` before training) persists. The executor
+    # honours this by not overwriting a sticky top that arrived as an input.
+    fn.sticky_tops = frozenset(
+        i for i in range(n_top)
+        if (fills[min(i, len(fills) - 1)].get_str("type", "constant")
+            if fills else "constant") == "constant")
     return fn

@@ -218,6 +218,11 @@ class GraphSolver:
         self._step_fn = self.net.make_train_step(params.config, mesh=mesh)
         self.state = update_rules.init_state(params.config, self.net.params)
         self._test_net = None
+        # Staged overrides merged into every step's batch (NCHW host
+        # arrays). Used by the binding facades to persist values written
+        # into fill-once blobs (constant DummyData tops) across training
+        # iterations, like the reference's persistent Blob memory.
+        self.extra_inputs: Dict[str, Any] = {}
 
     def _get_test_net(self):
         """TEST-phase net sharing the live params (Solver::InitTestNets,
@@ -272,7 +277,7 @@ class GraphSolver:
         import jax.numpy as jnp
 
         def pull_one():
-            inputs: Dict[str, Any] = {}
+            inputs: Dict[str, Any] = dict(self.extra_inputs)
             self.net._pull_data_layers(inputs)
             dev = {}
             for nm, arr in inputs.items():

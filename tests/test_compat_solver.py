@@ -174,3 +174,96 @@ def test_blob_diff_after_backward(tmp_path):
     assert np.abs(net.blobs["data"].diff).max() > 0
     # param blobs expose .diff too (zeros: no persistent grads under jit)
     assert np.all(net.params["ip"][0].diff == 0)
+
+
+def test_dummy_data_constant_top_fill_once(tmp_path):
+    """dummy_data_layer.cpp fills CONSTANT tops in LayerSetUp only — a
+    staged set_data value persists through later forwards (the reference
+    matlab/pycaffe test pattern), while random-filler tops keep refilling."""
+    p = tmp_path / "dd.prototxt"
+    p.write_text("""
+    layer { name: "data" type: "DummyData" top: "data" top: "label"
+      dummy_data_param { shape { dim: 4 dim: 6 } shape { dim: 4 }
+        data_filler { type: "gaussian" std: 1.0 }
+        data_filler { type: "constant" value: 7 } } }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+      inner_product_param { num_output: 3 weight_filler { type: "xavier" } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+      top: "loss" }
+    """)
+    net = caffe.Net(str(p), caffe.TRAIN)
+    net.forward()
+    np.testing.assert_array_equal(net.blobs["label"].data, 7.0)
+    d0 = net.blobs["data"].data.copy()
+    # stage a new label; it must survive the next forward
+    net.blobs["label"].data[...] = np.array([0, 1, 2, 1], np.float32)
+    net.forward()
+    np.testing.assert_array_equal(net.blobs["label"].data,
+                                  [0.0, 1.0, 2.0, 1.0])
+    # the gaussian data top refilled (fresh draw each forward)
+    assert not np.allclose(net.blobs["data"].data, d0)
+
+
+def test_solver_extra_inputs_reach_the_train_step(tmp_path):
+    """GraphSolver.extra_inputs: staged fill-once blob values flow into
+    every training iteration's batch (matcaffe set label -> solver.step)."""
+    from deepcut_tpu.solver.solver import GraphSolver, SolverParams
+
+    netf = tmp_path / "n.prototxt"
+    netf.write_text("""
+    layer { name: "data" type: "DummyData" top: "data" top: "label"
+      dummy_data_param { shape { dim: 4 dim: 6 } shape { dim: 4 }
+        data_filler { type: "constant" value: 0.5 }
+        data_filler { type: "constant" value: 0 } } }
+    layer { name: "ip" type: "InnerProduct" bottom: "data" top: "ip"
+      inner_product_param { num_output: 3
+        weight_filler { type: "xavier" } } }
+    layer { name: "loss" type: "SoftmaxWithLoss" bottom: "ip" bottom: "label"
+      top: "loss" }
+    """)
+    sp = SolverParams.from_prototxt(f"""
+        net: "{netf}"
+        base_lr: 0.0
+        lr_policy: "fixed"
+        display: 0
+        max_iter: 5
+        snapshot: 0
+        snapshot_prefix: "{tmp_path}/s"
+    """)
+
+    def loss_with_label(label):
+        s = GraphSolver(sp, str(netf), handle_signals=False,
+                        log=lambda *_: None)
+        s.extra_inputs = {"label": np.asarray(label, np.float32)}
+        s.step(1)
+        return s.smoothed_loss
+
+    # identical deterministically-seeded nets, lr=0: any loss difference
+    # comes from the staged label reaching the jitted step
+    l_a = loss_with_label([0, 0, 0, 0])
+    l_aa = loss_with_label([0, 0, 0, 0])
+    l_b = loss_with_label([2, 2, 2, 2])
+    assert l_a == l_aa
+    assert l_a != l_b, "staged label never reached the train step"
+
+
+def test_dummy_data_legacy_four_field_dims():
+    """dummy_data_param's legacy num/channels/height/width form (the
+    reference matlab/pycaffe test fixtures use it)."""
+    from deepcut_tpu.core.graph import Net
+    from deepcut_tpu.proto import text_format
+
+    proto = """
+    layer { name: "data" type: "DummyData" top: "data" top: "label"
+      dummy_data_param { num: 5 channels: 2 height: 3 width: 4
+        num: 5 channels: 1 height: 1 width: 1
+        data_filler { type: "gaussian" std: 1 }
+        data_filler { type: "constant" } } }
+    """
+    net = Net(text_format.parse(proto), phase="TRAIN", compute_dtype=None)
+    net._ensure_params({})
+    out = net.forward()
+    assert out["data"].shape == (5, 2, 3, 4)
+    assert out["label"].shape == (5, 1, 1, 1)
+    np.testing.assert_array_equal(out["label"], 0.0)
+    assert np.abs(out["data"]).sum() > 0  # gaussian actually drew
