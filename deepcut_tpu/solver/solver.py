@@ -222,7 +222,9 @@ class GraphSolver:
         # arrays). Used by the binding facades to persist values written
         # into fill-once blobs (constant DummyData tops) across training
         # iterations, like the reference's persistent Blob memory.
+        # extra_test_inputs plays the same role for the TEST-phase net.
         self.extra_inputs: Dict[str, Any] = {}
+        self.extra_test_inputs: Dict[str, Any] = {}
 
     def _get_test_net(self):
         """TEST-phase net sharing the live params (Solver::InitTestNets,
@@ -253,7 +255,7 @@ class GraphSolver:
             return {}
         sums: Dict[str, float] = {}
         for _ in range(self.params_cfg.test_iter):
-            outs = tnet.forward()
+            outs = tnet.forward(**self.extra_test_inputs)
             for nm in tnet.output_names():
                 sums[nm] = sums.get(nm, 0.0) + float(np.mean(outs[nm]))
         avgs = {nm: s / self.params_cfg.test_iter for nm, s in sums.items()}
