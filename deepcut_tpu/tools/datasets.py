@@ -1,12 +1,17 @@
-"""Dataset tools: convert_imageset / compute_image_mean analogs.
+"""Dataset tools: convert_imageset / compute_image_mean / resize_and_crop
+analogs.
 
-Reference: tools/convert_imageset.cpp (images + label list -> LMDB of Datums)
-and tools/compute_image_mean.cpp (LMDB -> mean BlobProto).
+Reference: tools/convert_imageset.cpp (images + label list -> LMDB of Datums),
+tools/compute_image_mean.cpp (LMDB -> mean BlobProto), and
+tools/extra/resize_and_crop_images.py + launch_resize_and_crop_images.sh
+(mincepie map-reduce that squares up an image tree for ImageNet prep).
 
 Usage:
   python -m deepcut_tpu.tools.datasets convert_imageset LISTFILE DB_PATH
          [--root ROOT] [--resize H W] [--encoded] [--shuffle]
   python -m deepcut_tpu.tools.datasets compute_image_mean DB_PATH OUT.binaryproto
+  python -m deepcut_tpu.tools.datasets resize_and_crop IN_DIR OUT_DIR
+         [--side 256] [--workers N] [--listfile FILES.txt]
 """
 
 from __future__ import annotations
@@ -95,6 +100,67 @@ def compute_image_mean(args) -> int:
     return 0
 
 
+def square_crop_geometry(height: int, width: int, side: int):
+    """Scaled size + crop offsets for shortest-side-to-`side` center square.
+
+    The geometry of tools/extra/resize_and_crop_images.py
+    (OpenCVResizeCrop.resize_and_crop_image): the short edge lands exactly on
+    `side`, the long edge scales by the same ratio with Python-2 FLOOR
+    division (`output_side_length * height / width`), and the crop offset is
+    the floored half-overhang. Returns ((new_h, new_w), (y0, x0))."""
+    if height > width:
+        new_h, new_w = side * height // width, side
+    else:
+        new_h, new_w = side, side * width // height
+    return (new_h, new_w), ((new_h - side) // 2, (new_w - side) // 2)
+
+
+def resize_and_crop(args) -> int:
+    """Square up an image tree: every image under IN_DIR (or listed in
+    --listfile) is resized so its short side equals --side, center-cropped
+    square, and written under OUT_DIR at the same relative path. The
+    reference distributes this over mincepie map-reduce workers; here a
+    thread pool covers the same ground (PIL decode/encode releases the GIL)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image
+
+    if args.listfile:
+        with open(args.listfile) as f:
+            rels = [ln.strip() for ln in f if ln.strip()]
+    else:
+        rels = []
+        for dirpath, _, files in os.walk(args.in_dir):
+            for fn in sorted(files):
+                if fn.lower().endswith(
+                        (".jpg", ".jpeg", ".png", ".bmp", ".ppm")):
+                    rels.append(os.path.relpath(
+                        os.path.join(dirpath, fn), args.in_dir))
+        rels.sort()
+
+    def one(rel: str) -> bool:
+        src = os.path.join(args.in_dir, rel)
+        dst = os.path.join(args.out_dir, rel)
+        try:
+            img = Image.open(src)
+            img.load()
+        except OSError as e:
+            print(f"skipping {src}: {e}", file=sys.stderr)
+            return False
+        (nh, nw), (y0, x0) = square_crop_geometry(*img.size[::-1], args.side)
+        img = img.resize((nw, nh), Image.BILINEAR)
+        img = img.crop((x0, y0, x0 + args.side, y0 + args.side))
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        img.save(dst)
+        return True
+
+    with ThreadPoolExecutor(max_workers=max(args.workers, 1)) as pool:
+        done = sum(pool.map(one, rels))
+    print(f"Resized and cropped {done}/{len(rels)} images into {args.out_dir}")
+    return 0 if done == len(rels) else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     parser = argparse.ArgumentParser(prog="deepcut_tpu.tools.datasets")
     sub = parser.add_subparsers(dest="verb", required=True)
@@ -113,6 +179,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("db_path")
     p.add_argument("out")
     p.set_defaults(fn=compute_image_mean)
+
+    p = sub.add_parser("resize_and_crop")
+    p.add_argument("in_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--side", type=int, default=256)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--listfile", default="",
+                   help="relative paths to process (default: walk IN_DIR)")
+    p.set_defaults(fn=resize_and_crop)
 
     args = parser.parse_args(argv)
     return args.fn(args)

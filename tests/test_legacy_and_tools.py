@@ -302,3 +302,37 @@ def test_graph_solver_hdf5_snapshot_format(tmp_path):
     _, learned, _, _ = decode_solverstate(
         open(f"{tmp_path}/h5s_iter_2.solverstate", "rb").read())
     assert learned.endswith(".caffemodel.h5")
+
+
+def test_resize_and_crop_tree(tmp_path):
+    """tools/extra/resize_and_crop_images.py analog: shortest side lands on
+    --side, center square crop with the reference's floor-division geometry,
+    relative paths preserved."""
+    from PIL import Image
+    from deepcut_tpu.tools.datasets import main, square_crop_geometry
+
+    rng = np.random.RandomState(1)
+    src = tmp_path / "in"
+    (src / "n01").mkdir(parents=True)
+    (src / "n02").mkdir()
+    shapes = [(30, 17), (13, 40), (8, 8)]
+    rels = ["n01/a.jpg", "n01/b.png", "n02/c.jpg"]
+    for rel, (h, w) in zip(rels, shapes):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(src / rel)
+    out = tmp_path / "out"
+    assert main(["resize_and_crop", str(src), str(out), "--side", "8",
+                 "--workers", "2"]) == 0
+    for rel in rels:
+        im = Image.open(out / rel)
+        assert im.size == (8, 8), rel
+    # geometry matches the reference's integer math (py2 floor division):
+    # 30x17 @ side 8 -> scaled (8*30//17, 8) = (14, 8), offset ((14-8)//2, 0)
+    assert square_crop_geometry(30, 17, 8) == ((14, 8), (3, 0))
+    assert square_crop_geometry(13, 40, 8) == ((8, 24), (0, 8))
+    # listfile mode processes only the named subset
+    lst = tmp_path / "subset.txt"
+    lst.write_text("n02/c.jpg\n")
+    out2 = tmp_path / "out2"
+    assert main(["resize_and_crop", str(src), str(out2), "--side", "8",
+                 "--listfile", str(lst)]) == 0
+    assert (out2 / "n02/c.jpg").exists() and not (out2 / "n01").exists()
