@@ -427,11 +427,20 @@ class PoseSolver:
         log: Callable[[str], None] = print,
         target_cfg=None,
         target_stats=None,
+        eval_fn: Optional[Callable[[Any, int], Optional[str]]] = None,
     ):
         """target_cfg (pose.targets.TargetConfig): enables ON-DEVICE target
         rasterization — the batch_source ships compact `anno_*` annotation
         arrays (PoseDataSource(device_targets=True)) and the dense maps are
-        built inside the jitted gradient step (pose/targets_device.py)."""
+        built inside the jitted gradient step (pose/targets_device.py).
+
+        eval_fn: validation hook called as ``eval_fn(net_params, iter)`` on
+        `test_interval` boundaries, BEFORE that iteration's update — the
+        reference's Solver::Step TestAll gate (solver.cpp:206-217) applied
+        to the pose stack, where "test" means scoring the detector (e.g.
+        pose.evaluate.evaluate_estimator PCKh over a held-out window file;
+        tests/test_pose_training_e2e.py shows the wiring) rather than
+        averaging loss blobs. A returned string is logged."""
         from deepcut_tpu.models.resnet import init_params
         from deepcut_tpu.models.train import loss_fn
 
@@ -446,6 +455,7 @@ class PoseSolver:
         self.state = update_rules.init_state(params.config, self.net_params)
         self.signals = SignalHandler(handle_signals)
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
+        self.eval_fn = eval_fn
         scfg = params.config
         if target_cfg is not None:
             from deepcut_tpu.pose.targets_device import make_batch_rasterizer
@@ -513,6 +523,15 @@ class PoseSolver:
             if self.signals.snapshot_requested:
                 self.snapshot()
                 self.signals.snapshot_requested = False
+            if (self.eval_fn is not None and cfg.test_interval
+                    and self.iter % cfg.test_interval == 0):
+                # Solver::Step's TestAll gate (same convention as
+                # GraphSolver.step above): validation runs BEFORE this
+                # iteration's update, including at iteration 0
+                self.log(f"Iteration {self.iter}, Testing net")
+                msg = self.eval_fn(self.net_params, self.iter)
+                if msg:
+                    self.log(f"    Test net output: {msg}")
             grads = None
             total = 0.0
             metrics = {}

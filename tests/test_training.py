@@ -364,3 +364,39 @@ def test_graph_solver_iter_size_equivalence():
             np.testing.assert_allclose(np.asarray(p_accum[name][k]),
                                        np.asarray(p_full[name][k]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_eval_fn_hook_runs_on_test_interval():
+    """PoseSolver eval_fn: the Solver::Step TestAll gate applied to the pose
+    stack — called BEFORE the update on test_interval boundaries (including
+    iteration 0), receiving the live params and iter; returned strings are
+    logged."""
+    src = _source()
+    batches = [src.next_batch(1) for _ in range(3)]
+    i = [0]
+
+    def batch_source():
+        b = batches[i[0] % 3]
+        i[0] += 1
+        return b
+
+    calls = []
+    lines = []
+
+    def eval_fn(params, it):
+        # live params arrive: they must differ from init once trained
+        calls.append((it, jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), params, 0.0)))
+        return f"PCKh@0.5 = {0.5 + 0.1 * len(calls):.2f}"
+
+    import dataclasses
+    sp = dataclasses.replace(_solver_params(max_iter=5), test_interval=2)
+    solver = PoseSolver(sp, TINY_MODEL, batch_source, eval_fn=eval_fn,
+                        handle_signals=False, log=lines.append)
+    solver.step(5)
+    assert [it for it, _ in calls] == [0, 2, 4]
+    # params evolve between calls (the hook sees the LIVE weights)
+    sums = [s for _, s in calls]
+    assert sums[0] != sums[1] != sums[2]
+    assert any("Test net output: PCKh@0.5 = 0.60" in ln for ln in lines)
+    assert any("Iteration 2, Testing net" in ln for ln in lines)
