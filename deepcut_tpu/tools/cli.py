@@ -104,8 +104,11 @@ def train(args) -> int:
         from deepcut_tpu.solver.solver import GraphSolver
         solver = GraphSolver(sp, sp.train_net, mesh=mesh)
         if args.weights:
-            # finetune: copy matching layers by name (CopyTrainedLayersFrom)
-            solver.net.load_weights(args.weights)
+            # finetune: copy matching layers by name, from each file of a
+            # comma-separated list in order (caffe.cpp CopyLayers:123-135
+            # boost::split on ',')
+            for w in args.weights.split(","):
+                solver.net.load_weights(w)
         if args.snapshot:
             solver.restore(args.snapshot)
         solver.solve()

@@ -199,3 +199,54 @@ snapshot_prefix: "{tmp_path}/{tag}"
     mesh = run("mesh", ["-mesh", "2"])
     np.testing.assert_allclose(mesh["ip"][0].data, single["ip"][0].data,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cli_train_finetune_weights_comma_list(tmp_path):
+    """`caffe train -weights a.caffemodel,b.caffemodel` loads EACH file of
+    the comma-separated list in order (tools/caffe.cpp CopyLayers:123-135
+    boost::split on ',')."""
+    import numpy as np
+    from deepcut_tpu.data.lmdb_store import LMDBWriter
+    from deepcut_tpu.data.datum import Datum
+    from deepcut_tpu.proto.caffemodel import save_caffemodel, load_caffemodel
+
+    db = str(tmp_path / "db")
+    rng = np.random.RandomState(0)
+    with LMDBWriter(db) as w:
+        for i in range(8):
+            w.put(f"{i:08d}".encode(),
+                  Datum.from_array(rng.randint(0, 255, (1, 4, 4), np.uint8),
+                                   i % 2).encode())
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(f"""
+layer {{ name: "data" type: "Data" top: "data" top: "label"
+        data_param {{ source: "{db}" batch_size: 4 }} }}
+layer {{ name: "ip1" type: "InnerProduct" bottom: "data" top: "ip1"
+        inner_product_param {{ num_output: 3
+          weight_filler {{ type: "constant" value: 0 }} }} }}
+layer {{ name: "ip2" type: "InnerProduct" bottom: "ip1" top: "ip2"
+        inner_product_param {{ num_output: 2
+          weight_filler {{ type: "constant" value: 0 }} }} }}
+layer {{ name: "loss" type: "SoftmaxWithLoss" bottom: "ip2" bottom: "label" top: "loss" }}
+""")
+    w1 = np.full((3, 16), 0.25, np.float32)
+    w2 = np.full((2, 3), -0.5, np.float32)
+    p1, p2 = str(tmp_path / "a.caffemodel"), str(tmp_path / "b.caffemodel")
+    save_caffemodel(p1, {"ip1": {"w": w1, "b": np.zeros(3, np.float32)}})
+    save_caffemodel(p2, {"ip2": {"w": w2, "b": np.zeros(2, np.float32)}})
+    solver_path = tmp_path / "solver.prototxt"
+    solver_path.write_text(f"""
+net: "{net_path}"
+base_lr: 0.0
+lr_policy: "fixed"
+display: 0
+max_iter: 1
+snapshot: 1
+snapshot_prefix: "{tmp_path}/ft"
+""")
+    from deepcut_tpu.tools import cli
+    assert cli.main(["train", "-solver", str(solver_path),
+                     "-weights", f"{p1},{p2}"]) == 0
+    out = load_caffemodel(str(tmp_path / "ft_iter_1.caffemodel"))
+    np.testing.assert_allclose(out["ip1"][0].data, w1)
+    np.testing.assert_allclose(out["ip2"][0].data, w2)
