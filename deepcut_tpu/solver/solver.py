@@ -162,11 +162,24 @@ def load_checkpoint(path: str):
 
 
 class SignalHandler:
-    """SIGINT -> STOP, SIGHUP -> SNAPSHOT (polled flags, like the reference)."""
+    """Polled signal->action flags, like the reference's
+    util/signal_handler.cpp. Defaults SIGINT -> STOP, SIGHUP -> SNAPSHOT;
+    both effects are configurable to stop/snapshot/none (the CLI's
+    -sigint_effect / -sighup_effect flags, caffe.cpp:44-48 +
+    GetRequestedAction:139-151, which LOG(FATAL)s on anything else)."""
 
-    def __init__(self, enable: bool = True):
+    EFFECTS = ("stop", "snapshot", "none")
+
+    def __init__(self, enable: bool = True, sigint_effect: str = "stop",
+                 sighup_effect: str = "snapshot"):
+        for eff in (sigint_effect, sighup_effect):
+            if eff not in self.EFFECTS:
+                raise ValueError(
+                    f'Invalid signal effect "{eff}" was specified')
         self.stop_requested = False
         self.snapshot_requested = False
+        self._sigint_effect = sigint_effect
+        self._sighup_effect = sighup_effect
         if enable:
             try:
                 _signal.signal(_signal.SIGINT, self._on_sigint)
@@ -174,11 +187,17 @@ class SignalHandler:
             except ValueError:
                 pass  # not the main thread
 
+    def _apply(self, effect: str):
+        if effect == "stop":
+            self.stop_requested = True
+        elif effect == "snapshot":
+            self.snapshot_requested = True
+
     def _on_sigint(self, *_):
-        self.stop_requested = True
+        self._apply(self._sigint_effect)
 
     def _on_sighup(self, *_):
-        self.snapshot_requested = True
+        self._apply(self._sighup_effect)
 
 
 class GraphSolver:
@@ -187,7 +206,8 @@ class GraphSolver:
     """
 
     def __init__(self, params: SolverParams, net, *, mesh=None,
-                 handle_signals: bool = True, log: Callable[[str], None] = print):
+                 handle_signals: bool = True, log: Callable[[str], None] = print,
+                 sigint_effect: str = "stop", sighup_effect: str = "snapshot"):
         """mesh: optional ('data', ...) Mesh — data-parallel training of any
         prototxt model (the reference CLI's `-gpu 0,1,...`); the per-step
         batch (from the data layers) is split across the 'data' axis, so
@@ -200,7 +220,8 @@ class GraphSolver:
                                                         compute_dtype=None)
         self.mesh = mesh
         self.log = log
-        self.signals = SignalHandler(handle_signals)
+        self.signals = SignalHandler(handle_signals, sigint_effect,
+                                     sighup_effect)
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
         # materialise params (pull one batch for shapes if needed)
         if not self.net.params:
@@ -428,6 +449,8 @@ class PoseSolver:
         target_cfg=None,
         target_stats=None,
         eval_fn: Optional[Callable[[Any, int], Optional[str]]] = None,
+        sigint_effect: str = "stop",
+        sighup_effect: str = "snapshot",
     ):
         """target_cfg (pose.targets.TargetConfig): enables ON-DEVICE target
         rasterization — the batch_source ships compact `anno_*` annotation
@@ -453,7 +476,8 @@ class PoseSolver:
         self.net_params = net_params if net_params is not None else init_params(
             jax.random.PRNGKey(seed), model_cfg)
         self.state = update_rules.init_state(params.config, self.net_params)
-        self.signals = SignalHandler(handle_signals)
+        self.signals = SignalHandler(handle_signals, sigint_effect,
+                                     sighup_effect)
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
         self.eval_fn = eval_fn
         scfg = params.config

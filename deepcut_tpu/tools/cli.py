@@ -102,7 +102,9 @@ def train(args) -> int:
     if data_layer is None:
         # Generic graph training (LeNet/CaffeNet-style recipes).
         from deepcut_tpu.solver.solver import GraphSolver
-        solver = GraphSolver(sp, sp.train_net, mesh=mesh)
+        solver = GraphSolver(sp, sp.train_net, mesh=mesh,
+                             sigint_effect=args.sigint_effect,
+                             sighup_effect=args.sighup_effect)
         if args.weights:
             # finetune: copy matching layers by name, from each file of a
             # comma-separated list in order (caffe.cpp CopyLayers:123-135
@@ -171,7 +173,8 @@ def train(args) -> int:
     solver = PoseSolver(
         sp, model_cfg, prefetch.get, net_params=net_params, mesh=mesh,
         target_cfg=None if getattr(args, "host_targets", False) else tcfg,
-        target_stats=None if getattr(args, "host_targets", False) else stats)
+        target_stats=None if getattr(args, "host_targets", False) else stats,
+        sigint_effect=args.sigint_effect, sighup_effect=args.sighup_effect)
     if args.snapshot:
         solver.restore(args.snapshot)
     try:
@@ -402,6 +405,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("-data_workers", type=int, default=4,
                    help="decode threads in the input pipeline (0 = serial; "
                         "batches are identical either way)")
+    p.add_argument("-sigint_effect", default="stop",
+                   choices=["stop", "snapshot", "none"],
+                   help="action on SIGINT (caffe.cpp -sigint_effect)")
+    p.add_argument("-sighup_effect", default="snapshot",
+                   choices=["stop", "snapshot", "none"],
+                   help="action on SIGHUP (caffe.cpp -sighup_effect)")
     p.add_argument("-mixed_precision", action="store_true",
                    help="bf16 conv compute, f32 params/losses (1.6x step speed)")
     p.add_argument("-remat", action="store_true",

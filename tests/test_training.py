@@ -400,3 +400,33 @@ def test_eval_fn_hook_runs_on_test_interval():
     assert sums[0] != sums[1] != sums[2]
     assert any("Test net output: PCKh@0.5 = 0.60" in ln for ln in lines)
     assert any("Iteration 2, Testing net" in ln for ln in lines)
+
+
+def test_signal_effects_configurable():
+    """SignalHandler maps SIGINT/SIGHUP to stop/snapshot/none like
+    tools/caffe.cpp GetRequestedAction (which rejects anything else)."""
+    import os
+    import signal
+
+    from deepcut_tpu.solver.solver import SignalHandler
+
+    prev_int = signal.getsignal(signal.SIGINT)
+    prev_hup = signal.getsignal(signal.SIGHUP)
+    try:
+        h = SignalHandler(sigint_effect="snapshot", sighup_effect="none")
+        os.kill(os.getpid(), signal.SIGINT)
+        assert h.snapshot_requested and not h.stop_requested
+        os.kill(os.getpid(), signal.SIGHUP)  # none: both flags unchanged
+        assert h.snapshot_requested and not h.stop_requested
+
+        h2 = SignalHandler(sigint_effect="none", sighup_effect="stop")
+        os.kill(os.getpid(), signal.SIGINT)
+        assert not h2.stop_requested and not h2.snapshot_requested
+        os.kill(os.getpid(), signal.SIGHUP)
+        assert h2.stop_requested
+    finally:
+        signal.signal(signal.SIGINT, prev_int)
+        signal.signal(signal.SIGHUP, prev_hup)
+
+    with pytest.raises(ValueError, match="Invalid signal effect"):
+        SignalHandler(enable=False, sigint_effect="pause")
