@@ -126,6 +126,11 @@ class Blob:
         cur = getattr(self, "_diff", None)  # views skip __init__
         if cur is None or cur.shape != self.data.shape:
             self._diff = np.zeros_like(self.data)
+        elif not cur.flags.writeable:
+            # backward populates _diff straight from device outputs, which
+            # arrive read-only; the reference's diff_ is always writable
+            # (staging idiom: net.blobs[b].diff[...] = g)
+            self._diff = cur.copy()
         return self._diff
 
     @property
@@ -258,7 +263,8 @@ class Net:
         wanted |= set(blobs or [])
         return {nm: self.blobs[nm].data for nm in wanted if nm in self.blobs}
 
-    def backward(self, diffs=None, **kwargs) -> Dict[str, np.ndarray]:
+    def backward(self, diffs=None, start=None, end=None,
+                 **kwargs) -> Dict[str, np.ndarray]:
         """pycaffe _Net_backward analog: gradients of the total loss w.r.t.
         the input blobs, plus any blobs named in `diffs` (the reference
         returns ANY blob's diff_, pycaffe.py:107-140 — here computed via
@@ -271,7 +277,16 @@ class Net:
         given, the keys must be the net's outputs and the returned
         gradients are of sum(<output, injected diff>) instead of the total
         loss. Input DATA comes from the staged input blobs (stage it via
-        forward(...) or blobs[...].data[...] = x)."""
+        forward(...) or blobs[...].data[...] = x).
+
+        start/end: partial backward by layer name (pycaffe.py:111-140) —
+        from layer `start` (default: last) down through `end` (inclusive,
+        default: first). With `start` given the chain is seeded from the
+        STAGED diffs of the start layer's tops (`net.blobs[top].diff[...] =
+        g` first) — the staged-Blob analog of the reference reading
+        whatever diff_ those blobs hold. With `end` given, the end layer's
+        tops are included in the returned diffs (the reference returns the
+        blob named like the layer)."""
         import warnings
 
         inputs = {nm: self.blobs[nm].data for nm in self._net.input_names
@@ -281,11 +296,39 @@ class Net:
                 inputs[nm] = self.blobs[nm].data
         cot = None
         if kwargs:
+            # validated against the net outputs even when `start` makes
+            # them unused — exactly the reference's check-then-write order
+            # (pycaffe.py:143-151; with a mid-net start the written output
+            # diffs never enter the chain)
             if set(kwargs) != set(self.outputs):
                 raise Exception(
                     "Top diff arguments do not match net outputs.")
-            cot = {nm: np.asarray(v, np.float32) for nm, v in kwargs.items()}
-        grads = self._net.backward(diffs=diffs, cotangents=cot, **inputs)
+            if start is None:
+                cot = {nm: np.asarray(v, np.float32)
+                       for nm, v in kwargs.items()}
+        if start is not None:
+            specs = {s.name: s for s in self._net.layer_specs}
+            if start not in specs:
+                raise KeyError(f"unknown start layer {start!r}")
+            cot = {}
+            for top in specs[start].tops:
+                blob = self.blobs.get(top)
+                if blob is None or blob._diff is None:
+                    raise ValueError(
+                        f"backward(start={start!r}): no staged diff for top "
+                        f"blob {top!r}; set net.blobs[{top!r}].diff[...] "
+                        "first (the reference reads that buffer)")
+                cot[top] = np.asarray(blob.diff, np.float32)
+        if end is not None:
+            specs = {s.name: s for s in self._net.layer_specs}
+            if end not in specs:
+                raise KeyError(f"unknown end layer {end!r}")
+            diffs = list(diffs or [])
+            for top in specs[end].tops:  # the reference's set([end]+diffs)
+                if top not in diffs:
+                    diffs.append(top)
+        grads = self._net.backward(diffs=diffs, cotangents=cot,
+                                   start=start, end=end, **inputs)
         for nm, g in grads.items():  # populate blob.diff, pycaffe-style
             if nm in self.blobs:
                 g = np.asarray(g)

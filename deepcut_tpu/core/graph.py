@@ -810,6 +810,7 @@ class Net:
 
     def backward(self, diffs: Optional[Sequence[str]] = None,
                  cotangents: Optional[Dict[str, Any]] = None,
+                 start: Optional[str] = None, end: Optional[str] = None,
                  **inputs) -> Dict[str, np.ndarray]:
         """Gradients of the total loss w.r.t. the net inputs (pycaffe
         net.backward analog; param grads come from make_train_step).
@@ -827,8 +828,41 @@ class Net:
         are taken from forward loss ... kwargs: keys are output blob names
         and values are diff ndarrays" contract (pycaffe.py _Net_backward;
         Net::Backward runs the chain rule from whatever diff_ the top blobs
-        hold)."""
-        self._pull_data_layers(inputs)
+        hold).
+
+        start/end: partial backward by layer name, pycaffe's
+        `backward(start=, end=)` (pycaffe.py:111-140 / Net::BackwardFromTo,
+        net.cpp:634-645): the chain runs from layer `start` (default: the
+        last layer) down through layer `end` inclusive (default: the
+        first). As a forward-order slice that is plan_slice(end, start);
+        bottoms the slice consumes but does not produce are seeded from the
+        previous forward's blobs, mirroring the reference's persistent Blob
+        memory. With `start` given, the objective must be seeded by
+        `cotangents` at the start layer's tops — the reference reads
+        whatever diff_ those blobs hold; a functional core has no hidden
+        diff memory, so the caller passes the seeds explicitly (compat.Net
+        collects them from the staged Blob.diff views)."""
+        plan = None
+        plan_offset = 0
+        if start is not None or end is not None:
+            plan = self.plan_slice(end, start)
+            if end is not None:
+                names = [spec.name for _, spec in self._plan]
+                plan_offset = names.index(end)
+            if start is not None and cotangents is None:
+                raise ValueError(
+                    f"backward(start={start!r}) needs seed diffs for the "
+                    "start layer's tops: pass cotangents={top: d_objective/"
+                    "d_top} (the reference reads the tops' diff_ buffers; "
+                    "stage them via compat Blob.diff)")
+            produced = set(inputs)
+            for _, spec in plan:
+                for b in spec.bottoms:
+                    if b not in produced and b in self.blobs:
+                        inputs.setdefault(b, self.blobs[b])
+                produced.update(spec.tops)
+        if end is None:
+            self._pull_data_layers(inputs)
         dev_inputs = {}
         for nm, arr in inputs.items():
             a = jnp.asarray(arr)
@@ -846,7 +880,8 @@ class Net:
         taps = {}
         if tap_names:
             shapes = jax.eval_shape(
-                lambda d: self._execute(self.params, {**d, **rest}), diffable)
+                lambda d: self._execute(self.params, {**d, **rest}, plan=plan,
+                                        rng_offset=plan_offset), diffable)
             missing = [nm for nm in tap_names if nm not in shapes]
             if missing:
                 raise KeyError(f"backward(diffs=...): unknown blobs {missing}")
@@ -863,7 +898,8 @@ class Net:
                 cot[nm] = a
 
         def loss_of(d, t):
-            blobs = self._execute(self.params, {**d, **rest}, taps=t or None)
+            blobs = self._execute(self.params, {**d, **rest}, taps=t or None,
+                                  plan=plan, rng_offset=plan_offset)
             if cot is not None:
                 missing = [nm for nm in cot if nm not in blobs]
                 if missing:

@@ -13,9 +13,16 @@ import jax.numpy as jnp
 
 
 def relu(x: jax.Array, *, negative_slope: float = 0.0) -> jax.Array:
-    """ReLU with optional leak (relu_layer.cpp)."""
+    """ReLU with optional leak (relu_layer.cpp).
+
+    The where-form (not jnp.maximum) so the GRADIENT at exactly 0 is 0,
+    Caffe's strict `bottom_data > 0` backward gate (relu_layer.cpp:31-43;
+    jnp.maximum splits the tie and passes 0.5). Measure-zero for fresh
+    activations, but load-bearing when a partial backward re-runs an
+    in-place ReLU on already-rectified values (pycaffe backward(end=...)),
+    where every rectified entry sits exactly at 0."""
     if negative_slope == 0.0:
-        return jnp.maximum(x, 0)
+        return jnp.where(x > 0, x, jnp.zeros((), x.dtype))
     return jnp.where(x > 0, x, x * jnp.asarray(negative_slope, x.dtype))
 
 

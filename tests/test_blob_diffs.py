@@ -319,3 +319,81 @@ def test_compat_backward_warns_on_filter_shape_divergence():
     assert any("fdata" in str(w.message) for w in caught), \
         [str(w.message) for w in caught]
     assert np.all(net.blobs["fdata"].diff == 0)
+
+
+# ---- partial backward (pycaffe backward(start=, end=)) ---------------------
+
+
+def test_backward_partial_end_matches_full():
+    """backward(end=...) runs the chain only down to `end` (inclusive);
+    the diff at the slice boundary equals the full backward's."""
+    net = _build_diff_net()
+    rng = np.random.RandomState(7)
+    data = rng.randn(2, 3).astype(np.float32)
+    target = rng.randn(2, 3).astype(np.float32)
+
+    full = net.backward(diffs=["ip1"], data=data, target=target)
+    net.forward(data=data, target=target)  # stage blobs for slice seeding
+    part = net.backward(end="relu1", data=data, target=target)
+    # slice input 'ip1' (the pre-relu activation, shared in-place blob):
+    # its grad is the same dL/d(ip1) Caffe leaves in the shared diff_
+    np.testing.assert_allclose(part["ip1"], full["ip1"], rtol=1e-6)
+
+
+def test_backward_partial_start_chain_rule():
+    """backward(start=...) seeds the chain at the start layer's tops; with
+    the true dL/d(top) as seed it reproduces the full backward (chain
+    rule)."""
+    net = _build_diff_net()
+    rng = np.random.RandomState(8)
+    data = rng.randn(2, 3).astype(np.float32)
+    target = rng.randn(2, 3).astype(np.float32)
+
+    full = net.backward(data=data, target=target)
+    mid = net.backward(diffs=["ip2"], data=data, target=target)["ip2"]
+    part = net.backward(start="ip2", cotangents={"ip2": mid},
+                        data=data, target=target)
+    np.testing.assert_allclose(part["data"], full["data"], rtol=1e-5,
+                               atol=1e-7)
+    # seeds are REQUIRED with start (no hidden diff memory in the
+    # functional core)
+    with pytest.raises(ValueError, match="seed diffs"):
+        net.backward(start="ip2", data=data, target=target)
+
+
+def test_compat_backward_start_end():
+    """compat parity: start seeds from STAGED Blob.diff of the start
+    layer's tops; end returns the end layer's tops among the diffs
+    (pycaffe.py outputs = set([end] + diffs))."""
+    import deepcut_tpu.compat as caffe
+    from collections import OrderedDict
+
+    net = caffe.Net.__new__(caffe.Net)
+    net._net = _build_diff_net()
+    net.blobs = OrderedDict()
+    for nm, sh in net._net.input_shapes.items():
+        net.blobs[nm] = caffe.Blob(np.zeros(sh, np.float32))
+    net._params_dirty = False
+
+    rng = np.random.RandomState(9)
+    net.blobs["data"].data[...] = rng.randn(2, 3)
+    net.blobs["target"].data[...] = rng.randn(2, 3)
+    net.forward()
+
+    full = net.backward()
+    # end='ip1' (layer): its top 'ip1' is returned and populated
+    out_end = net.backward(end="ip1")
+    assert "ip1" in out_end
+    np.testing.assert_array_equal(net.blobs["ip1"].diff, out_end["ip1"])
+
+    # start='ip2': stage dL/d(ip2) (from a full backward) then the partial
+    # chain reproduces the full data gradient
+    mid = net.backward(diffs=["ip2"])["ip2"]
+    net.blobs["ip2"].diff[...] = mid
+    part = net.backward(start="ip2")
+    np.testing.assert_allclose(part["data"], full["data"], rtol=1e-5,
+                               atol=1e-7)
+    # without a staged diff the call is loud
+    net.blobs["ip2"]._diff = None
+    with pytest.raises(ValueError, match="no staged diff"):
+        net.backward(start="ip2")
