@@ -968,8 +968,11 @@ class Net:
         from the previous forward's blobs, mirroring how the reference
         re-reads persistent Blob contents."""
         plan = None
+        plan_offset = 0
         if start is not None or end is not None:
             plan = self.plan_slice(start, end)
+            if start is not None:
+                plan_offset = [s.name for _, s in self._plan].index(start)
             produced = set(inputs)
             for _, spec in plan:
                 for b in spec.bottoms:
@@ -997,13 +1000,14 @@ class Net:
             # path (filter_layer.cpp semantics) — dynamic output shapes, so
             # the plan runs eagerly instead of through jit.
             out = self._execute(self.params, dev_inputs, rng=rng, plan=plan,
-                                dynamic=True)
+                                dynamic=True, rng_offset=plan_offset)
         else:
             key = (start, end) + tuple(
                 sorted((nm, v.shape, str(v.dtype)) for nm, v in dev_inputs.items()))
             if key not in self._jitted:
                 self._jitted[key] = jax.jit(
-                    lambda p, i, r: self._execute(p, i, rng=r, plan=plan))
+                    lambda p, i, r: self._execute(p, i, rng=r, plan=plan,
+                                                  rng_offset=plan_offset))
             out = self._jitted[key](self.params, dev_inputs, rng)
         result: "OrderedDict[str, np.ndarray]" = OrderedDict()
         for nm, v in out.items():
