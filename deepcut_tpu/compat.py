@@ -502,21 +502,21 @@ class Solver:
         sp = SolverParams.from_prototxt(path)
         if solver_type is not None:
             sp.config = dataclasses.replace(sp.config, solver_type=solver_type)
-        if not sp.train_net:
-            raise ValueError("solver prototxt declares no net/train_net")
-        self._solver = GraphSolver(sp, sp.train_net, handle_signals=False)
+        self._solver = GraphSolver(sp, handle_signals=False)
         self.net = Net._from_graph(self._solver.net)
         self._test_net_views: Optional[List[Net]] = None
 
     @property
     def test_nets(self) -> List[Net]:
         # cache the wrappers (pycaffe's solver.test_nets[i] is a stable
-        # object whose blob state persists across accesses), but still call
-        # _get_test_net each time: it re-aliases the live training params
-        tnet = self._solver._get_test_net()
+        # object whose blob state persists across accesses), but still
+        # re-share params each access: the backing nets alias the live
+        # training params (Solver::Test's ShareTrainedLayersWith)
+        nets = self._solver._init_test_nets()
+        for tnet, _ in nets:
+            self._solver._share_trained_layers(tnet)
         if self._test_net_views is None:
-            self._test_net_views = (
-                [Net._from_graph(tnet)] if tnet is not None else [])
+            self._test_net_views = [Net._from_graph(t) for t, _ in nets]
         return self._test_net_views
 
     @property

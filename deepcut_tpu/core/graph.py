@@ -170,6 +170,17 @@ class Net:
         all_specs = [LayerSpec(n) for n in self.proto.get_list("layer")]
         if not all_specs:  # legacy "layers" field
             all_specs = [LayerSpec(n) for n in self.proto.get_list("layers")]
+        # NetParameter.state (caffe.proto NetState) supplies the net's own
+        # default stage/level; explicit constructor args take precedence,
+        # mirroring FilterNet's "NetState state(param.state())" base with
+        # the caller-set overrides merged on top (net.cpp:286-314, and the
+        # solver's NetState merge chain, solver.cpp:100-110).
+        own_state = self.proto.get("state")
+        if own_state is not None:
+            stages = tuple(stages) + tuple(
+                str(s) for s in own_state.get_list("stage") if s not in stages)
+            if level == 0 and own_state.has("level"):
+                level = own_state.get_int("level")
         self.layer_specs = filter_layers(all_specs, phase, stages, level)
 
         # net-level inputs (deploy-style): input/input_shape/input_dim.
@@ -703,6 +714,30 @@ class Net:
                     total = term if total is None else total + term
         if total is None:
             raise ValueError("net has no loss layers")
+        return total
+
+    def blob_loss_weights(self) -> Dict[str, float]:
+        """Per-top loss weights with the LossLayer default (weight 1 on top 0
+        of loss-typed layers, 0 elsewhere) — Net::blob_loss_weights() as used
+        by Solver::Test's per-output "(* w = x loss)" annotations and
+        test_compute_loss accumulation (solver.cpp:361-366, 393-406)."""
+        out: Dict[str, float] = {}
+        for _, spec in self._plan:
+            weights = [float(v) for v in spec.node.get_list("loss_weight")]
+            is_loss = spec.type.endswith("Loss") or spec.type == "SoftmaxWithLossVec"
+            for i, top in enumerate(spec.tops):
+                w = weights[i] if i < len(weights) else (
+                    1.0 if is_loss and i == 0 else 0.0)
+                out[top] = w
+        return out
+
+    def host_total_loss(self, blobs: Dict[str, np.ndarray]) -> float:
+        """total_loss over a host blob dict (a forward() result) — the
+        iter_loss a reference Net::Forward(&loss) hands the solver."""
+        total = 0.0
+        for top, w in self.blob_loss_weights().items():
+            if w and top in blobs:
+                total += w * float(np.sum(np.asarray(blobs[top], np.float32)))
         return total
 
     def make_train_step(self, solver_cfg, *, lr_mults: bool = True, mesh=None):

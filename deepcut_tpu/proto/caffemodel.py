@@ -28,15 +28,20 @@ from deepcut_tpu.proto import wire
 
 
 class Blob:
-    __slots__ = ("shape", "data", "legacy")
+    __slots__ = ("shape", "data", "legacy", "diff")
 
     def __init__(self, shape: Tuple[int, ...], data: np.ndarray,
-                 legacy: bool = False):
+                 legacy: bool = False, diff: Optional[np.ndarray] = None):
         self.shape = tuple(int(s) for s in shape)
         self.data = np.asarray(data, np.float32).reshape(self.shape)
         # True when the shape came from the V0-era num/channels/height/width
         # fields (always rank-4, 1-padded) rather than an explicit BlobShape
         self.legacy = legacy
+        # Gradient payload (BlobProto field 6) — present in snapshots written
+        # with `snapshot_diff: true` (Solver::SnapshotToBinaryProto passes
+        # write_diff through Net::ToProto, solver.cpp:452-459).
+        self.diff = (None if diff is None
+                     else np.asarray(diff, np.float32).reshape(self.shape))
 
 
 def _decode_blob(buf: bytes) -> Blob:
@@ -58,7 +63,12 @@ def _decode_blob(buf: bytes) -> Blob:
         data = np.zeros((0,), np.float32)
     if not shape:
         shape = (len(data),)
-    return Blob(shape, data, legacy=7 not in fields)
+    diff = None
+    if 6 in fields:
+        diff = wire.read_floats(fields[6])
+    elif 9 in fields:
+        diff = wire.read_doubles(fields[9]).astype(np.float32)
+    return Blob(shape, data, legacy=7 not in fields, diff=diff)
 
 
 def _decode_layer(buf: bytes) -> Tuple[str, str, List[Blob]]:
@@ -203,7 +213,8 @@ def load_deepercut_params(path: str) -> Dict[str, Dict[str, np.ndarray]]:
 # --------------------------------------------------------------------------
 
 
-def _encode_blob(arr: np.ndarray, *, legacy: bool = False) -> wire.Encoder:
+def _encode_blob(arr: np.ndarray, *, legacy: bool = False,
+                 diff: Optional[np.ndarray] = None) -> wire.Encoder:
     arr = np.asarray(arr, np.float32)
     blob = wire.Encoder()
     if legacy:
@@ -217,12 +228,15 @@ def _encode_blob(arr: np.ndarray, *, legacy: bool = False) -> wire.Encoder:
         shape.packed_int64s(1, arr.shape)
         blob.message(7, shape)
     blob.packed_floats(5, arr.reshape(-1))
+    if diff is not None:
+        blob.packed_floats(6, np.asarray(diff, np.float32).reshape(-1))
     return blob
 
 
 def encode_netparameter(
     layers: "OrderedDict[str, List[np.ndarray]]", *, net_name: str = "net",
     container: str = "v2",
+    layer_diffs: Optional[Dict[str, List[np.ndarray]]] = None,
 ) -> bytes:
     """Serialise weights as a binary NetParameter.
 
@@ -235,24 +249,25 @@ def encode_netparameter(
     enc = wire.Encoder()
     enc.string(1, net_name)
     for name, blobs in layers.items():
+        diffs = (layer_diffs or {}).get(name, [None] * len(blobs))
         if container == "v2":
             layer = wire.Encoder()
             layer.string(1, name)
             layer.string(2, "")
-            for arr in blobs:
-                layer.message(7, _encode_blob(arr))
+            for arr, d in zip(blobs, diffs):
+                layer.message(7, _encode_blob(arr, diff=d))
             enc.message(100, layer)
         elif container == "v1":
             layer = wire.Encoder()
             layer.string(4, name)
-            for arr in blobs:
-                layer.message(6, _encode_blob(arr))
+            for arr, d in zip(blobs, diffs):
+                layer.message(6, _encode_blob(arr, diff=d))
             enc.message(2, layer)
         else:
             v0 = wire.Encoder()
             v0.string(1, name)
-            for arr in blobs:
-                v0.message(50, _encode_blob(arr, legacy=True))
+            for arr, d in zip(blobs, diffs):
+                v0.message(50, _encode_blob(arr, legacy=True, diff=d))
             layer = wire.Encoder()
             layer.message(1, v0)
             enc.message(2, layer)
@@ -288,21 +303,31 @@ def _entry_to_blobs(name: str, entry: Dict[str, np.ndarray],
 
 
 def save_hdf5_weights(path: str, params: Dict[str, Dict[str, np.ndarray]],
-                      *, deconv_names=()) -> None:
+                      *, deconv_names=(),
+                      diffs: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+                      ) -> None:
     """Write weights in Caffe's HDF5 layout (Net::ToHDF5, net.cpp:948-980):
     group 'data' -> one group per layer -> datasets '0', '1', ... in Caffe
     blob layouts — interchangeable with reference `.caffemodel.h5` files.
     `deconv_names`: Deconvolution layer names (their 4-D weights export in
-    Caffe's (Cin,Cout/g,kh,kw) order)."""
+    Caffe's (Cin,Cout/g,kh,kw) order). `diffs`: optional gradient pytree,
+    written under a sibling 'diff' group (ToHDF5's write_diff branch)."""
     import h5py
 
     with h5py.File(path, "w") as f:
         data = f.create_group("data")
+        diff_group = f.create_group("diff") if diffs else None
         for name, entry in params.items():
             g = data.create_group(name)
             for i, blob in enumerate(
                     _entry_to_blobs(name, entry, deconv_names)):
                 g.create_dataset(str(i), data=np.asarray(blob, np.float32))
+            if diffs and name in diffs:
+                dg = diff_group.create_group(name)
+                for i, blob in enumerate(
+                        _entry_to_blobs(name, diffs[name], deconv_names)):
+                    dg.create_dataset(str(i),
+                                      data=np.asarray(blob, np.float32))
 
 
 def load_hdf5_weights(path: str) -> "OrderedDict[str, List[Blob]]":
@@ -312,12 +337,17 @@ def load_hdf5_weights(path: str) -> "OrderedDict[str, List[Blob]]":
     out: "OrderedDict[str, List[Blob]]" = OrderedDict()
     with h5py.File(path, "r") as f:
         data = f["data"]
+        diff_group = f["diff"] if "diff" in f else None
         for name in data:
             g = data[name]
+            dg = (diff_group[name]
+                  if diff_group is not None and name in diff_group else None)
             blobs = []
             for i in sorted(g, key=int):
                 arr = np.asarray(g[i], np.float32)
-                blobs.append(Blob(arr.shape, arr))
+                diff = (np.asarray(dg[i], np.float32)
+                        if dg is not None and i in dg else None)
+                blobs.append(Blob(arr.shape, arr, diff=diff))
             if blobs:
                 out[name] = blobs
     return out
@@ -354,17 +384,28 @@ def decode_solverstate(buf: bytes) -> Tuple[int, str, List[Blob], int]:
 
 def save_caffemodel(path: str, params: Dict[str, Dict[str, np.ndarray]], *,
                     net_name: str = "net", container: str = "v2",
-                    deconv_names=()) -> None:
+                    deconv_names=(),
+                    diffs: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+                    ) -> None:
     """Write the native pytree back to a reference-readable .caffemodel.
-    `deconv_names`: Deconvolution layer names (Caffe deconv weight order)."""
+    `deconv_names`: Deconvolution layer names (Caffe deconv weight order).
+    `diffs`: optional pytree mirroring `params` whose leaves are written as
+    each BlobProto's diff (field 6) — the `snapshot_diff: true` artifact the
+    reference produces via Net::ToProto(write_diff) (solver.cpp:452-459,
+    caffe.proto:196-198)."""
     layers: "OrderedDict[str, List[np.ndarray]]" = OrderedDict()
+    layer_diffs: Dict[str, List[np.ndarray]] = {}
     for name, entry in params.items():
         blobs = _entry_to_blobs(name, entry, deconv_names)
         if blobs:
             layers[name] = blobs
+            if diffs and name in diffs:
+                layer_diffs[name] = _entry_to_blobs(name, diffs[name],
+                                                    deconv_names)
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
     with open(path, "wb") as f:
         f.write(encode_netparameter(layers, net_name=net_name,
-                                    container=container))
+                                    container=container,
+                                    layer_diffs=layer_diffs))

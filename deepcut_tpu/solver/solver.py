@@ -42,11 +42,29 @@ class SolverParams:
     snapshot_prefix: str = "snapshot"
     snapshot_format: str = "BINARYPROTO"  # or HDF5 (caffe.proto:199)
     test_interval: int = 0
-    test_iter: int = 0
+    test_iter: int = 0  # first test_iter (single-test-net convenience)
     random_seed: int = -1
     train_net: str = ""
-    test_net: str = ""
+    test_net: str = ""  # first test_net file (single-test-net convenience)
     net: str = ""
+    # Full train/test net specification (caffe.proto:104-133): inline
+    # NetParameter nodes, per-net test_iter, and NetState stage/level
+    # overrides. Evaluation order of test nets follows the reference:
+    # (1) test_net_param, (2) test_net, (3) net_param/net instances
+    # (Solver::InitTestNets, solver.cpp:104-191).
+    test_iters: tuple = ()
+    test_net_files: tuple = ()
+    test_net_params: tuple = ()  # inline NetParameter PbNodes
+    net_param: Optional[PbNode] = None
+    train_net_param: Optional[PbNode] = None
+    train_state: Optional[PbNode] = None  # NetState
+    test_states: tuple = ()  # NetState per test-net instance
+    test_initialization: bool = True  # caffe.proto:147-149
+    test_compute_loss: bool = False  # caffe.proto:145
+    snapshot_after_train: bool = True  # caffe.proto:228-229
+    snapshot_diff: bool = False  # caffe.proto:196-198
+    debug_info: bool = False  # caffe.proto:224-226
+    has_snapshot_prefix: bool = False
 
     @staticmethod
     def from_prototxt(path_or_text: str) -> "SolverParams":
@@ -97,11 +115,91 @@ class SolverParams:
             test_interval=node.get_int("test_interval", 0),
             test_iter=int(node.get_list("test_iter")[0]) if node.get_list("test_iter") else 0,
             random_seed=node.get_int("random_seed", -1),
-            train_net=node.get_str("train_net", node.get_str("net", "")),
+            train_net=node.get_str("train_net", ""),
             test_net=(str(node.get_list("test_net")[0])
                       if node.get_list("test_net") else ""),
             net=node.get_str("net", ""),
+            test_iters=tuple(int(v) for v in node.get_list("test_iter")),
+            test_net_files=tuple(str(v) for v in node.get_list("test_net")),
+            test_net_params=tuple(node.get_list("test_net_param")),
+            net_param=node.get("net_param"),
+            train_net_param=node.get("train_net_param"),
+            train_state=node.get("train_state"),
+            test_states=tuple(node.get_list("test_state")),
+            test_initialization=node.get_bool("test_initialization", True),
+            test_compute_loss=node.get_bool("test_compute_loss", False),
+            snapshot_after_train=node.get_bool("snapshot_after_train", True),
+            snapshot_diff=node.get_bool("snapshot_diff", False),
+            debug_info=node.get_bool("debug_info", False),
+            has_snapshot_prefix=node.has("snapshot_prefix"),
         )
+
+    def resolve_train_net(self):
+        """-> (model_def, stages, level) for the TRAIN net, honoring the
+        exactly-one-of {net, net_param, train_net, train_net_param} contract
+        and the NetState merge chain phase<net.state<train_state
+        (Solver::InitTrainNet, solver.cpp:67-110). model_def is a file path
+        or an inline NetParameter PbNode."""
+        sources = [s for s in (self.net or None, self.net_param,
+                               self.train_net or None,
+                               self.train_net_param) if s is not None]
+        if len(sources) > 1:
+            raise ValueError(
+                "SolverParameter must not contain more than one of net, "
+                "net_param, train_net, train_net_param")
+        if not sources:
+            raise ValueError(
+                "SolverParameter must specify a train net using one of: "
+                "net, net_param, train_net, train_net_param")
+        # precedence mirrors InitTrainNet's CopyFrom order: train_net_param,
+        # train_net, then net_param, then net (later wins in the reference;
+        # with the exactly-one check only one exists anyway)
+        model_def = (self.train_net_param or self.net_param
+                     or self.train_net or self.net)
+        stages, level = _state_overrides(self.train_state)
+        return model_def, stages, level
+
+    def test_net_sources(self):
+        """Ordered test-net instances as (model_def, test_iter, stages,
+        level) tuples — Solver::InitTestNets (solver.cpp:104-191): inline
+        test_net_param first, then test_net files, then instances of the
+        generic net/net_param for any remaining test_iter entries; test_state
+        must be unspecified or given once per instance."""
+        has_generic = bool(self.net) or self.net_param is not None
+        num_named = len(self.test_net_params) + len(self.test_net_files)
+        iters = list(self.test_iters)
+        if has_generic:
+            if len(iters) < num_named:
+                raise ValueError(
+                    "test_iter must be specified for each test network")
+        elif len(iters) != num_named:
+            raise ValueError(
+                "test_iter must be specified for each test network")
+        num_instances = num_named + (len(iters) - num_named if has_generic else 0)
+        if self.test_states and len(self.test_states) != num_instances:
+            raise ValueError(
+                "test_state must be unspecified or specified once per "
+                "test net")
+        if num_instances and self.test_interval <= 0:
+            raise ValueError("test_interval must be > 0 with test nets")
+        defs: List[Any] = list(self.test_net_params) + list(self.test_net_files)
+        generic = self.net_param if self.net_param is not None else self.net
+        defs += [generic] * (num_instances - num_named)
+        out = []
+        for i, d in enumerate(defs):
+            st = self.test_states[i] if self.test_states else None
+            stages, level = _state_overrides(st)
+            out.append((d, iters[i], stages, level))
+        return out
+
+
+def _state_overrides(state_node: Optional[PbNode]):
+    """(stages, level) from a NetState PbNode; Net's constructor merges them
+    over the net proto's own `state` (solver.cpp NetState MergeFrom)."""
+    if state_node is None:
+        return (), 0
+    return (tuple(str(s) for s in state_node.get_list("stage")),
+            state_node.get_int("level", 0))
 
 
 # -- checkpoint helpers -----------------------------------------------------
@@ -205,19 +303,29 @@ class GraphSolver:
     `caffe train` path for non-pose models (LeNet/CaffeNet-style recipes).
     """
 
-    def __init__(self, params: SolverParams, net, *, mesh=None,
+    def __init__(self, params: SolverParams, net=None, *, mesh=None,
                  handle_signals: bool = True, log: Callable[[str], None] = print,
                  sigint_effect: str = "stop", sighup_effect: str = "snapshot"):
         """mesh: optional ('data', ...) Mesh — data-parallel training of any
         prototxt model (the reference CLI's `-gpu 0,1,...`); the per-step
         batch (from the data layers) is split across the 'data' axis, so
         batch_size plays the reference's total-batch role here rather than
-        the per-device one (docs/multigpu.md:9-11 semantics differ)."""
+        the per-device one (docs/multigpu.md:9-11 semantics differ).
+
+        net=None resolves the train net from the solver params, including
+        inline net_param/train_net_param definitions and train_state
+        stage/level overrides (Solver::InitTrainNet, solver.cpp:67-110)."""
         from deepcut_tpu.core.graph import Net
 
         self.params_cfg = params
-        self.net = net if isinstance(net, Net) else Net(net, phase="TRAIN",
-                                                        compute_dtype=None)
+        if net is None:
+            model_def, stages, level = params.resolve_train_net()
+            self.net = Net(model_def, phase="TRAIN", stages=stages,
+                           level=level, compute_dtype=None)
+        elif isinstance(net, Net):
+            self.net = net
+        else:
+            self.net = Net(net, phase="TRAIN", compute_dtype=None)
         self.mesh = mesh
         self.log = log
         self.signals = SignalHandler(handle_signals, sigint_effect,
@@ -238,7 +346,13 @@ class GraphSolver:
             self.net._ensure_params(shapes)
         self._step_fn = self.net.make_train_step(params.config, mesh=mesh)
         self.state = update_rules.init_state(params.config, self.net.params)
-        self._test_net = None
+        self._test_nets = None
+        self._last_host_inputs: Dict[str, Any] = {}
+        # last update values (old params − new params): exactly what the
+        # reference's Blob.diff holds at snapshot time, since ApplyUpdate
+        # writes the final lr/momentum-scaled step into diff and Update does
+        # data -= diff (sgd_solver.cpp:106-120, blob.cpp Update)
+        self._last_diff: Optional[Dict[str, Any]] = None
         # Staged overrides merged into every step's batch (NCHW host
         # arrays). Used by the binding facades to persist values written
         # into fill-once blobs (constant DummyData tops) across training
@@ -247,42 +361,87 @@ class GraphSolver:
         self.extra_inputs: Dict[str, Any] = {}
         self.extra_test_inputs: Dict[str, Any] = {}
 
-    def _get_test_net(self):
-        """TEST-phase net sharing the live params (Solver::InitTestNets,
-        solver.cpp:104-191: test_net file, or the shared `net` with TEST
-        phase filtering)."""
-        if self._test_net is None:
-            from deepcut_tpu.core.graph import Net
+    def _init_test_nets(self):
+        """Build every test-net instance (Solver::InitTestNets,
+        solver.cpp:104-191): inline test_net_param nodes, then test_net
+        files, then generic net/net_param instances for remaining test_iter
+        entries — each a TEST-phase Net with its test_state stage/level
+        merged over the net proto's own state."""
+        if self._test_nets is not None:
+            return self._test_nets
+        from deepcut_tpu.core.graph import Net
 
-            source = self.params_cfg.test_net or self.params_cfg.net
-            if not source:
-                return None
-            self._test_net = Net(source, phase="TEST", compute_dtype=None)
-        self._test_net.params = self.net.params
+        p = self.params_cfg
+        if not (p.test_net_files or p.test_net_params or p.test_iters):
+            # single-test-net convenience fields (programmatic SolverParams)
+            source = p.test_net or p.net
+            if source and p.test_iter > 0:
+                self._test_nets = [(Net(source, phase="TEST",
+                                        compute_dtype=None), p.test_iter)]
+            else:
+                self._test_nets = []
+            return self._test_nets
+        self._test_nets = []
+        for model_def, iters, stages, level in p.test_net_sources():
+            tnet = Net(model_def, phase="TEST", stages=stages, level=level,
+                       compute_dtype=None)
+            self._test_nets.append((tnet, iters))
+        return self._test_nets
+
+    def _share_trained_layers(self, tnet):
+        """Point a test net at the live train params
+        (Net::ShareTrainedLayersWith, net.cpp: Test calls it per pass)."""
+        tnet.params = self.net.params
         # share the train net's named-param alias table too (layer names
         # match across phases) — without it a shared-weight TEST net (e.g.
         # siamese twins) would look up empty param entries
-        self._test_net._aliases = getattr(self.net, "_aliases", {})
-        self._test_net._lr_mults = getattr(self.net, "_lr_mults", {})
-        self._test_net._decay_mults = getattr(self.net, "_decay_mults", {})
-        self._test_net._params_ready = True
-        return self._test_net
+        tnet._aliases = getattr(self.net, "_aliases", {})
+        tnet._lr_mults = getattr(self.net, "_lr_mults", {})
+        tnet._decay_mults = getattr(self.net, "_decay_mults", {})
+        tnet._params_ready = True
 
-    def test(self) -> Dict[str, float]:
-        """Run test_iter forwards on the TEST net, averaging each output
-        blob (Solver::Test, solver.cpp:335-409)."""
-        tnet = self._get_test_net()
-        if tnet is None or self.params_cfg.test_iter <= 0:
+    def test(self, test_net_id: int = 0) -> Dict[str, float]:
+        """Run test net #test_net_id for its test_iter forwards, averaging
+        each output blob ELEMENT across iterations and logging them the way
+        Solver::Test does (solver.cpp:335-409), including the optional
+        averaged test loss (`test_compute_loss: true`)."""
+        nets = self._init_test_nets()
+        if not nets:
             return {}
-        sums: Dict[str, float] = {}
-        for _ in range(self.params_cfg.test_iter):
+        tnet, iters = nets[test_net_id]
+        self._share_trained_layers(tnet)
+        loss_weights = tnet.blob_loss_weights()
+        sums: Dict[str, np.ndarray] = {}
+        loss = 0.0
+        for _ in range(iters):
             outs = tnet.forward(**self.extra_test_inputs)
+            if self.params_cfg.test_compute_loss:
+                loss += tnet.host_total_loss(outs)
             for nm in tnet.output_names():
-                sums[nm] = sums.get(nm, 0.0) + float(np.mean(outs[nm]))
-        avgs = {nm: s / self.params_cfg.test_iter for nm, s in sums.items()}
-        for nm, v in avgs.items():
-            self.log(f"    Test net output: {nm} = {v:.6g}")
+                v = np.asarray(outs[nm], np.float64)
+                sums[nm] = sums.get(nm, 0.0) + v
+        if self.params_cfg.test_compute_loss:
+            self.log(f"Test loss: {loss / iters:.6g}")
+        avgs: Dict[str, float] = {}
+        idx = 0
+        for nm, s in sums.items():
+            mean = s / iters
+            w = loss_weights.get(nm, 0.0)
+            for v in np.ravel(mean):
+                suffix = f" (* {w:g} = {w * v:.6g} loss)" if w else ""
+                self.log(f"    Test net output #{idx}: {nm} = {v:.6g}{suffix}")
+                idx += 1
+            avgs[nm] = float(np.mean(mean))
         return avgs
+
+    def test_all(self) -> List[Dict[str, float]]:
+        """Evaluate every test net in order (Solver::TestAll,
+        solver.cpp:326-334)."""
+        results = []
+        for i in range(len(self._init_test_nets())):
+            self.log(f"Iteration {self.iter}, Testing net (#{i})")
+            results.append(self.test(i))
+        return results
 
     @property
     def iter(self) -> int:
@@ -299,9 +458,16 @@ class GraphSolver:
     def _next_inputs(self):
         import jax.numpy as jnp
 
-        def pull_one():
+        def pull_one(stash: bool = False):
             inputs: Dict[str, Any] = dict(self.extra_inputs)
             self.net._pull_data_layers(inputs)
+            if stash:
+                # keep the host NCHW batch for the debug_info forward so the
+                # debug stream reflects THIS iteration's data without
+                # consuming an extra batch (net.cpp:647-735 prints during
+                # the training forward itself)
+                self._last_host_inputs = {k: np.asarray(v)
+                                          for k, v in inputs.items()}
             dev = {}
             for nm, arr in inputs.items():
                 a = jnp.asarray(arr)
@@ -311,11 +477,12 @@ class GraphSolver:
             return dev
 
         k = max(self.params_cfg.config.iter_size, 1)
+        stash = bool(self.params_cfg.debug_info)
         if k == 1:
-            return pull_one()
+            return pull_one(stash)
         # iter_size accumulation: stack k successive data-layer batches on a
         # new leading axis; the train step scans over it summing gradients.
-        batches = [pull_one() for _ in range(k)]
+        batches = [pull_one(stash and i == 0) for i in range(k)]
         return {nm: jnp.stack([b[nm] for b in batches]) for nm in batches[0]}
 
     def step(self, iters: int) -> None:
@@ -329,18 +496,40 @@ class GraphSolver:
                 self.net.params = params
                 self.snapshot()
                 self.signals.snapshot_requested = False
-            if cfg.test_interval and self.iter % cfg.test_interval == 0:
+            if (cfg.test_interval and self.iter % cfg.test_interval == 0
+                    and (self.iter > 0 or cfg.test_initialization)):
+                # test_initialization (default true) controls the iter-0
+                # pass (Solver::Step gate, solver.cpp:205-208)
                 self.net.params = params
-                self.log(f"Iteration {self.iter}, Testing net")
-                self.test()
+                self.test_all()
             # display gates on the PRE-update iteration (Solver::Step logs
             # "Iteration 0, loss" before the first update and the window
             # includes the current iteration's loss, solver.cpp:228-250)
             it_pre = self.iter
+            display_now = cfg.display and it_pre % cfg.display == 0
+            inputs = self._next_inputs()
+            if display_now and cfg.debug_info:
+                # per-blob/param L1-mean stream on displayed iterations
+                # (net_->set_debug_info(display && debug_info),
+                # solver.cpp:218-219; Net::*DebugInfo net.cpp:647-735) —
+                # replayed on this iteration's own batch via a host forward
+                self.net.params = params
+                info = self.net.debug_info(**self._last_host_inputs)
+                for nm, v in info.items():
+                    if nm.startswith("param:"):
+                        self.log(f"    [Backward] Param {nm[6:]}, "
+                                 f"data: {v:.6g}")
+                    else:
+                        self.log(f"    [Forward] Blob {nm}, data: {v:.6g}")
+            params_pre = params if cfg.snapshot_diff else None
             params, self.state, loss = self._step_fn(params, self.state,
-                                                     self._next_inputs())
+                                                     inputs)
+            if cfg.snapshot_diff:
+                self._last_diff = jax.tree_util.tree_map(
+                    lambda o, n: np.asarray(o, np.float32)
+                    - np.asarray(n, np.float32), params_pre, params)
             self._loss_window.append(float(loss))
-            if cfg.display and it_pre % cfg.display == 0:
+            if display_now:
                 lr = float(update_rules.learning_rate(cfg.config, it_pre))
                 self.log(f"Iteration {it_pre}, loss = {self.smoothed_loss:.5f}, "
                          f"lr = {lr:.6g}")
@@ -351,9 +540,33 @@ class GraphSolver:
         self.net.params = params
 
     def solve(self) -> None:
-        self.step(self.params_cfg.max_iter - self.iter)
-        if self.params_cfg.snapshot:
+        """Solver::Solve (solver.cpp:277-324): run to max_iter, final
+        snapshot unless `snapshot_after_train: false` or the interval just
+        produced one, then a final display forward and test pass when the
+        final iteration lands on their intervals. (Deviation: the final
+        snapshot additionally requires a snapshot interval or an explicit
+        snapshot_prefix in the prototxt, so programmatic SolverParams
+        without snapshot settings don't litter the cwd.)"""
+        cfg = self.params_cfg
+        self.step(cfg.max_iter - self.iter)
+        if (cfg.snapshot_after_train
+                and (cfg.snapshot or cfg.has_snapshot_prefix)
+                and (not cfg.snapshot or self.iter % cfg.snapshot != 0)):
             self.snapshot()
+        if self.signals.stop_requested:
+            self.log("Optimization stopped early.")
+            return
+        if (cfg.display and self.iter % cfg.display == 0
+                and self.net.data_sources):
+            # final forward-only display pass (Net::ForwardPrefilled in
+            # Solver::Solve, solver.cpp:310-318); only for self-feeding nets
+            # — input-declared nets have no data to prefill from
+            outs = self.net.forward(**self.extra_inputs)
+            self._loss_window.append(self.net.host_total_loss(outs))
+            self.log(f"Iteration {self.iter}, loss = {self.smoothed_loss:.5f}")
+        if cfg.test_interval and self.iter % cfg.test_interval == 0:
+            self.test_all()
+        self.log("Optimization Done.")
 
     _STATE_KEYS = ("history", "update_sq", "m", "v")
 
@@ -387,12 +600,16 @@ class GraphSolver:
             prefix = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}"
             host_params = jax.tree_util.tree_map(np.asarray, self.net.params)
             dn = self.net.deconv_names()
+            diffs = (self._last_diff
+                     if self.params_cfg.snapshot_diff else None)
             if self.params_cfg.snapshot_format.upper() == "HDF5":
                 model_path = f"{prefix}.caffemodel.h5"
-                save_hdf5_weights(model_path, host_params, deconv_names=dn)
+                save_hdf5_weights(model_path, host_params, deconv_names=dn,
+                                  diffs=diffs)
             else:
                 model_path = f"{prefix}.caffemodel"
-                save_caffemodel(model_path, host_params, deconv_names=dn)
+                save_caffemodel(model_path, host_params, deconv_names=dn,
+                                diffs=diffs)
             with open(f"{prefix}.solverstate", "wb") as f:
                 f.write(encode_solverstate(
                     self.iter, self._state_blobs(), learned_net=model_path))
@@ -548,7 +765,8 @@ class PoseSolver:
                 self.snapshot()
                 self.signals.snapshot_requested = False
             if (self.eval_fn is not None and cfg.test_interval
-                    and self.iter % cfg.test_interval == 0):
+                    and self.iter % cfg.test_interval == 0
+                    and (self.iter > 0 or cfg.test_initialization)):
                 # Solver::Step's TestAll gate (same convention as
                 # GraphSolver.step above): validation runs BEFORE this
                 # iteration's update, including at iteration 0
@@ -587,7 +805,14 @@ class PoseSolver:
         t0 = time.time()
         self.step(self.params_cfg.max_iter - self.iter)
         self.log(f"Optimization done in {time.time() - t0:.1f}s.")
-        if self.params_cfg.snapshot:
+        cfg = self.params_cfg
+        # final snapshot unless disabled or the interval just produced one
+        # (Solver::Solve + snapshot_after_train, solver.cpp:293-300); like
+        # GraphSolver.solve it additionally requires snapshot settings in
+        # the prototxt so programmatic runs don't litter the cwd
+        if (cfg.snapshot_after_train
+                and (cfg.snapshot or cfg.has_snapshot_prefix)
+                and (not cfg.snapshot or self.iter % cfg.snapshot != 0)):
             self.snapshot()
 
     # -- snapshot/restore (reference: solver.cpp:411-481) ------------------

@@ -79,10 +79,15 @@ def train(args) -> int:
     from deepcut_tpu.models.resnet import deepercut_config
 
     sp = SolverParams.from_prototxt(args.solver)
-    if not sp.train_net:
-        print("solver has no train net", file=sys.stderr)
+    try:
+        model_def, _stages, _level = sp.resolve_train_net()
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
         return 1
-    net_proto = text_format.parse_file(sp.train_net)
+    # inline net_param/train_net_param definitions arrive as parsed nodes
+    # (Solver::InitTrainNet, solver.cpp:75-92)
+    net_proto = (model_def if not isinstance(model_def, str)
+                 else text_format.parse_file(model_def))
     data_layer = None
     for layer in net_proto.get_list("layer"):
         if layer.get_str("type") == "PoseData":
@@ -102,7 +107,7 @@ def train(args) -> int:
     if data_layer is None:
         # Generic graph training (LeNet/CaffeNet-style recipes).
         from deepcut_tpu.solver.solver import GraphSolver
-        solver = GraphSolver(sp, sp.train_net, mesh=mesh,
+        solver = GraphSolver(sp, mesh=mesh,
                              sigint_effect=args.sigint_effect,
                              sighup_effect=args.sighup_effect)
         if args.weights:

@@ -180,7 +180,8 @@ def test_solver_prototxt_parsing():
     assert sp.config.stepvalue == (220000, 320000)
     assert sp.config.stagelr == (0.005, 0.002, 0.001)
     assert sp.max_iter == 420000
-    assert sp.train_net == "train.prototxt"
+    assert sp.net == "train.prototxt" and sp.train_net == ""
+    assert sp.resolve_train_net()[0] == "train.prototxt"
     from deepcut_tpu.solver.update_rules import learning_rate
     assert float(learning_rate(sp.config, 300000)) == pytest.approx(0.002)
 
@@ -241,7 +242,7 @@ layer {{ name: "accuracy" type: "Accuracy" bottom: "ip" bottom: "label"
     assert "accuracy" in final and "loss" in final  # both phases emit loss
     assert final["accuracy"] > 0.9, final
     assert any("Testing net" in l for l in logs)
-    assert any("Test net output: accuracy" in l for l in logs)
+    assert any("Test net output #" in l and "accuracy" in l for l in logs)
 
 
 def test_graph_solver_solverstate_restore_equivalence(tmp_path):
