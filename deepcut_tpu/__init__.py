@@ -21,4 +21,14 @@ a jit-compiled function, and parallelism is expressed as shardings over a
 
 __version__ = "0.1.0"
 
-from deepcut_tpu.core.graph import Net  # noqa: F401
+
+def __getattr__(name):
+    # Lazy Net re-export (PEP 562): importing the package must stay jax-free
+    # so data-pipeline worker PROCESSES (data/worker.py) can import the
+    # decode/warp/canvas code without initializing a jax client — the TPU
+    # relay admits only one client at a time.
+    if name == "Net":
+        from deepcut_tpu.core.graph import Net
+
+        return Net
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -88,6 +88,36 @@ def prepare_canvas(
     return canvas
 
 
+def load_canvas(path: str, M, scale: float, ih: int, iw: int, *,
+                uint8: bool = False,
+                loader: Optional[Callable[[str], np.ndarray]] = None,
+                ) -> np.ndarray:
+    """The RNG-free heavy phase of one sample: decode, optional affine warp,
+    canvas prep. Pure function of its arguments — the SAME code runs on the
+    calling thread (workers=0), thread-pool workers, and worker PROCESSES
+    (data/worker.py), which is what makes the worker modes bit-identical to
+    the serial path by construction.
+
+    When augmenting with cv2 available, the scale resize is FUSED into the
+    affine warp (scale*M is still affine): one resample instead of warp +
+    PIL resize — ~2x faster and no double-blur. Joint coords are untouched
+    (the rasterizer applies `scale` itself to the M-warped record). The
+    non-augmented path keeps PIL resize for reference parity
+    (scipy.misc.imresize semantics)."""
+    image = (loader or load_image_bgr)(path)
+    if M is not None:
+        from deepcut_tpu.pose.augment import _cv2, warp_image
+        if _cv2 is not None and scale != 1.0:
+            h, w = image.shape[:2]
+            nh, nw = int(round(h * scale)), int(round(w * scale))
+            image = warp_image(image, scale * np.asarray(M), (nh, nw))
+            return prepare_canvas(image.astype(np.uint8), 1.0, ih, iw,
+                                  uint8=uint8)
+        image = warp_image(image, M, image.shape[:2]).astype(np.uint8)
+        return prepare_canvas(image, scale, ih, iw, uint8=uint8)
+    return prepare_canvas(image, scale, ih, iw, uint8=uint8)
+
+
 def _bucket(v: int, step: int) -> int:
     return int(math.ceil(v / step) * step)
 
@@ -115,6 +145,7 @@ class PoseDataSource:
         augment: bool = False,
         max_rotation_deg: float = 15.0,
         workers: int = 0,
+        worker_mode: str = "thread",
         uint8_images: bool = False,
         device_targets: bool = False,
     ):
@@ -133,14 +164,22 @@ class PoseDataSource:
         self.augment = augment
         self.max_rotation_deg = max_rotation_deg
         # workers > 0: decode/warp/canvas of the samples in a batch run on a
-        # thread pool (PIL's jpeg decode and the numpy warp release the GIL).
-        # All RNG draws stay on the calling thread in sample order, so the
-        # produced batches are BIT-IDENTICAL to workers=0 (tested).
-        # CONTRACT: with workers > 0 a custom image_loader is called
-        # concurrently from pool threads and must be thread-safe (the
-        # default path-based loader is); loaders sharing one handle or
-        # mutable state need workers=0.
+        # pool. All RNG draws stay on the calling thread in sample order, so
+        # the produced batches are BIT-IDENTICAL to workers=0 (tested).
+        # worker_mode:
+        # - "thread": PIL's jpeg decode and the cv2 warp release the GIL,
+        #   but the numpy canvas work serializes on it. CONTRACT: a custom
+        #   image_loader is called concurrently and must be thread-safe.
+        # - "process": spawn-based worker processes (data/worker.py) run the
+        #   whole heavy phase off the training process — the lever that
+        #   takes augmented batch>=8 training off the host wall. CONTRACT:
+        #   a custom image_loader must be picklable and self-contained
+        #   (it runs in a fresh interpreter); paths must be readable there.
         self.workers = int(workers)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be 'thread' or 'process', "
+                             f"got {worker_mode!r}")
+        self.worker_mode = worker_mode
         # uint8_images: emit mean-FILLED uint8 canvases instead of
         # mean-SUBTRACTED float32 ones; the train step subtracts on device
         # (models/resnet.prepare_input), bit-identically. 4x smaller batches.
@@ -155,6 +194,7 @@ class PoseDataSource:
             from deepcut_tpu.pose.targets_device import record_limits
             self._limits = record_limits(self.records)
         self._pool = None
+        self._proc_pool = None
         self._order: List[int] = []
         self._pos = 0
 
@@ -168,12 +208,24 @@ class PoseDataSource:
         return int(self.rng.randint(len(self.records)))
 
     def close(self) -> None:
-        """Shut down the decode thread pool (no-op for workers=0). Safe to
-        call more than once; the source stays usable (a later batch just
+        """Shut down the decode pool (no-op for workers=0). Safe to call
+        more than once; the source stays usable (a later batch just
         recreates the pool)."""
         if self._pool is not None:
             self._pool.shutdown(wait=False)
             self._pool = None
+        if self._proc_pool is not None:
+            self._proc_pool.close()
+            self._proc_pool = None
+
+    def _get_proc_pool(self):
+        if self._proc_pool is None:
+            from deepcut_tpu.data.worker import CanvasPool
+
+            loader = (None if self.image_loader is load_image_bgr
+                      else self.image_loader)
+            self._proc_pool = CanvasPool(self.workers, loader)
+        return self._proc_pool
 
     def _draw_spec(self):
         """The serial RNG phase of one sample: index/scale draws with
@@ -215,25 +267,9 @@ class PoseDataSource:
 
     def _load_canvas(self, path: str, M, scale: float, ih: int, iw: int) -> np.ndarray:
         """The RNG-free heavy phase: decode, optional affine warp, canvas
-        prep. Safe on a worker thread.
-
-        When augmenting with cv2 available, the scale resize is FUSED into
-        the affine warp (scale*M is still affine): one resample instead of
-        warp + PIL resize — ~2x faster and no double-blur. Joint coords are
-        untouched (the rasterizer applies `scale` itself to the M-warped
-        record). The non-augmented path keeps PIL resize for reference
-        parity (scipy.misc.imresize semantics)."""
-        image = self.image_loader(path)
-        if M is not None:
-            from deepcut_tpu.pose.augment import _cv2, warp_image
-            if _cv2 is not None and scale != 1.0:
-                h, w = image.shape[:2]
-                nh, nw = int(round(h * scale)), int(round(w * scale))
-                image = warp_image(image, scale * np.asarray(M), (nh, nw))
-                return prepare_canvas(image.astype(np.uint8), 1.0, ih, iw,
-                                      uint8=self.uint8_images)
-            image = warp_image(image, M, image.shape[:2]).astype(np.uint8)
-        return prepare_canvas(image, scale, ih, iw, uint8=self.uint8_images)
+        prep (module-level `load_canvas`). Safe on a worker thread."""
+        return load_canvas(path, M, scale, ih, iw, uint8=self.uint8_images,
+                           loader=self.image_loader)
 
     def _finish(self, spec) -> Dict[str, np.ndarray]:
         maps, path, M, scale = spec
@@ -245,13 +281,29 @@ class PoseDataSource:
         """One rasterized sample (unbatched), retrying rejected images."""
         return self._finish(self._draw_spec())
 
+    def _tasks(self, specs):
+        """Worker-process task tuples for a list of _draw_spec results."""
+        return [(path, M, scale, int(maps["input_size"][0]),
+                 int(maps["input_size"][1]), self.uint8_images)
+                for maps, path, M, scale in specs]
+
+    def _assemble(self, specs, canvases) -> Dict[str, np.ndarray]:
+        samples = []
+        for (maps, _path, _M, _scale), canvas in zip(specs, canvases):
+            maps["image"] = canvas
+            samples.append(maps)
+        return self._collate(samples)
+
     def next_batch(self, batch_size: int = 1) -> Dict[str, np.ndarray]:
         """Batch of bucket-padded samples (pad with ignore/zero-weight).
 
         With workers > 0 the per-sample decode/warp/canvas work fans out to
-        a thread pool; the RNG phase stays serial, so batches equal the
-        workers=0 output exactly."""
+        a thread pool or worker processes (worker_mode); the RNG phase stays
+        serial, so batches equal the workers=0 output exactly."""
         specs = [self._draw_spec() for _ in range(batch_size)]
+        if self.workers > 0 and self.worker_mode == "process":
+            return self._assemble(specs,
+                                  self._get_proc_pool().map(self._tasks(specs)))
         if self.workers > 0 and batch_size > 1:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -261,6 +313,9 @@ class PoseDataSource:
             samples = list(self._pool.map(self._finish, specs))
         else:
             samples = [self._finish(s) for s in specs]
+        return self._collate(samples)
+
+    def _collate(self, samples) -> Dict[str, np.ndarray]:
         bh = _bucket(max(s["image"].shape[0] for s in samples), self.bucket_step)
         bw = _bucket(max(s["image"].shape[1] for s in samples), self.bucket_step)
         gh, gw = bh // T.STRIDE, bw // T.STRIDE
@@ -315,6 +370,19 @@ class PoseDataSource:
         return out
 
     def batches(self, batch_size: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+        if self.workers > 0 and self.worker_mode == "process":
+            # software-pipelined: while the pool decodes batch i, the
+            # producer thread draws batch i+1's serial RNG phase and
+            # collates batch i-1 — the worker processes never idle. Batch
+            # CONTENT is unchanged (RNG draws happen in the same order).
+            pool = self._get_proc_pool()
+            specs = [self._draw_spec() for _ in range(batch_size)]
+            pending = pool.map_async(self._tasks(specs))
+            while True:
+                next_specs = [self._draw_spec() for _ in range(batch_size)]
+                next_pending = pool.map_async(self._tasks(next_specs))
+                yield self._assemble(specs, pending.get())
+                specs, pending = next_specs, next_pending
         while True:
             yield self.next_batch(batch_size)
 
