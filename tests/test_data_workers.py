@@ -121,6 +121,29 @@ def test_bad_worker_mode_rejected(tmp_path):
         PoseDataSource(recs, TargetConfig(), workers=2, worker_mode="gpu")
 
 
+@pytest.mark.parametrize("fmt", ["jpg", "png"])
+def test_cv2_decode_bit_identical_to_pil(tmp_path, fmt):
+    """load_image_bgr decodes with cv2 (libjpeg-turbo SIMD, ~1.4x faster per
+    core) with a PIL fallback; both wrap the same libjpeg IDCT, so the
+    decode is BIT-identical — the trajectory-preservation contract of the
+    round-4 loader switch."""
+    from PIL import Image
+
+    from deepcut_tpu.data.pipeline import load_image_bgr
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 255, (180, 220, 3), np.uint8)
+    path = str(tmp_path / f"img.{fmt}")
+    Image.fromarray(arr).save(path, **({"quality": 90} if fmt == "jpg" else {}))
+
+    got = load_image_bgr(path)
+    with Image.open(path) as im:
+        pil = np.asarray(im.convert("RGB"))[:, :, ::-1]
+    np.testing.assert_array_equal(got, pil)
+    if fmt == "png":  # lossless: decode must equal the source exactly
+        np.testing.assert_array_equal(got, arr[:, :, ::-1])
+
+
 def test_workers_stay_jax_free():
     """The whole heavy-phase import chain must not import jax (the relay
     admits one client; a jax-importing worker deadlocks training). Checked
