@@ -487,7 +487,141 @@ class Net:
                        for name, entry in self.params.items()}
         self._jitted.clear()
 
-    def quantize_int8(self, **calibration_inputs) -> int:
+    def prune(self, outputs: Sequence[str]) -> int:
+        """Serving transform: drop every layer that does not (transitively)
+        feed one of `outputs`. The plan-level analog of the native path's
+        explicit head subset (models/resnet.make_forward(heads=...)): after
+        pruning, downstream transforms (fuse_siblings, quantize_int8) only
+        see — and only pay for — the requested computation, instead of
+        relying on XLA's DCE inside make_forward. Reference analog: a Caffe
+        user editing the prototxt to delete unused heads by hand.
+
+        Serving only: pruned layers' side effects (BN moving-average
+        updates, losses) are gone, and a later snapshot() writes only the
+        surviving layers' params. Returns the number of layers removed.
+        """
+        needed = set(outputs)
+        missing = needed - {t for _, s in self._plan for t in s.tops} \
+            - set(self.input_shapes)
+        if missing:
+            raise KeyError(f"prune: unknown output blob(s) {sorted(missing)}")
+        kept: List[Tuple[Callable, LayerSpec]] = []
+        # reverse sweep keeps every producer of a needed blob — including
+        # each stage of an in-place chain (bottom == top), whose earlier
+        # writers are reached through the shared blob name
+        for fn, spec in reversed(self._plan):
+            if any(t in needed for t in spec.tops):
+                needed.update(spec.bottoms)
+                kept.append((fn, spec))
+        removed = len(self._plan) - len(kept)
+        kept.reverse()
+        self._plan = kept
+        self._jitted.clear()
+        return removed
+
+    def fuse_siblings(self) -> int:
+        """Serving transform: merge sibling Convolution/Deconvolution layers
+        — same single bottom blob, identical kernel/stride/pad/dilation,
+        groups=1, own (unshared, unquantized) weights — into ONE layer with
+        concatenated output channels, slicing per original top afterwards.
+
+        This is the graph-engine version of the native fused-heads lowering
+        (models/resnet.py round-2 win): DeeperCut's three head deconvs
+        (14/28/364 channels, each leaving >=89% of the MXU's 128 lanes
+        idle) become one lane-filling deconv, and the three res3 skip convs
+        one conv — mathematically identical (the big conv computes the same
+        per-channel dot products; the slice is free). Under quantize_int8
+        the fused skip conv also quantizes its shared input ONCE instead of
+        once per head (the models/quantize.py fused-skip design).
+
+        Order: fold_bn() -> [prune(outputs)] -> fuse_siblings() ->
+        [quantize_int8()] -> cast_weights() -> make_forward(outputs).
+        Serving only — like fold_bn, the absorbed layers' param entries are
+        removed, so don't re-save the net afterwards. Returns the number of
+        fused groups.
+        """
+        import copy as _copy
+
+        if not self.params:
+            raise RuntimeError("fuse_siblings: materialise params first (run "
+                               "forward once or declare input shapes)")
+        plan = self._plan
+        shared_owners = {ol for amap in getattr(self, "_aliases", {}).values()
+                         for (ol, _ok) in amap.values()}
+        aliased = set(getattr(self, "_aliases", {}))
+        groups: "OrderedDict[tuple, List[int]]" = OrderedDict()
+        for i, (fn, spec) in enumerate(plan):
+            if spec.type not in ("Convolution", "Deconvolution"):
+                continue
+            if len(spec.bottoms) != 1 or len(spec.tops) != 1:
+                continue
+            if spec.tops[0] == spec.bottoms[0]:
+                continue
+            if spec.name in shared_owners or spec.name in aliased:
+                continue
+            if "w" not in self.params.get(spec.name, {}):
+                continue
+            g = L.conv_geometry(spec.param("convolution_param"))
+            if g["groups"] != 1:
+                continue
+            key = (spec.type, spec.bottoms[0], g["kernel"], g["stride"],
+                   g["pad"], g["dilation"])
+            groups.setdefault(key, []).append(i)
+
+        fused = 0
+        drop: set = set()
+        replace: Dict[int, Tuple[Callable, LayerSpec]] = {}
+        for key, idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            bottom = key[1]
+            lo, hi = idxs[0], idxs[-1]
+            # the members all read `bottom` at their own plan position; the
+            # fused layer reads it once at position `lo` — illegal if an
+            # intervening layer rewrites the blob in place
+            if any(bottom in plan[k][1].tops
+                   for k in range(lo + 1, hi) if k not in idxs):
+                continue
+            members = [plan[k] for k in idxs]
+            ws = [jnp.asarray(self.params[s.name]["w"]) for _, s in members]
+            couts = [int(w.shape[-1]) for w in ws]
+            has_bias = any("b" in self.params[s.name] for _, s in members)
+            entry: Dict[str, jax.Array] = {"w": jnp.concatenate(ws, axis=-1)}
+            if has_bias:
+                entry["b"] = jnp.concatenate(
+                    [jnp.asarray(self.params[s.name].get(
+                        "b", np.zeros(c, np.float32)))
+                     for (_, s), c in zip(members, couts)])
+            base_fn = members[0][0]  # geometry-identical across the group
+
+            def make_fused(base_fn, couts):
+                def ffn(p, bottoms):
+                    y = base_fn(p, bottoms)
+                    outs, o = [], 0
+                    for c in couts:
+                        outs.append(jax.lax.slice_in_dim(y, o, o + c, axis=-1))
+                        o += c
+                    return outs
+                ffn.fused_couts = list(couts)
+                return ffn
+
+            fspec = _copy.copy(members[0][1])
+            fspec.tops = [s.tops[0] for _, s in members]
+            self.params[members[0][1].name] = entry
+            for _, s in members[1:]:
+                self.params.pop(s.name, None)
+            replace[lo] = (make_fused(base_fn, couts), fspec)
+            drop.update(idxs[1:])
+            fused += 1
+
+        if fused:
+            self._plan = [replace.get(i, item) for i, item in enumerate(plan)
+                          if i not in drop]
+            self._jitted.clear()
+        return fused
+
+    def quantize_int8(self, *, min_in_channels: int = 8,
+                      **calibration_inputs) -> int:
         """Post-training int8 quantization of the Convolution layers (the
         graph-engine version of models/quantize.py; the reference has no
         quantized path at all). Run fold_bn() first for best results.
@@ -496,7 +630,12 @@ class Net:
         forward(). One eager pass records each conv input's absmax -> static
         activation scales (static so XLA fuses the quantize into the
         producer's epilogue); weights get per-output-channel symmetric int8.
-        Grouped convolutions and parameter-less/shared convs stay float.
+        Grouped convolutions and parameter-less/shared convs stay float, and
+        so do convs with < `min_in_channels` input channels (default 8 —
+        the bf16-stem rule from models/quantize.quantize_weights: a
+        3-channel int8 conv wastes MXU lane packing and the full-resolution
+        input quantize pass costs more than int8 saves, measured in
+        docs/performance.md; pass min_in_channels=0 to quantize everything).
         Returns the number of quantized layers.
         """
         from deepcut_tpu.models.quantize import _conv_i8
@@ -526,6 +665,8 @@ class Net:
                     and spec.name not in shared_owners
                     and "w" in self.params.get(spec.name, {})
                     and geom["groups"] == 1
+                    # bf16-stem rule: narrow-input convs stay float
+                    and bottoms[0].shape[-1] >= min_in_channels
                     # _conv_i8 takes square geometry; rectangular stays float
                     and geom["stride"][0] == geom["stride"][1]
                     and geom["pad"][0] == geom["pad"][1]
@@ -560,7 +701,9 @@ class Net:
                 "act_scale": jnp.asarray(act_scales[spec.name], jnp.float32),
             }
 
-            def qfn(p, bottoms, g=g):
+            couts = getattr(fn, "fused_couts", None)
+
+            def qfn(p, bottoms, g=g, couts=couts):
                 x = bottoms[0]
                 xq = jnp.clip(jnp.round(x.astype(jnp.float32)
                                         * (1.0 / p["act_scale"])),
@@ -568,7 +711,17 @@ class Net:
                 acc = _conv_i8(xq, p["w_q"], stride=g["stride"][0],
                                pad=g["pad"][0], dilation=g["dilation"][0])
                 y = acc.astype(jnp.float32) * (p["act_scale"] * p["w_scale"]) + p["b"]
-                return y.astype(x.dtype)
+                y = y.astype(x.dtype)
+                if couts is None:
+                    return y
+                # fuse_siblings ran before quantization: keep its per-top
+                # channel slicing (ONE int8 conv + ONE input quantize for
+                # the whole sibling group)
+                outs, o = [], 0
+                for c in couts:
+                    outs.append(jax.lax.slice_in_dim(y, o, o + c, axis=-1))
+                    o += c
+                return outs
             new_plan.append((qfn, spec))
         self._plan = new_plan
         self._jitted.clear()

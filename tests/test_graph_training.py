@@ -384,7 +384,9 @@ def test_graph_quantize_int8_serving():
     x = (rng.randn(2, 3, 12, 12) * 2).astype(np.float32)
     ref = net.forward(data=x)
     net.fold_bn()
-    n = net.quantize_int8(data=x)
+    # min_in_channels=0 quantizes even the 3-channel stem conv; the default
+    # (8) keeps it float — the bf16-stem rule, covered in test_graph_serving
+    n = net.quantize_int8(min_in_channels=0, data=x)
     assert n == 2  # conv + conv2; gconv is grouped -> stays float
     assert set(net.params["conv"]) == {"w_q", "w_scale", "b", "act_scale"}
     assert net.params["conv"]["w_q"].dtype == jnp.int8
