@@ -31,9 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepcut_tpu.ops.conv import conv2d, deconv2d
+from deepcut_tpu.ops.conv import conv2d, conv2d_s2d, deconv2d
 from deepcut_tpu.ops.norm import batch_norm_inference, bn_scale_affine, scale as scale_op
-from deepcut_tpu.ops.pool import max_pool2d
+from deepcut_tpu.ops.pool import max_pool2d, max_pool2d_eqgrad
 from deepcut_tpu.ops.activations import relu, sigmoid
 from deepcut_tpu.ops.eltwise import crop_like
 
@@ -88,6 +88,18 @@ class DeeperCutConfig:
     # native rate instead of the multi-pass f32 decomposition. The reference
     # trains pure f32; leave False for bit-faithful trajectories.
     mixed_train: bool = False
+    # Opt-in training levers that trade exact reference semantics for
+    # measured step time (the cuDNN-vs-Caffe engine precedent: same op,
+    # different numerics, user-selectable). Bundles (a) the equality-mask
+    # pool backward (ops/pool.max_pool2d_eqgrad — tied maxima each get the
+    # full cotangent instead of Caffe's first-max-wins) and (b) the
+    # space-to-depth conv1 lowering (ops/conv.conv2d_s2d — same sums
+    # reassociated; different XLA kernel/rounding). Trajectory deltas are
+    # characterized in tests/test_fast_semantics.py; A/B numbers in
+    # docs/performance.md. Applies to the UNfolded (training) forward on
+    # the single-device/data-parallel paths; the spatial shard_map path
+    # rejects it loudly.
+    fast_semantics: bool = False
 
     @property
     def stride(self) -> int:
@@ -272,10 +284,14 @@ def forward(
     # precision. Folded inference keeps the explicit f32 accumulate.
     acc = None if (cfg.mixed_train and not folded) else jnp.float32
     x = prepare_input(x)
-    res5c, skip = run_trunk(
+    fast = cfg.fast_semantics and not folded  # training lever; serving
+    res5c, skip = run_trunk(                  # keeps the reference lowering
         params, x, cfg,
         conv_fn=functools.partial(conv2d, compute_dtype=cdt, accum_dtype=acc),
-        pool_fn=lambda y: max_pool2d(y, kernel=3, stride=2),
+        pool_fn=((lambda y: max_pool2d_eqgrad(y, 3, 2, 0)) if fast
+                 else (lambda y: max_pool2d(y, kernel=3, stride=2))),
+        conv1_fn=(functools.partial(conv2d_s2d, compute_dtype=cdt,
+                                    accum_dtype=acc) if fast else None),
         folded=folded,
     )
     return compute_heads(params, res5c, skip, cfg, compute_dtype=cdt,
@@ -289,6 +305,7 @@ def run_trunk(
     *,
     conv_fn,
     pool_fn,
+    conv1_fn=None,
     folded: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """The dilated-ResNet trunk (conv1 .. res5c), generic over the conv/pool
@@ -297,12 +314,14 @@ def run_trunk(
     halo-exchange variants. Returns (res5c, skip_tap).
 
     conv_fn(x, w, b, *, stride, pad, dilation) must honour Caffe conv
-    geometry; pool_fn(y) is the stem 3x3/2 ceil-mode maxpool.
+    geometry; pool_fn(y) is the stem 3x3/2 ceil-mode maxpool; conv1_fn
+    optionally overrides the stem conv only (the fast_semantics s2d path).
     """
     def cbr(x, name, *, stride=1, pad=0, dilation=1, act=True):
         p = params[name]
-        y = conv_fn(x, p["w"], p.get("b"), stride=stride, pad=pad,
-                    dilation=dilation)
+        fn = conv1_fn if (name == "conv1" and conv1_fn is not None) else conv_fn
+        y = fn(x, p["w"], p.get("b"), stride=stride, pad=pad,
+               dilation=dilation)
         if not folded:
             bn_key = "_conv1" if name == "conv1" else name[len("res"):]
             bn = params[f"bn{bn_key}"]

@@ -95,6 +95,67 @@ def conv2d(
     return y.astype(out_dtype)
 
 
+def conv2d_s2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: Optional[jax.Array] = None,
+    *,
+    stride=2,
+    pad=3,
+    dilation=1,
+    groups: int = 1,
+    compute_dtype=jnp.bfloat16,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Strided conv via SPACE-TO-DEPTH: the fast_semantics conv1 lowering.
+
+    conv(x, w, stride=f) == conv(s2d(x, f), rearrange(w), stride=1): the 2x2
+    pixel blocks fold into channels, turning DeeperCut's 7x7/s2 Cin=3 stem
+    (MXU lanes 97% idle, and a bandwidth-bound Cin=3 WEIGHT grad in the
+    backward) into a dense 4x4 Cin=12 stride-1 conv — measured ~0.17 ms/img
+    off the mixed batch-8 train step (docs/performance.md).
+
+    The SUMS are the same products reassociated, so results match conv2d to
+    accumulation-order rounding (exact in f32 accumulation on CPU oracle
+    tests); the semantic note that keeps this opt-in is the layout change —
+    XLA schedules a different kernel, so bf16 tie-breaking/rounding in
+    downstream comparisons can differ from the reference lowering.
+
+    Geometry: stride must be uniform; dilation/groups must be 1 (the stem's
+    shape — loud error otherwise).
+    """
+    sh, sw = _pair(stride)
+    ph, pw = _pair(pad)
+    if sh != sw or _pair(dilation) != (1, 1) or groups != 1:
+        raise ValueError("conv2d_s2d supports uniform stride, dilation=1, "
+                         f"groups=1 (got stride={stride}, dilation={dilation}, "
+                         f"groups={groups})")
+    f = sh
+    kh, kw, cin, cout = w.shape
+    n, h, wd, _ = x.shape
+    oh = (h + 2 * ph - kh) // f + 1
+    ow = (wd + 2 * pw - kw) // f + 1
+    KH = -(-kh // f) * f
+    KW = -(-kw // f) * f
+    # zero-pad the kernel to a multiple of f (zero taps contribute nothing),
+    # then fold its f-strided phases into channels: (KH,KW,cin,cout) ->
+    # (KH/f, KW/f, f*f*cin, cout), phase order (dh, dw, cin)
+    wp = jnp.pad(w, ((0, KH - kh), (0, KW - kw), (0, 0), (0, 0)))
+    wr = wp.reshape(KH // f, f, KW // f, f, cin, cout) \
+           .transpose(0, 2, 1, 3, 4, 5).reshape(KH // f, KW // f,
+                                                f * f * cin, cout)
+    need_h = (oh - 1) * f + KH  # >= h + ph for any valid geometry (the
+    need_w = (ow - 1) * f + KW  # zero-padded kernel covers the ceil slack)
+    xp = jnp.pad(x, ((0, 0), (ph, need_h - h - ph),
+                     (pw, need_w - wd - pw), (0, 0)))
+    xs = xp.reshape(n, need_h // f, f, need_w // f, f, cin) \
+           .transpose(0, 1, 3, 2, 4, 5).reshape(n, need_h // f,
+                                                need_w // f, f * f * cin)
+    y = conv2d(xs, wr, b, stride=1, pad=0, compute_dtype=compute_dtype,
+               accum_dtype=accum_dtype)
+    return y[:, :oh, :ow, :]
+
+
 def deconv2d(
     x: jax.Array,
     w: jax.Array,

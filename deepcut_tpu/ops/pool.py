@@ -16,6 +16,7 @@ Layout NHWC.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -65,6 +66,54 @@ def max_pool2d(x: jax.Array, *, kernel, stride=1, pad=0) -> jax.Array:
         window_strides=(1, sh, sw, 1),
         padding=((0, 0), pad_h, pad_w, (0, 0)),
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def max_pool2d_eqgrad(x: jax.Array, kernel, stride=1, pad=0) -> jax.Array:
+    """MAX pooling with an EQUALITY-MASK backward (the fast_semantics pool).
+
+    Forward is bit-identical to max_pool2d. Backward routes each output
+    cotangent to every input that EQUALS the window max, as static strided
+    slice-compare-adds — k*k elementwise passes instead of XLA's
+    select-and-scatter, which serializes badly on TPU (measured ~0.13
+    ms/img of the mixed batch-8 DeeperCut train step,
+    docs/performance.md).
+
+    Semantic delta vs Caffe (pooling_layer.cpp backward: bottom_diff at the
+    stored argmax — the FIRST max in scan order — gets the whole cotangent):
+    ties each receive the FULL cotangent, so a window of tied maxima
+    multiplies gradient mass by the tie count. Post-ReLU zeros tie often;
+    that is exactly why this is an opt-in (DeeperCutConfig(fast_semantics))
+    and not the default. Accumulation across overlapping windows is
+    unchanged (Caffe += too)."""
+    return max_pool2d(x, kernel=kernel, stride=stride, pad=pad)
+
+
+def _eqgrad_fwd(x, kernel, stride, pad):
+    y = max_pool2d(x, kernel=kernel, stride=stride, pad=pad)
+    return y, (x, y)
+
+
+def _eqgrad_bwd(kernel, stride, pad, res, g):
+    x, y = res
+    h, w = int(x.shape[1]), int(x.shape[2])
+    (kh, kw), (sh, sw), _, pad_h, pad_w, (oh, ow) = _geometry(
+        h, w, kernel, stride, pad)
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    xp = jnp.pad(x, ((0, 0), pad_h, pad_w, (0, 0)), constant_values=neg)
+    canvas = jnp.zeros(xp.shape, g.dtype)
+    for dh in range(kh):
+        for dw in range(kw):
+            hs = slice(dh, dh + (oh - 1) * sh + 1, sh)
+            ws = slice(dw, dw + (ow - 1) * sw + 1, sw)
+            contrib = g * (xp[:, hs, ws, :] == y)
+            canvas = canvas.at[:, hs, ws, :].add(contrib)
+    gx = canvas[:, pad_h[0]:pad_h[0] + h, pad_w[0]:pad_w[0] + w, :]
+    return (gx.astype(x.dtype),)
+
+
+max_pool2d_eqgrad.defvjp(_eqgrad_fwd, _eqgrad_bwd)
 
 
 def avg_pool2d(x: jax.Array, *, kernel, stride=1, pad=0) -> jax.Array:

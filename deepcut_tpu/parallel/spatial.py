@@ -137,6 +137,11 @@ def spatial_forward(params, x_local, cfg: DeeperCutConfig,
     """The training forward under shard_map: row-sharded trunk, gathered
     full-grid heads. Semantically equal to models.resnet.forward(...,
     folded=False) — same run_trunk/compute_heads code, halo conv ops."""
+    if getattr(cfg, "fast_semantics", False):
+        raise ValueError(
+            "fast_semantics is a single-device/data-parallel training lever; "
+            "its s2d conv1 and eq-mask pool are not implemented for the "
+            "spatial halo-exchange path — drop the flag or spatial=1")
     cdt = cfg.compute_dtype if cfg.mixed_train else None
     acc = None if cfg.mixed_train else jnp.float32
     x_local = prepare_input(x_local)  # uint8 canvases: -mean on device
@@ -225,6 +230,11 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
     one shard_map program instead (donation + fusion for the hot loop).
     target_cfg: on-device rasterization of compact `anno_*` batches
     (pose/targets_device.py)."""
+    if getattr(model_cfg, "fast_semantics", False):
+        raise ValueError(
+            "fast_semantics is a single-device/data-parallel training lever; "
+            "its s2d conv1 and eq-mask pool are not implemented for the "
+            "spatial halo-exchange path — drop the flag or spatial=1")
     nsp = spatial_axis_size(mesh)
 
     def make_local_vg(rast):
