@@ -729,22 +729,44 @@ class Net:
 
     def make_forward(self, outputs: Optional[Sequence[str]] = None):
         """Jitted serving forward: (params, {name: NHWC device arrays}) ->
-        {output: device array}. Only `outputs` (default: the net's terminal
-        blobs) are returned, so XLA dead-code-eliminates every intermediate —
-        unlike `forward()`, whose pycaffe contract materialises all ~N blobs
-        to HBM. On the 680-layer DeeperCut prototxt this is the difference
-        between 7.1 and 2.15 ms/img (see docs/performance.md).
+        {output: f32 device array}. Only `outputs` (default: the net's
+        terminal blobs) are returned, so XLA dead-code-eliminates every
+        intermediate — unlike `forward()`, whose pycaffe contract
+        materialises all ~N blobs to HBM. On the 680-layer DeeperCut
+        prototxt this is the difference between 7.1 and ~2.1 ms/img
+        (docs/performance.md).
+
+        Image inputs are cast to compute_dtype at the graph boundary, so
+        the whole inter-layer activation STREAM rides bf16 (each layer fn
+        returns its input's dtype; an f32 input would otherwise make every
+        344²-size intermediate an f32 HBM round-trip — measured +0.5
+        ms/img on the 152, concentrated in the stem). This matches the
+        native serving path (models/resnet.run_trunk casts once at entry);
+        outputs are cast back to f32 to keep the external contract.
+        `forward()` keeps f32 blobs everywhere — its pycaffe contract
+        exposes every intermediate to user numpy code.
 
         Typical serving setup:
             net = Net(prototxt, weights=...)   # TEST phase
-            net.fold_bn(); net.cast_weights()
-            fwd = net.make_forward(["prob", "loc_pred"])
+            net.fold_bn(); net.prune(["prob"]); net.fuse_siblings()
+            net.cast_weights()
+            fwd = net.make_forward(["prob"])
         """
         outs = list(outputs) if outputs else self.output_names()
+        cdt = self.compute_dtype
 
         def fn(params, inputs):
+            if cdt is not None:
+                inputs = {
+                    k: (v.astype(cdt)
+                        if (getattr(v, "ndim", 0) == 4
+                            and jnp.issubdtype(v.dtype, jnp.floating))
+                        else v)
+                    for k, v in inputs.items()}
             blobs = self._execute(params, inputs)
-            return {k: blobs[k] for k in outs}
+            return {k: (blobs[k].astype(jnp.float32)
+                        if jnp.issubdtype(blobs[k].dtype, jnp.floating)
+                        else blobs[k]) for k in outs}
         return jax.jit(fn)
 
     # -- execution --------------------------------------------------------

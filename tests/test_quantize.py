@@ -203,7 +203,10 @@ def test_int8_task_accuracy_on_trained_lenet(tmp_path):
     assert acc_fp > 0.98, f"fp32 LeNet underfit: {acc_fp}"
 
     calib = x[:64]
-    n_q = dep.quantize_int8(data=calib)
+    # min_in_channels=0: quantize BOTH convs including the 1-channel conv1
+    # (the default=8 bf16-stem rule would leave it float — this test wants
+    # the accuracy of the fully quantized net)
+    n_q = dep.quantize_int8(min_in_channels=0, data=calib)
     assert n_q >= 2  # both convs quantized
     acc_q = _acc(dep, x, labels)
     assert acc_fp - acc_q < 0.005, (acc_fp, acc_q)
