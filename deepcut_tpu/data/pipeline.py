@@ -162,6 +162,7 @@ class PoseDataSource:
         worker_mode: str = "thread",
         uint8_images: bool = False,
         device_targets: bool = False,
+        augment_device: bool = False,
     ):
         if isinstance(source, str):
             self.records = parse_window_file(source, root_folder)
@@ -204,6 +205,21 @@ class PoseDataSource:
         # host->device traffic for the pairwise configuration. RPN and
         # segmentation targets (small) stay host-built either way.
         self.device_targets = device_targets
+        # augment_device: ship the DECODED uint8 image plus 6 affine
+        # coefficients and warp + scale + canvas-prep ON DEVICE inside the
+        # train step (pose/augment_device.py). Host cost collapses to JPEG
+        # decode; the RNG stream and all targets stay identical to the host
+        # path (joints transform on the host, exactly) while pixels carry a
+        # characterized couple-of-grey-levels filter drift vs cv2 (which
+        # quantizes sample coords to 1/32 px). Works with or without
+        # `augment` (without, it is a device-side scale+canvas). The
+        # non-augment host path's PIL-resize parity is NOT preserved —
+        # this mode trades it for a decode-only host.
+        self.augment_device = augment_device
+        if augment_device and bucket_step % 16:
+            raise ValueError(
+                f"augment_device requires bucket_step % 16 == 0 (got "
+                f"{bucket_step}): the device warp blocks canvas rows by 16")
         if device_targets:
             from deepcut_tpu.pose.targets_device import record_limits
             self._limits = record_limits(self.records)
@@ -277,6 +293,16 @@ class PoseDataSource:
         else:
             maps = T.rasterize_native(rec, self.cfg, self.stats, self.rng,
                                       scale=scale)
+        if self.augment_device:
+            from deepcut_tpu.pose.augment import device_warp_coef
+            maps["aug_coef"], nhw = device_warp_coef(
+                M, scale, rec.height, rec.width)
+            # [nh, nw, input_h, input_w]: the device warp reproduces the
+            # host canvas at the per-sample input_size (the edge-pad band is
+            # cropped there, pipeline.prepare_canvas) and zero-fills the
+            # bucket padding beyond it, like _collate does for host canvases
+            maps["aug_nhw"] = np.concatenate(
+                [nhw, maps["input_size"].astype(np.float32)])
         return maps, rec.path, M, scale
 
     def _load_canvas(self, path: str, M, scale: float, ih: int, iw: int) -> np.ndarray:
@@ -287,6 +313,10 @@ class PoseDataSource:
 
     def _finish(self, spec) -> Dict[str, np.ndarray]:
         maps, path, M, scale = spec
+        if self.augment_device:
+            # decode only — the warp/scale/canvas run on device
+            maps["image_raw"] = self.image_loader(path)
+            return maps
         ih, iw = int(maps["input_size"][0]), int(maps["input_size"][1])
         maps["image"] = self._load_canvas(path, M, scale, ih, iw)
         return maps
@@ -296,15 +326,19 @@ class PoseDataSource:
         return self._finish(self._draw_spec())
 
     def _tasks(self, specs):
-        """Worker-process task tuples for a list of _draw_spec results."""
+        """Worker-process task tuples for a list of _draw_spec results
+        (augment_device: just the paths — workers only decode)."""
+        if self.augment_device:
+            return [path for _maps, path, _M, _scale in specs]
         return [(path, M, scale, int(maps["input_size"][0]),
                  int(maps["input_size"][1]), self.uint8_images)
                 for maps, path, M, scale in specs]
 
     def _assemble(self, specs, canvases) -> Dict[str, np.ndarray]:
+        key = "image_raw" if self.augment_device else "image"
         samples = []
         for (maps, _path, _M, _scale), canvas in zip(specs, canvases):
-            maps["image"] = canvas
+            maps[key] = canvas
             samples.append(maps)
         return self._collate(samples)
 
@@ -316,8 +350,9 @@ class PoseDataSource:
         serial, so batches equal the workers=0 output exactly."""
         specs = [self._draw_spec() for _ in range(batch_size)]
         if self.workers > 0 and self.worker_mode == "process":
-            return self._assemble(specs,
-                                  self._get_proc_pool().map(self._tasks(specs)))
+            return self._assemble(
+                specs, self._get_proc_pool().map(
+                    self._tasks(specs), decode=self.augment_device))
         if self.workers > 0 and batch_size > 1:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -330,12 +365,45 @@ class PoseDataSource:
         return self._collate(samples)
 
     def _collate(self, samples) -> Dict[str, np.ndarray]:
-        bh = _bucket(max(s["image"].shape[0] for s in samples), self.bucket_step)
-        bw = _bucket(max(s["image"].shape[1] for s in samples), self.bucket_step)
+        if "image_raw" in samples[0]:
+            # device warp: the canvas never exists on the host — its bucket
+            # comes from the per-sample input_size the rasterizer computed
+            bh = _bucket(max(int(s["input_size"][0]) for s in samples),
+                         self.bucket_step)
+            bw = _bucket(max(int(s["input_size"][1]) for s in samples),
+                         self.bucket_step)
+        else:
+            bh = _bucket(max(s["image"].shape[0] for s in samples), self.bucket_step)
+            bw = _bucket(max(s["image"].shape[1] for s in samples), self.bucket_step)
         gh, gw = bh // T.STRIDE, bw // T.STRIDE
         out: Dict[str, np.ndarray] = {}
         keys = [k for k in samples[0] if k not in ("scale", "input_size")]
+        if "image_raw" in samples[0]:
+            # zero-byte shape token carrying the static canvas size into the
+            # jitted warp (pose/augment_device.warp_batch); leading batch
+            # dim so mesh batch-sharding specs apply uniformly
+            out["aug_canvas"] = np.zeros((len(samples), bh, bw, 0), np.uint8)
         for k in keys:
+            if k == "image_raw":
+                # raw decoded images, bucket-padded with the MEAN pixel so
+                # border taps blend toward the mean on device exactly like
+                # the host warp's BORDER_CONSTANT fill
+                rbh = _bucket(max(s[k].shape[0] for s in samples),
+                              self.bucket_step)
+                rbw = _bucket(max(s[k].shape[1] for s in samples),
+                              self.bucket_step)
+                raws = []
+                for s in samples:
+                    a = s[k]
+                    rb = np.empty((rbh, rbw, 3), np.uint8)
+                    rb[:] = np.asarray(MEAN_BGR, np.uint8)
+                    rb[: a.shape[0], : a.shape[1]] = a
+                    raws.append(rb)
+                out[k] = np.stack(raws)
+                continue
+            if k in ("aug_coef", "aug_nhw"):
+                out[k] = np.stack([s[k] for s in samples])
+                continue
             if k.startswith("anno_"):
                 if k == "anno_neg_mask":
                     ms = []
@@ -390,11 +458,13 @@ class PoseDataSource:
             # collates batch i-1 — the worker processes never idle. Batch
             # CONTENT is unchanged (RNG draws happen in the same order).
             pool = self._get_proc_pool()
+            dec = self.augment_device
             specs = [self._draw_spec() for _ in range(batch_size)]
-            pending = pool.map_async(self._tasks(specs))
+            pending = pool.map_async(self._tasks(specs), decode=dec)
             while True:
                 next_specs = [self._draw_spec() for _ in range(batch_size)]
-                next_pending = pool.map_async(self._tasks(next_specs))
+                next_pending = pool.map_async(self._tasks(next_specs),
+                                              decode=dec)
                 yield self._assemble(specs, pending.get())
                 specs, pending = next_specs, next_pending
         while True:

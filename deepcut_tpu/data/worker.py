@@ -56,6 +56,14 @@ def _task(args: Tuple[str, Any, float, int, int, bool]) -> np.ndarray:
     return load_canvas(path, M, scale, ih, iw, uint8=uint8, loader=_LOADER)
 
 
+def _decode_task(path: str) -> np.ndarray:
+    """Decode only (PoseDataSource(augment_device=True): warp/scale/canvas
+    happen on device, so the worker's whole job is JPEG decode)."""
+    from deepcut_tpu.data.pipeline import load_image_bgr
+
+    return (_LOADER or load_image_bgr)(path)
+
+
 class CanvasPool:
     """Spawn-based process pool running `pipeline.load_canvas`.
 
@@ -87,14 +95,17 @@ class CanvasPool:
         finally:
             os.environ.update(saved)
 
-    def map(self, tasks: Sequence[Tuple[str, Any, float, int, int, bool]]
-            ) -> List[np.ndarray]:
-        return self._pool.map(_task, tasks, chunksize=1)
+    def map(self, tasks, decode: bool = False) -> List[np.ndarray]:
+        """decode=False: canvas tasks (path, M, scale, ih, iw, uint8);
+        decode=True: bare paths, workers return raw decoded images."""
+        return self._pool.map(_decode_task if decode else _task,
+                              tasks, chunksize=1)
 
-    def map_async(self, tasks):
+    def map_async(self, tasks, decode: bool = False):
         """Overlap handle: schedule now, `.get()` later (lets the producer
         thread draw the NEXT batch's RNG phase while workers decode)."""
-        return self._pool.map_async(_task, tasks, chunksize=1)
+        return self._pool.map_async(_decode_task if decode else _task,
+                                    tasks, chunksize=1)
 
     def close(self) -> None:
         self._pool.terminate()

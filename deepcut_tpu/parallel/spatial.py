@@ -257,6 +257,12 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
     _cache: Dict = {}
 
     def vg(params, batch):
+        if "image_raw" in batch:
+            raise NotImplementedError(
+                "augment_device batches are not supported on the spatial "
+                "shard_map path (the device warp would need row-sharded "
+                "raw inputs + halo-aware resampling); use spatial=1 or "
+                "PoseDataSource(augment_device=False)")
         check_spatial_shapes(int(batch["image"].shape[1]),
                              int(batch["image"].shape[0]), mesh)
         key = (jax.tree_util.tree_structure(params), tuple(sorted(batch)),
@@ -319,6 +325,12 @@ def make_spatial_train_step(
     _cache: Dict = {}
 
     def jitted(params, state, batch):
+        if "image_raw" in batch:
+            raise NotImplementedError(
+                "augment_device batches are not supported on the spatial "
+                "shard_map path (the device warp would need row-sharded "
+                "raw inputs + halo-aware resampling); use spatial=1 or "
+                "PoseDataSource(augment_device=False)")
         check_spatial_shapes(int(batch["image"].shape[1]),
                              int(batch["image"].shape[0]), mesh)
         key = (jax.tree_util.tree_structure(params),

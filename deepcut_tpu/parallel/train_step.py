@@ -60,8 +60,13 @@ def make_train_step(
     if target_cfg is not None:
         from deepcut_tpu.pose.targets_device import make_batch_rasterizer
         rast = make_batch_rasterizer(target_cfg, target_stats)
+    from deepcut_tpu.pose.augment_device import warp_batch
 
     def train_step(params, state, batch):
+        # device-side augmentation (PoseDataSource(augment_device=True)):
+        # warp raw uint8 images into the float canvas inside this XLA
+        # program; no-op for batches that already carry `image`
+        batch = warp_batch(batch)
         if rast is not None:
             batch = rast(batch)  # no-op for dense-target batches
         (total, metrics), grads = jax.value_and_grad(

@@ -102,6 +102,46 @@ def draw_affine(
     return M, new_rec
 
 
+def device_warp_coef(
+    M: Optional[np.ndarray], scale: float, height: int, width: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-sample inputs for the ON-DEVICE warp (pose/augment_device.py).
+
+    The host augmented path composes `warp_image(image, scale*M, (nh, nw))`
+    (data/pipeline.load_canvas) — a single inverse-mapped bilinear resample.
+    This computes that composite's INVERSE map B (canvas (x, y) -> raw
+    (u, v)) and factors it into the two-pass form the device resampler
+    executes (vertical then horizontal, each a 1-D bilinear contraction):
+
+        img1(y, x') = raw(a*y + b*x' + c,  x')     # resample rows
+        out(y, x)   = img1(y,  d*x + e*y + f)      # resample columns
+
+    which composes to out(y, x) = raw(v, u) with u = d x + e y + f and
+    v = (a + b e) y + b d x + (c + b f) — i.e. exactly B for
+    d = B00, e = B01, f = B02, b = B10/B00, a = B11 - b*B01, c = B12 - b*B02.
+    Requires |B00| bounded away from 0 (rotations near +-90 deg would need
+    the transposed factorization; augmentation draws <= +-15 deg).
+
+    numpy-only on purpose: this runs in the (jax-free) input pipeline.
+    Returns (coef (6,) f32 [a b c d e f], nhw (2,) f32 [nh nw]).
+    """
+    if M is None:
+        M = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float64)
+    P = np.vstack([scale * np.asarray(M, np.float64), [0.0, 0.0, 1.0]])
+    nh, nw = int(round(height * scale)), int(round(width * scale))
+    B = np.linalg.inv(P)[:2]
+    if abs(B[0, 0]) < 1e-3:
+        raise ValueError(
+            f"device warp: inverse map has B00={B[0, 0]:.2e} (rotation too "
+            "close to 90 deg for the row-major two-pass factorization)")
+    d, e, f = B[0]
+    b = B[1, 0] / B[0, 0]
+    a = B[1, 1] - b * B[0, 1]
+    c = B[1, 2] - b * B[0, 2]
+    return (np.array([a, b, c, d, e, f], np.float32),
+            np.array([nh, nw], np.float32))
+
+
 def augment_record(
     record: ImageRecord,
     image: np.ndarray,

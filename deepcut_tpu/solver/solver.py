@@ -698,14 +698,17 @@ class PoseSolver:
         self._loss_window = deque(maxlen=max(params.average_loss, 1))
         self.eval_fn = eval_fn
         scfg = params.config
+        from deepcut_tpu.pose.augment_device import warp_batch
         if target_cfg is not None:
             from deepcut_tpu.pose.targets_device import make_batch_rasterizer
             _rast = make_batch_rasterizer(target_cfg, target_stats)
             vg = jax.value_and_grad(
-                lambda p, b: loss_fn(p, _rast(b), model_cfg), has_aux=True)
+                lambda p, b: loss_fn(p, _rast(warp_batch(b)), model_cfg),
+                has_aux=True)
         else:
             vg = jax.value_and_grad(
-                lambda p, b: loss_fn(p, b, model_cfg), has_aux=True)
+                lambda p, b: loss_fn(p, warp_batch(b), model_cfg),
+                has_aux=True)
         upd = lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
         nsp = 1
         if mesh is not None:

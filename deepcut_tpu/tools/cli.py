@@ -150,6 +150,12 @@ def train(args) -> int:
         # the host rasterizer to f32 ULP (-host_targets restores the
         # reference layout)
         device_targets=not getattr(args, "host_targets", False),
+        # -augment_device: host ships decoded uint8 images + affine
+        # coefficients; warp/scale/canvas run inside the train step's XLA
+        # program (pose/augment_device.py) — decode-only host cost, pixels
+        # within a couple of grey levels of the cv2 path, targets identical
+        augment_device=(bool(getattr(args, "augment_device", False))
+                        and spatial <= 1),
     )
     model_cfg = deepercut_config(
         args.resnet,
@@ -420,6 +426,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="bf16 conv compute, f32 params/losses (1.6x step speed)")
     p.add_argument("-remat", action="store_true",
                    help="jax.checkpoint per block (bigger batches/resolutions)")
+    p.add_argument("-augment_device", action="store_true",
+                   help="warp/scale/canvas images ON DEVICE inside the train "
+                        "step (host does JPEG decode only); targets and RNG "
+                        "stream identical to the host path, pixels within a "
+                        "couple of grey levels (cv2 quantization); ignored "
+                        "with -spatial > 1 (unsupported there)")
     p.add_argument("-host_targets", action="store_true",
                    help="rasterize target maps on the HOST and ship them "
                         "dense (the reference layout) instead of the default "
