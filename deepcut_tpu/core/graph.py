@@ -133,6 +133,18 @@ def filter_layers(
     return out
 
 
+def _slice_couts(y: jax.Array, couts: Sequence[int]) -> List[jax.Array]:
+    """Split a fused sibling group's concatenated output back into per-top
+    tensors. The ONE definition of the fused-output contract (fused_couts
+    order == tops order, channel-last) — used by both fuse_siblings and
+    quantize_int8 so the two can't drift."""
+    outs, o = [], 0
+    for c in couts:
+        outs.append(jax.lax.slice_in_dim(y, o, o + c, axis=-1))
+        o += c
+    return outs
+
+
 class Net:
     """Prototxt-defined network, executed as a jitted functional graph.
 
@@ -150,7 +162,7 @@ class Net:
         phase: str = "TEST",
         *,
         stages: Sequence[str] = (),
-        level: int = 0,
+        level: Optional[int] = None,
         compute_dtype: Any = jnp.bfloat16,
         rng: Optional[jax.Array] = None,
     ):
@@ -179,9 +191,15 @@ class Net:
         if own_state is not None:
             stages = tuple(stages) + tuple(
                 str(s) for s in own_state.get_list("stage") if s not in stages)
-            if level == 0 and own_state.has("level"):
+            # level=None means "caller unset" — only then does the net
+            # proto's own state.level apply. An EXPLICIT caller level
+            # (including 0) always wins: MergeFrom overwrites with any set
+            # scalar (solver.cpp:100-110), so `train_state { level: 0 }`
+            # must override a nonzero net-proto level.
+            if level is None and own_state.has("level"):
                 level = own_state.get_int("level")
-        self.layer_specs = filter_layers(all_specs, phase, stages, level)
+        self.layer_specs = filter_layers(all_specs, phase, stages,
+                                         0 if level is None else level)
 
         # net-level inputs (deploy-style): input/input_shape/input_dim.
         self.input_names: List[str] = [str(s) for s in self.proto.get_list("input")]
@@ -516,6 +534,16 @@ class Net:
         removed = len(self._plan) - len(kept)
         kept.reverse()
         self._plan = kept
+        # Drop pruned layers' param entries so a later snapshot() really
+        # does write only the surviving computation — EXCEPT owners of
+        # weight-shared params a kept layer aliases into.
+        kept_names = {spec.name for _, spec in kept}
+        alias_owners = {owner for lname, amap
+                        in getattr(self, "_aliases", {}).items()
+                        if lname in kept_names
+                        for owner, _k in amap.values()}
+        self.params = {n: e for n, e in self.params.items()
+                       if n in kept_names or n in alias_owners}
         self._jitted.clear()
         return removed
 
@@ -596,12 +624,7 @@ class Net:
 
             def make_fused(base_fn, couts):
                 def ffn(p, bottoms):
-                    y = base_fn(p, bottoms)
-                    outs, o = [], 0
-                    for c in couts:
-                        outs.append(jax.lax.slice_in_dim(y, o, o + c, axis=-1))
-                        o += c
-                    return outs
+                    return _slice_couts(base_fn(p, bottoms), couts)
                 ffn.fused_couts = list(couts)
                 return ffn
 
@@ -717,11 +740,7 @@ class Net:
                 # fuse_siblings ran before quantization: keep its per-top
                 # channel slicing (ONE int8 conv + ONE input quantize for
                 # the whole sibling group)
-                outs, o = [], 0
-                for c in couts:
-                    outs.append(jax.lax.slice_in_dim(y, o, o + c, axis=-1))
-                    o += c
-                return outs
+                return _slice_couts(y, couts)
             new_plan.append((qfn, spec))
         self._plan = new_plan
         self._jitted.clear()

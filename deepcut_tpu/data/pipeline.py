@@ -457,16 +457,28 @@ class PoseDataSource:
             # producer thread draws batch i+1's serial RNG phase and
             # collates batch i-1 — the worker processes never idle. Batch
             # CONTENT is unchanged (RNG draws happen in the same order).
-            pool = self._get_proc_pool()
             dec = self.augment_device
+            pool = self._get_proc_pool()
             specs = [self._draw_spec() for _ in range(batch_size)]
             pending = pool.map_async(self._tasks(specs), decode=dec)
             while True:
                 next_specs = [self._draw_spec() for _ in range(batch_size)]
-                next_pending = pool.map_async(self._tasks(next_specs),
-                                              decode=dec)
-                yield self._assemble(specs, pending.get())
-                specs, pending = next_specs, next_pending
+                # re-resolve the pool every submission: close() between
+                # batches terminates the captured one, and the contract is
+                # that a later batch just recreates it
+                next_pool = self._get_proc_pool()
+                next_pending = next_pool.map_async(self._tasks(next_specs),
+                                                   decode=dec)
+                if self._proc_pool is not pool:
+                    # close() invalidated the pool holding the in-flight
+                    # batch; the heavy phase is RNG-free, so resubmitting
+                    # the SAME specs reproduces it bit-identically
+                    loaded = self._get_proc_pool().map(self._tasks(specs),
+                                                       decode=dec)
+                else:
+                    loaded = pending.get()
+                yield self._assemble(specs, loaded)
+                specs, pending, pool = next_specs, next_pending, next_pool
         while True:
             yield self.next_batch(batch_size)
 

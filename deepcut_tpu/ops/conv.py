@@ -144,8 +144,15 @@ def conv2d_s2d(
     wr = wp.reshape(KH // f, f, KW // f, f, cin, cout) \
            .transpose(0, 2, 1, 3, 4, 5).reshape(KH // f, KW // f,
                                                 f * f * cin, cout)
-    need_h = (oh - 1) * f + KH  # >= h + ph for any valid geometry (the
-    need_w = (ow - 1) * f + KW  # zero-padded kernel covers the ceil slack)
+    # Padded extent: enough rows for the last output ((oh-1)*f + KH), but
+    # never less than the real input + left pad — (oh-1)*f+KH < h+ph is
+    # possible for floor-division geometries (e.g. k=4 s=4 h=11: oh=2,
+    # need=8 < 11) and a negative jnp.pad would crash. The extra rows only
+    # produce output rows beyond oh, discarded by the final slice. Both
+    # candidates are multiples of f after the ceil, so the reshape stays
+    # exact.
+    need_h = max((oh - 1) * f + KH, -(-(h + ph) // f) * f)
+    need_w = max((ow - 1) * f + KW, -(-(wd + pw) // f) * f)
     xp = jnp.pad(x, ((0, 0), (ph, need_h - h - ph),
                      (pw, need_w - wd - pw), (0, 0)))
     xs = xp.reshape(n, need_h // f, f, need_w // f, f, cin) \

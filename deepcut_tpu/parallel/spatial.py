@@ -132,16 +132,31 @@ def spatial_max_pool(x, *, kernel=3, stride=2, axis: str = "spatial"):
         padding=((0, 0), (0, 0), (0, pad_w), (0, 0)))
 
 
-def spatial_forward(params, x_local, cfg: DeeperCutConfig,
-                    *, axis: str = "spatial") -> Dict[str, jax.Array]:
-    """The training forward under shard_map: row-sharded trunk, gathered
-    full-grid heads. Semantically equal to models.resnet.forward(...,
-    folded=False) — same run_trunk/compute_heads code, halo conv ops."""
+def _check_no_fast_semantics(cfg) -> None:
+    """Loud capability guard shared by every spatial entry point."""
     if getattr(cfg, "fast_semantics", False):
         raise ValueError(
             "fast_semantics is a single-device/data-parallel training lever; "
             "its s2d conv1 and eq-mask pool are not implemented for the "
             "spatial halo-exchange path — drop the flag or spatial=1")
+
+
+def _check_no_raw_batch(batch) -> None:
+    """Loud capability guard shared by every spatial step builder."""
+    if "image_raw" in batch:
+        raise NotImplementedError(
+            "augment_device batches are not supported on the spatial "
+            "shard_map path (the device warp would need row-sharded "
+            "raw inputs + halo-aware resampling); use spatial=1 or "
+            "PoseDataSource(augment_device=False)")
+
+
+def spatial_forward(params, x_local, cfg: DeeperCutConfig,
+                    *, axis: str = "spatial") -> Dict[str, jax.Array]:
+    """The training forward under shard_map: row-sharded trunk, gathered
+    full-grid heads. Semantically equal to models.resnet.forward(...,
+    folded=False) — same run_trunk/compute_heads code, halo conv ops."""
+    _check_no_fast_semantics(cfg)
     cdt = cfg.compute_dtype if cfg.mixed_train else None
     acc = None if cfg.mixed_train else jnp.float32
     x_local = prepare_input(x_local)  # uint8 canvases: -mean on device
@@ -230,11 +245,7 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
     one shard_map program instead (donation + fusion for the hot loop).
     target_cfg: on-device rasterization of compact `anno_*` batches
     (pose/targets_device.py)."""
-    if getattr(model_cfg, "fast_semantics", False):
-        raise ValueError(
-            "fast_semantics is a single-device/data-parallel training lever; "
-            "its s2d conv1 and eq-mask pool are not implemented for the "
-            "spatial halo-exchange path — drop the flag or spatial=1")
+    _check_no_fast_semantics(model_cfg)
     nsp = spatial_axis_size(mesh)
 
     def make_local_vg(rast):
@@ -257,12 +268,7 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
     _cache: Dict = {}
 
     def vg(params, batch):
-        if "image_raw" in batch:
-            raise NotImplementedError(
-                "augment_device batches are not supported on the spatial "
-                "shard_map path (the device warp would need row-sharded "
-                "raw inputs + halo-aware resampling); use spatial=1 or "
-                "PoseDataSource(augment_device=False)")
+        _check_no_raw_batch(batch)
         check_spatial_shapes(int(batch["image"].shape[1]),
                              int(batch["image"].shape[0]), mesh)
         key = (jax.tree_util.tree_structure(params), tuple(sorted(batch)),
@@ -325,12 +331,7 @@ def make_spatial_train_step(
     _cache: Dict = {}
 
     def jitted(params, state, batch):
-        if "image_raw" in batch:
-            raise NotImplementedError(
-                "augment_device batches are not supported on the spatial "
-                "shard_map path (the device warp would need row-sharded "
-                "raw inputs + halo-aware resampling); use spatial=1 or "
-                "PoseDataSource(augment_device=False)")
+        _check_no_raw_batch(batch)
         check_spatial_shapes(int(batch["image"].shape[1]),
                              int(batch["image"].shape[0]), mesh)
         key = (jax.tree_util.tree_structure(params),

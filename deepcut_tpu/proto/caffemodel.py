@@ -249,7 +249,10 @@ def encode_netparameter(
     enc = wire.Encoder()
     enc.string(1, net_name)
     for name, blobs in layers.items():
-        diffs = (layer_diffs or {}).get(name, [None] * len(blobs))
+        diffs = list((layer_diffs or {}).get(name, ()))
+        # pad (never truncate): a diffs list shorter than the layer's blob
+        # list must not drop DATA blobs from the zip below
+        diffs += [None] * (len(blobs) - len(diffs))
         if container == "v2":
             layer = wire.Encoder()
             layer.string(1, name)

@@ -195,11 +195,14 @@ class SolverParams:
 
 def _state_overrides(state_node: Optional[PbNode]):
     """(stages, level) from a NetState PbNode; Net's constructor merges them
-    over the net proto's own `state` (solver.cpp NetState MergeFrom)."""
+    over the net proto's own `state` (solver.cpp NetState MergeFrom).
+    level is None when the solver prototxt leaves it unset — MergeFrom
+    overwrites with any SET scalar, so an explicit `level: 0` must override
+    a nonzero net-proto state.level rather than read as "unset"."""
     if state_node is None:
-        return (), 0
+        return (), None
     return (tuple(str(s) for s in state_node.get_list("stage")),
-            state_node.get_int("level", 0))
+            state_node.get_int("level", 0) if state_node.has("level") else None)
 
 
 # -- checkpoint helpers -----------------------------------------------------
@@ -353,6 +356,11 @@ class GraphSolver:
         # writes the final lr/momentum-scaled step into diff and Update does
         # data -= diff (sgd_solver.cpp:106-120, blob.cpp Update)
         self._last_diff: Optional[Dict[str, Any]] = None
+        # device-side (old − new) used by snapshot_diff; jitted so the
+        # per-iteration record stays an async device computation
+        self._diff_fn = jax.jit(lambda old, new: jax.tree_util.tree_map(
+            lambda o, n: o.astype(jnp.float32) - n.astype(jnp.float32),
+            old, new))
         # Staged overrides merged into every step's batch (NCHW host
         # arrays). Used by the binding facades to persist values written
         # into fill-once blobs (constant DummyData tops) across training
@@ -525,9 +533,12 @@ class GraphSolver:
             params, self.state, loss = self._step_fn(params, self.state,
                                                      inputs)
             if cfg.snapshot_diff:
-                self._last_diff = jax.tree_util.tree_map(
-                    lambda o, n: np.asarray(o, np.float32)
-                    - np.asarray(n, np.float32), params_pre, params)
+                # device-side subtract, kept as (async) device arrays: the
+                # per-iteration cost is one jitted elementwise pass; the
+                # D2H fetch of the full tree happens only inside snapshot()
+                # (two whole-tree host pulls per STEP would make training
+                # D2H-bound through the relay)
+                self._last_diff = self._diff_fn(params_pre, params)
             self._loss_window.append(float(loss))
             if display_now:
                 lr = float(update_rules.learning_rate(cfg.config, it_pre))
@@ -600,8 +611,10 @@ class GraphSolver:
             prefix = f"{self.params_cfg.snapshot_prefix}_iter_{self.iter}"
             host_params = jax.tree_util.tree_map(np.asarray, self.net.params)
             dn = self.net.deconv_names()
-            diffs = (self._last_diff
-                     if self.params_cfg.snapshot_diff else None)
+            diffs = (jax.tree_util.tree_map(
+                         lambda a: np.asarray(a, np.float32), self._last_diff)
+                     if self.params_cfg.snapshot_diff
+                     and self._last_diff is not None else None)
             if self.params_cfg.snapshot_format.upper() == "HDF5":
                 model_path = f"{prefix}.caffemodel.h5"
                 save_hdf5_weights(model_path, host_params, deconv_names=dn,

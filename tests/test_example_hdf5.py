@@ -33,7 +33,8 @@ def _train(tmp_path, prototxt_name, max_iter=800):
     sp = SolverParams.from_prototxt(f"""
         net: "{net_file}"
         test_iter: 8
-        test_interval: 0
+        test_interval: 100000
+        test_initialization: false
         base_lr: 0.01
         lr_policy: "step"
         gamma: 0.1

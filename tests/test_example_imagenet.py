@@ -59,7 +59,12 @@ def _make_solver(tmp_path, data_dir, net_name, solver_name, max_iter):
         text = text.replace("max_iter: 1000", f"max_iter: {max_iter}")
         text = text.replace("test_iter: 12", "test_iter: 4")
         text = text.replace("test_iter: 8", "test_iter: 4")
-        text = text.replace("test_interval: 500", "test_interval: 0")
+        # disable in-run testing the way real Caffe allows it: interval 0
+        # with test nets is rejected (CHECK_GT, solver.cpp:141), so push
+        # the interval past max_iter and skip the iter-0 pass
+        text = text.replace(
+            "test_interval: 500",
+            "test_interval: 100000\ntest_initialization: false")
         text = text.replace("snapshot: 1000", "snapshot: 0")
         text = text.replace("display: 100", "display: 0")
     sp = SolverParams.from_prototxt(text)

@@ -64,7 +64,8 @@ def test_siamese_training_from_reference_prototxt(tmp_path):
         lr_policy: "fixed"
         display: 0
         max_iter: 60
-        test_interval: 0
+        test_interval: 100000
+        test_initialization: false
         test_iter: 2
         snapshot: 0
         snapshot_prefix: "{tmp_path}/siam"
