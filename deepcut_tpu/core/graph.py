@@ -644,6 +644,7 @@ class Net:
         return fused
 
     def quantize_int8(self, *, min_in_channels: int = 8,
+                      percentile: float = 100.0,
                       **calibration_inputs) -> int:
         """Post-training int8 quantization of the Convolution layers (the
         graph-engine version of models/quantize.py; the reference has no
@@ -660,6 +661,11 @@ class Net:
         input quantize pass costs more than int8 saves, measured in
         docs/performance.md; pass min_in_channels=0 to quantize everything).
         Returns the number of quantized layers.
+
+        percentile < 100 (e.g. 99.9) records a subsampled percentile of
+        each conv input's |activation| instead of the absmax: outliers in
+        the calibration batch saturate at ±127 while every other value
+        gains quantization resolution (models/quantize.prepare_int8).
         """
         from deepcut_tpu.models.quantize import _conv_i8
 
@@ -694,7 +700,14 @@ class Net:
                     and geom["stride"][0] == geom["stride"][1]
                     and geom["pad"][0] == geom["pad"][1]
                     and geom["dilation"][0] == geom["dilation"][1]):
-                amax = float(jnp.max(jnp.abs(bottoms[0].astype(jnp.float32))))
+                a = jnp.abs(bottoms[0].astype(jnp.float32)).reshape(-1)
+                if percentile >= 100.0:
+                    amax = float(jnp.max(a))
+                else:
+                    # subsampled percentile: full sorts of multi-megapixel
+                    # activations would dominate calibration time
+                    step = max(a.shape[0] // 65536, 1)
+                    amax = float(jnp.percentile(a[::step], percentile))
                 act_scales[spec.name] = max(amax / 127.0, 1e-8)
             entry = self._entry(self.params, spec.name)
             outs = (fn(entry, bottoms, rng=None)

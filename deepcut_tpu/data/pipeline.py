@@ -163,6 +163,7 @@ class PoseDataSource:
         uint8_images: bool = False,
         device_targets: bool = False,
         augment_device: bool = False,
+        raw_bucket_step: Optional[int] = None,
     ):
         if isinstance(source, str):
             self.records = parse_window_file(source, root_folder)
@@ -220,6 +221,14 @@ class PoseDataSource:
             raise ValueError(
                 f"augment_device requires bucket_step % 16 == 0 (got "
                 f"{bucket_step}): the device warp blocks canvas rows by 16")
+        # raw_bucket_step: bucket granularity for the RAW image dims that
+        # augment_device adds as NEW static shape axes on top of the canvas
+        # bucket. Remote TPU compiles cost 10-60 s/shape, so datasets with
+        # heterogeneous source resolutions should set this COARSER than
+        # bucket_step (e.g. 256) to collapse the raw-shape axis to a few
+        # buckets; the warp ignores mean-padded rows/cols, so a coarse raw
+        # bucket costs only a little extra warp FLOPs, never accuracy.
+        self.raw_bucket_step = int(raw_bucket_step or bucket_step)
         if device_targets:
             from deepcut_tpu.pose.targets_device import record_limits
             self._limits = record_limits(self.records)
@@ -389,12 +398,21 @@ class PoseDataSource:
                 # border taps blend toward the mean on device exactly like
                 # the host warp's BORDER_CONSTANT fill
                 rbh = _bucket(max(s[k].shape[0] for s in samples),
-                              self.bucket_step)
+                              self.raw_bucket_step)
                 rbw = _bucket(max(s[k].shape[1] for s in samples),
-                              self.bucket_step)
+                              self.raw_bucket_step)
                 raws = []
                 for s in samples:
                     a = s[k]
+                    # the device warp's mean-subtract contract only holds
+                    # for uint8 pixels — same loud failure as the host
+                    # uint8 path (prepare_canvas) instead of silent
+                    # wrap/truncate into the uint8 buffer
+                    if a.dtype != np.uint8:
+                        raise TypeError(
+                            f"augment_device requires a uint8 image loader "
+                            f"(got {a.dtype}); use augment_device=False "
+                            "with float image loaders")
                     rb = np.empty((rbh, rbw, 3), np.uint8)
                     rb[:] = np.asarray(MEAN_BGR, np.uint8)
                     rb[: a.shape[0], : a.shape[1]] = a

@@ -299,10 +299,18 @@ def calibrate_act_scales(
 
 
 def prepare_int8(params: Dict, cfg: DeeperCutConfig, sample: jax.Array,
-                 *, quantize_deconv: bool = False):
-    """(folded fp params) -> (qparams, act_scales) ready for forward_int8."""
+                 *, quantize_deconv: bool = False,
+                 percentile: float = 100.0):
+    """(folded fp params) -> (qparams, act_scales) ready for forward_int8.
+
+    percentile < 100 clips activation outliers during calibration (e.g.
+    99.9): the few clipped values saturate at ±127 while every other
+    activation gains quantization resolution — the standard robustness
+    lever against a calibration batch with one hot pixel. A/B on the pose
+    stack in docs/performance.md (absmax wins on clean batches; percentile
+    is insurance, not a default)."""
     from deepcut_tpu.models.resnet import fold_bn
 
     folded = fold_bn(params, cfg) if any(k.startswith("bn") for k in params) else params
-    scales = calibrate_act_scales(folded, cfg, sample)
+    scales = calibrate_act_scales(folded, cfg, sample, percentile=percentile)
     return quantize_weights(folded, quantize_deconv=quantize_deconv), scales

@@ -54,6 +54,7 @@ from deepcut_tpu.models.resnet import (
     DeeperCutConfig, compute_heads, prepare_input, run_trunk)
 from deepcut_tpu.ops.conv import conv2d
 from deepcut_tpu.ops import losses as loss_ops
+from deepcut_tpu.pose.augment_device import warp_batch_local
 from deepcut_tpu.solver import update_rules
 
 
@@ -141,14 +142,27 @@ def _check_no_fast_semantics(cfg) -> None:
             "spatial halo-exchange path — drop the flag or spatial=1")
 
 
-def _check_no_raw_batch(batch) -> None:
-    """Loud capability guard shared by every spatial step builder."""
-    if "image_raw" in batch:
-        raise NotImplementedError(
-            "augment_device batches are not supported on the spatial "
-            "shard_map path (the device warp would need row-sharded "
-            "raw inputs + halo-aware resampling); use spatial=1 or "
-            "PoseDataSource(augment_device=False)")
+def _canvas_hw(batch) -> Tuple[int, int]:
+    """Global canvas (H, W): from the image for host-warped batches, from
+    the zero-byte aug_canvas shape token for augment_device batches (the
+    canvas only materializes inside the device warp)."""
+    key = "aug_canvas" if "aug_canvas" in batch else "image"
+    return int(batch[key].shape[1]), int(batch[key].shape[2])
+
+
+def _batch_size(batch) -> int:
+    key = "image_raw" if "image_raw" in batch else "image"
+    return int(batch[key].shape[0])
+
+
+def _batch_spec(batch, img, dp):
+    """shard_map in_specs for a training batch: canvas rows (real or the
+    shape token) shard over ('data','spatial'); everything else — targets,
+    annotations, raw images + warp coefficients — shards over 'data' only.
+    Raw images stay spatial-REPLICATED so each shard can warp its own
+    canvas row block from the full source (pose/augment_device.
+    warp_batch_local — no halos, warp cost divides by the axis size)."""
+    return {k: (img if k in ("image", "aug_canvas") else dp) for k in batch}
 
 
 def spatial_forward(params, x_local, cfg: DeeperCutConfig,
@@ -231,8 +245,7 @@ def _target_rasterizer(target_cfg, target_stats, batch):
     if target_cfg is None:
         return None
     from deepcut_tpu.pose.targets_device import make_batch_rasterizer
-    gh = int(batch["image"].shape[1]) // 8
-    gw = int(batch["image"].shape[2]) // 8
+    gh, gw = (d // 8 for d in _canvas_hw(batch))
     return make_batch_rasterizer(target_cfg, target_stats, grid=(gh, gw))
 
 
@@ -250,6 +263,7 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
 
     def make_local_vg(rast):
         def local_vg(params, batch):
+            batch = warp_batch_local(batch)  # no-op without image_raw
             if rast is not None:
                 batch = rast(batch)
 
@@ -268,14 +282,12 @@ def make_spatial_value_and_grad(model_cfg: DeeperCutConfig, mesh: Mesh,
     _cache: Dict = {}
 
     def vg(params, batch):
-        _check_no_raw_batch(batch)
-        check_spatial_shapes(int(batch["image"].shape[1]),
-                             int(batch["image"].shape[0]), mesh)
+        check_spatial_shapes(_canvas_hw(batch)[0], _batch_size(batch), mesh)
         key = (jax.tree_util.tree_structure(params), tuple(sorted(batch)),
-               batch["image"].shape[1:3] if target_cfg is not None else None)
+               _canvas_hw(batch) if target_cfg is not None else None)
         if key not in _cache:
             pspec = jax.tree_util.tree_map(lambda _: rep, params)
-            bspec = {k: (img if k == "image" else dp) for k in batch}
+            bspec = _batch_spec(batch, img, dp)
             local_vg = make_local_vg(
                 _target_rasterizer(target_cfg, target_stats, batch))
             _cache[key] = jax.jit(jax.shard_map(
@@ -304,6 +316,7 @@ def make_spatial_train_step(
 
     def make_step(rast):
         def step(params, state, batch):
+            batch = warp_batch_local(batch)  # no-op without image_raw
             if rast is not None:
                 batch = rast(batch)
 
@@ -331,16 +344,14 @@ def make_spatial_train_step(
     _cache: Dict = {}
 
     def jitted(params, state, batch):
-        _check_no_raw_batch(batch)
-        check_spatial_shapes(int(batch["image"].shape[1]),
-                             int(batch["image"].shape[0]), mesh)
+        check_spatial_shapes(_canvas_hw(batch)[0], _batch_size(batch), mesh)
         key = (jax.tree_util.tree_structure(params),
                jax.tree_util.tree_structure(state), tuple(sorted(batch)),
-               batch["image"].shape[1:3] if target_cfg is not None else None)
+               _canvas_hw(batch) if target_cfg is not None else None)
         if key not in _cache:
             pspec = jax.tree_util.tree_map(lambda _: rep, params)
             sspec = jax.tree_util.tree_map(lambda _: rep, state)
-            bspec = {k: (img if k == "image" else dp) for k in batch}
+            bspec = _batch_spec(batch, img, dp)
             step = make_step(
                 _target_rasterizer(target_cfg, target_stats, batch))
             sharded = jax.shard_map(

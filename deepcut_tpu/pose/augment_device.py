@@ -21,8 +21,14 @@ formulation would serialize on TPU (measured ~10 ms/frame for gather
 resize; docs/performance.md "What buys the speed" #5).
 
 Semantics vs the host path (data/pipeline.load_canvas with cv2):
-- positions/weights are exact f32 bilinear; cv2 quantizes sample coords to
-  1/32 px -> per-pixel drift of a couple of grey levels (tested bounds);
+- the two-pass shear factorization is itself an approximation at nonzero
+  rotation: pass 1 samples raw rows at a per-column coordinate that tilts
+  by up to |b| ~ tan(max_rotation) across the bilinear footprint, a
+  sheared-tent kernel (Catmull-Smith), exact single-pass bilinear only
+  when b == 0 (rotation 0). cv2 additionally quantizes sample coords to
+  1/32 px. The joint drift of both effects is bounded by
+  tests/test_augment_device.py::test_rotation_scale_close_to_cv2
+  (max <= 8 grey levels, mean < 0.1 on band-limited images);
 - the host's uint8 truncation of the warped image before the canvas paste
   is reproduced exactly (floor), as are the mean-fill border, the 64-px
   edge-replication band, and the mean region beyond it — at rotation=0,
@@ -36,6 +42,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from deepcut_tpu.constants import MEAN_BGR
 
@@ -48,12 +55,18 @@ _ROW_BLOCK = 16
 
 
 def _warp_one(raw: jax.Array, coef: jax.Array, nhw: jax.Array,
-              ih: int, iw: int) -> jax.Array:
+              ih: int, iw: int, y0=0.0) -> jax.Array:
     """One sample: (RH, RW, 3) uint8 mean-padded raw -> (ih, iw, 3) f32
     mean-subtracted canvas. coef = [a b c d e f] (device_warp_coef);
     nhw = [nh nw input_h input_w]: the warped-image size before the
     edge-pad/crop, and the per-sample canvas size the host path would have
-    produced (the bucket beyond it is zero-filled, like _collate)."""
+    produced (the bucket beyond it is zero-filled, like _collate).
+
+    y0: first GLOBAL canvas row this call produces (traced scalar allowed).
+    The shard_map spatial path passes shard_index * local_ih so each shard
+    computes only its own row block — bit-equal to the corresponding rows
+    of the y0=0 full canvas as long as y0 % _ROW_BLOCK == 0 (the einsum row
+    blocks then tile identically)."""
     rh, rw = raw.shape[0], raw.shape[1]
     a, b, c, d, e, f = (coef[i] for i in range(6))
     nh, nw, sh, sw = nhw[0], nhw[1], nhw[2], nhw[3]
@@ -62,7 +75,7 @@ def _warp_one(raw: jax.Array, coef: jax.Array, nhw: jax.Array,
     # border taps blend toward the mean exactly like cv2 BORDER_CONSTANT
     rawf = raw.astype(jnp.float32) - mean
     x = jnp.arange(iw, dtype=jnp.float32)
-    y = jnp.arange(ih, dtype=jnp.float32)
+    y = jnp.asarray(y0, jnp.float32) + jnp.arange(ih, dtype=jnp.float32)
     # the 64-px edge-replication band (np.pad mode="edge" in the host
     # path) == clamping the canvas coordinate before the affine map
     x_eff = jnp.minimum(x, nw - 1.0)
@@ -115,4 +128,30 @@ def warp_batch(batch):
     ih, iw = int(token.shape[1]), int(token.shape[2])  # shape IS the payload
     batch["image"] = jax.vmap(
         lambda r, cf, nn: _warp_one(r, cf, nn, ih, iw))(raw, coef, nhw)
+    return batch
+
+
+def warp_batch_local(batch, axis: str = "spatial"):
+    """warp_batch's shard_map twin for the spatial training path
+    (parallel/spatial.py): raw images + coefficients arrive REPLICATED over
+    `axis` while the canvas token arrives row-sharded, and each shard warps
+    only its own canvas row block (global rows [idx*lh, (idx+1)*lh)).
+
+    No halos are needed — the warp's source is the replicated raw image, so
+    row-block outputs are independent; the per-shard rows are bit-equal to
+    the corresponding rows of the full-canvas warp_batch (the einsum row
+    blocks tile identically because the shape contract guarantees
+    local_ih % _ROW_BLOCK == 0), and the warp cost divides by the axis size
+    instead of being paid per shard. No-op without `image_raw`."""
+    if "image_raw" not in batch:
+        return batch
+    batch = dict(batch)
+    raw = batch.pop("image_raw")      # (Bl, RH, RW, 3) — spatial-replicated
+    coef = batch.pop("aug_coef")      # (Bl, 6)
+    nhw = batch.pop("aug_nhw")        # (Bl, 4)
+    token = batch.pop("aug_canvas")   # (Bl, ih_local, iw, 0) — row-sharded
+    ih, iw = int(token.shape[1]), int(token.shape[2])
+    y0 = (lax.axis_index(axis) * ih).astype(jnp.float32)
+    batch["image"] = jax.vmap(
+        lambda r, cf, nn: _warp_one(r, cf, nn, ih, iw, y0=y0))(raw, coef, nhw)
     return batch

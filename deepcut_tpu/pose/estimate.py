@@ -151,7 +151,8 @@ class PoseEstimator:
         return self._int8
 
     def quantize_int8(self, calibration_image: np.ndarray,
-                      scale: float = 1.0, *, int8_deconv: bool = False) -> None:
+                      scale: float = 1.0, *, int8_deconv: bool = False,
+                      percentile: float = 100.0) -> None:
         """Switch serving to the int8 path (models/quantize.py): weights get
         per-channel symmetric int8, activation scales are calibrated on the
         given image's preprocessed canvas (one FP forward), and every
@@ -161,6 +162,11 @@ class PoseEstimator:
         int8_deconv=True additionally quantizes the transposed-conv head
         weights (throughput-neutral on v5e — round-3 A/B; 4x smaller head
         weights, slightly looser numerics).
+
+        percentile < 100 (e.g. 99.9) clips calibration outliers: the few
+        clipped activations saturate while the rest gain resolution —
+        insurance against a calibration image with one hot region
+        (prepare_int8 docstring; drift A/B in docs/performance.md).
 
         Call once after construction with a REPRESENTATIVE image; garbage
         calibration (e.g. a zero canvas) yields degenerate scales. A second
@@ -187,7 +193,8 @@ class PoseEstimator:
             if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
             self.params)
         qparams, act_scales = prepare_int8(fp, self.cfg, canvas,
-                                           quantize_deconv=int8_deconv)
+                                           quantize_deconv=int8_deconv,
+                                           percentile=percentile)
         self.params = {"q": qparams, "s": act_scales}
         self._int8 = True
         self._int8_deconv = int8_deconv

@@ -3,11 +3,13 @@ classdef test_io < matlab.unittest.TestCase
 
   methods (Test)
     function test_read_write_mean(self)
-      mean_data_write = 255 * rand(200, 300, 3, 'single');
-      mean_proto_file = tempname();
-      caffe.io.write_mean(mean_data_write, mean_proto_file);
-      self.verifyEqual(mean_data_write, caffe.io.read_mean(mean_proto_file));
-      delete(mean_proto_file);
+      % a random W x H x C single image must survive the
+      % write_mean -> .binaryproto -> read_mean round trip bit-exactly
+      proto_path = tempname();
+      written = 255 * rand(200, 300, 3, 'single');
+      caffe.io.write_mean(written, proto_path);
+      self.verifyEqual(written, caffe.io.read_mean(proto_path));
+      delete(proto_path);
     end
   end
 end

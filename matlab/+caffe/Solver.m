@@ -4,8 +4,7 @@ classdef Solver < handle
   % parity: matlab/+caffe/Solver.m.
 
   properties (Access = private)
-    hSolver_self
-    attributes
+    self_id     % gateway handle struct for this solver
   end
   properties (SetAccess = private)
     net
@@ -19,35 +18,36 @@ classdef Solver < handle
         self = caffe.get_solver(varargin{:});
         return
       end
-      h = varargin{1};
-      CHECK(is_valid_handle(h), 'invalid Solver handle');
-      self.hSolver_self = h;
-      self.attributes = caffe_('solver_get_attr', h);
-      self.net = caffe.Net(self.attributes.hNet_net);
+      solver_id = varargin{1};
+      CHECK(is_valid_handle(solver_id), 'invalid Solver handle');
+      self.self_id = solver_id;
+      % the gateway reports the train net plus zero or more test nets
+      nets = caffe_('solver_get_attr', solver_id);
+      self.net = caffe.Net(nets.hNet_net);
       self.test_nets = caffe.Net.empty();
-      for k = 1:numel(self.attributes.hNet_test_nets)
-        self.test_nets(k) = caffe.Net(self.attributes.hNet_test_nets(k));
+      for i = numel(nets.hNet_test_nets):-1:1
+        self.test_nets(i) = caffe.Net(nets.hNet_test_nets(i));
       end
     end
 
     function iter = iter(self)
-      iter = caffe_('solver_get_iter', self.hSolver_self);
+      iter = caffe_('solver_get_iter', self.self_id);
     end
 
     function restore(self, snapshot_filename)
       % resume training state from a .solverstate
       CHECK(ischar(snapshot_filename), 'snapshot_filename must be a string');
       CHECK_FILE_EXIST(snapshot_filename);
-      caffe_('solver_restore', self.hSolver_self, snapshot_filename);
+      caffe_('solver_restore', self.self_id, snapshot_filename);
     end
 
     function solve(self)
-      caffe_('solver_solve', self.hSolver_self);
+      caffe_('solver_solve', self.self_id);
     end
 
     function step(self, iters)
       CHECK(isscalar(iters) && iters > 0, 'iters must be positive integer');
-      caffe_('solver_step', self.hSolver_self, double(iters));
+      caffe_('solver_step', self.self_id, double(iters));
     end
   end
 end

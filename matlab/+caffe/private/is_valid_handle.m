@@ -8,19 +8,17 @@ function valid = is_valid_handle(hObj)
 % A handle carries (uint64) ptr — the gateway object id — and (double)
 % init_key — the epoch it was minted in.
 
-persistent init_key;
-if isempty(init_key)
-  init_key = caffe_('get_init_key');
-end
-
-if ischar(hObj) && strcmp(hObj, 'get_new_init_key')
-  init_key = caffe_('get_init_key');
-  return
+persistent epoch;
+if isempty(epoch) || (ischar(hObj) && strcmp(hObj, 'get_new_init_key'))
+  epoch = caffe_('get_init_key');
+  if ischar(hObj)
+    return
+  end
 end
 
 valid = isstruct(hObj) ...
   && isscalar(hObj.ptr) && isa(hObj.ptr, 'uint64') ...
   && isscalar(hObj.init_key) && isa(hObj.init_key, 'double') ...
-  && hObj.init_key == init_key;
+  && hObj.init_key == epoch;
 
 end

@@ -12,8 +12,13 @@ Contracts tested:
   RNG stream and ALL targets stay bit-identical to the host-augment path,
   and worker modes (thread/process) stay bit-identical to serial;
 - the train step consumes the raw batch (single device and data-parallel
-  mesh, composing with device targets), and the spatial path refuses it
-  loudly.
+  mesh, composing with device targets);
+- the spatial shard_map path consumes it too: raw images ride the mesh
+  spatial-REPLICATED and each shard warps only its own canvas row block
+  (pose/augment_device.warp_batch_local — no halos; the warp's source is
+  the full raw), trajectory-equal at spatial=2 and spatial=4 to BOTH the
+  single-device raw-batch step and the pre-warped batch through the same
+  mesh.
 
 Host-path reference: data/pipeline.load_canvas (cv2.warpAffine fused with
 the scale resize) mirroring pose_data_layer.cpp:627-667.
@@ -229,27 +234,51 @@ def test_data_parallel_mesh_matches_single_device(tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_spatial_path_refuses_raw_batches(tmp_path):
+@pytest.mark.parametrize("spatial", [2, 4])
+def test_spatial_mesh_consumes_raw_batch(tmp_path, spatial):
+    """The spatial shard_map path consumes augment_device batches: raw
+    images + coefficients arrive spatial-REPLICATED, each shard warps its
+    own canvas row block (warp_batch_local), and the trajectory equals
+    BOTH (augment_device=True, spatial=1) and the pre-warped batch through
+    the same (data, spatial) mesh — the VERDICT-r4 task-3 contract."""
     from deepcut_tpu.models.resnet import init_params
     from deepcut_tpu.parallel.mesh import make_mesh
     from deepcut_tpu.parallel.train_step import make_train_step
     from deepcut_tpu.solver.update_rules import SolverConfig, init_state
 
-    if len(jax.devices()) < 4:
-        pytest.skip("needs 4 virtual devices")
-    recs = _make_records(tmp_path)
+    if len(jax.devices()) < 2 * spatial:
+        pytest.skip(f"needs {2 * spatial} virtual devices")
+    # taller records so the (128-row) canvas satisfies H >= 32*spatial
+    recs = _make_records(tmp_path, h=150, w=120)
     src = _source(recs, augment_device=True, device_targets=True)
     batch = src.next_batch(2)
+    assert batch["aug_canvas"].shape[1] % (16 * spatial) == 0
     cfg = _tiny_cfg()
-    scfg = SolverConfig(solver_type="SGD", base_lr=0.01)
+    scfg = SolverConfig(solver_type="SGD", base_lr=0.01, momentum=0.9)
     params = init_params(jax.random.PRNGKey(0), cfg)
     state = init_state(scfg, params)
-    mesh = make_mesh(4, spatial=2)
+    single = make_train_step(cfg, scfg, None, donate=False,
+                             target_cfg=_tcfg())
+    p1, s1, m1 = single(params, state, batch)
+    mesh = make_mesh(2 * spatial, spatial=spatial)
     with mesh:
-        step = make_train_step(cfg, scfg, mesh, donate=False,
-                               target_cfg=_tcfg())
-        with pytest.raises(NotImplementedError, match="augment_device"):
-            step(params, state, batch)
+        stepm = make_train_step(cfg, scfg, mesh, donate=False,
+                                target_cfg=_tcfg())
+        p2, s2, m2 = stepm(params, state, batch)
+        # pre-warped pixels through the SAME spatial mesh (the
+        # augment_device=False equivalent) must land on the same step
+        pre = {k: np.asarray(v) for k, v in warp_batch(
+            {k: jnp.asarray(v) for k, v in batch.items()}).items()}
+        p3, s3, m3 = stepm(params, state, pre)
+    assert abs(float(m1["total_loss"]) - float(m2["total_loss"])) < 1e-4
+    assert abs(float(m2["total_loss"]) - float(m3["total_loss"])) < 1e-4
+    for a, b, c in zip(jax.tree_util.tree_leaves(p1),
+                       jax.tree_util.tree_leaves(p2),
+                       jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_bucket_step_validation():

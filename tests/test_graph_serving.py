@@ -165,6 +165,23 @@ def test_quantize_stem_rule_default():
     assert "w_q" in net.params["conv2"]
 
 
+def test_graph_quantize_percentile_calibration():
+    """Net.quantize_int8(percentile=...) clips calibration outliers: the
+    recorded activation scale drops below absmax when the calibration batch
+    carries one hot value, and the quantized forward still runs."""
+    net, x = _build()
+    x_hot = x.copy()
+    x_hot[0, 0, 0, 0] = 1e4
+    net.quantize_int8(data=x_hot)
+    s_abs = float(net.params["trunk"]["act_scale"])
+    net2, _ = _build()
+    net2.quantize_int8(percentile=99.0, data=x_hot)
+    s_pct = float(net2.params["trunk"]["act_scale"])
+    assert s_pct < s_abs / 10, (s_pct, s_abs)
+    out = net2.forward(data=x)
+    assert np.isfinite(out["pa"]).all()
+
+
 def test_fuse_siblings_respects_shared_weights():
     """Weight-shared convs alias another layer's blobs; fusing either side
     would corrupt the owner — both must be left alone."""

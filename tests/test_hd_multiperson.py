@@ -63,8 +63,17 @@ def _local_maxima(sm, thr):
     return out
 
 
-def test_hd_multiperson_tiled_equals_spatial_mesh(run_in_cpu_mesh):
-    code = """
+import pytest
+
+
+@pytest.mark.parametrize("hw", [(704, 1280), (1088, 1920)])
+def test_hd_multiperson_tiled_equals_spatial_mesh(run_in_cpu_mesh, hw):
+    """704×1280 (HD long side) and 1088×1920 (1080p-class, rounded up to
+    the S=4 contract: 1088 % 64 == 0) — the reference's
+    _get_num_tiles/_process_image_tiled regime (estimate_pose.py:146-221)
+    vs the spatial-mesh replacement."""
+    H, W = hw
+    code = f"H, W = {H}, {W}\n" + """
 import numpy as np, jax, jax.numpy as jnp
 from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
 from deepcut_tpu.pose.estimate import PoseEstimator
@@ -83,22 +92,22 @@ params = init_params(jax.random.PRNGKey(3), cfg)
 for name in ('res5c_up_pose', 'res3d_pose'):
     params[name] = {k: 0.02 * v for k, v in params[name].items()}
 rng = np.random.RandomState(0)
-# 704 x 1280: true HD long side; 704 % (8*4) == 0 so the 4-way spatial
-# shard is exact (no boundary padding) and comparable bit-for-bit-ish
-img = _draw_people(704, 1280, 4, rng)
+# H % (8*4) == 0 so the 4-way spatial shard is exact (no boundary
+# padding) and comparable bit-for-bit-ish
+img = _draw_people(H, W, 4, rng)
 
-# (a) reference-analog host tiling: max_size=512 forces a 2x3 tile grid
+# (a) reference-analog host tiling: max_size=512 forces a multi-tile grid
 tiled = PoseEstimator(params, cfg, folded=False, max_size=512)
 sm_t, loc_t = tiled.scoremaps(img)
 
 # (b) TPU-native: full-frame, rows sharded over 'spatial'
 mesh = make_mesh(4, spatial=4)
 with mesh:
-    meshed = PoseEstimator(params, cfg, folded=False, max_size=1280,
+    meshed = PoseEstimator(params, cfg, folded=False, max_size=W,
                            mesh=mesh)
     sm_m, loc_m = meshed.scoremaps(img)
 
-assert sm_t.shape == sm_m.shape == (704 // 8, 1280 // 8, 4), sm_t.shape
+assert sm_t.shape == sm_m.shape == (H // 8, W // 8, 4), sm_t.shape
 np.testing.assert_allclose(sm_m, sm_t, rtol=5e-4, atol=5e-5)
 np.testing.assert_allclose(loc_m, loc_t, rtol=5e-4, atol=5e-4)
 
@@ -123,5 +132,5 @@ p_m = np.asarray(decode_pose(jnp.asarray(sm_m), jnp.asarray(loc_m)))
 np.testing.assert_allclose(p_m, p_t, rtol=1e-3, atol=1e-3)
 print('HD-MULTIPERSON-PATHS-AGREE peaks=%d' % len(peaks_m))
 """
-    out = run_in_cpu_mesh(code, n_devices=4, timeout=900)
+    out = run_in_cpu_mesh(code, n_devices=4, timeout=1800)
     assert "HD-MULTIPERSON-PATHS-AGREE" in out

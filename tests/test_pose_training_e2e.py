@@ -244,3 +244,16 @@ def test_pose_stack_learns_keypoints_pckh(tmp_path):
     assert r1.mean > r0.mean + 0.5, (r0.mean, r1.mean)
     # the harness scores per joint too — most joints must be learned
     assert (r1.per_joint >= 0.5).sum() >= J - 2, r1.per_joint
+
+    # int8 task gate (VERDICT r4 #5): the learned detector must survive
+    # post-training quantization — held-out PCKh through the int8 serving
+    # path (absmax AND 99.9th-percentile calibration) stays >= 0.9, making
+    # the int8 serving claim load-bearing on the task metric, not just on
+    # scoremap-closeness tolerances.
+    for pct in (100.0, 99.9):
+        est8 = PoseEstimator(solver.net_params, cfg, folded=False,
+                             bucket_step=32)
+        est8.quantize_int8(held_out[0]["image"], percentile=pct)
+        assert est8.is_int8
+        r8 = evaluate_estimator(est8, held_out)
+        assert r8.mean >= 0.9, f"int8(pct={pct}) PCKh: {r8.mean} (fp {r1.mean})"

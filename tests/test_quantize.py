@@ -81,6 +81,36 @@ def test_int8_deconv_head_close_to_fp():
     assert e_dq < max(2.5 * e_plain, 0.15), (e_dq, e_plain)
 
 
+def test_percentile_calibration(tmp_path):
+    """percentile<100 calibration (VERDICT r4 #5): scales never exceed the
+    absmax scales, the clean-batch drift envelope matches absmax, and a
+    poisoned calibration batch (one hot pixel) is rescued — the percentile
+    scales keep the eval-input scoremap drift far below the absmax ones."""
+    params = fold_bn(init_params(jax.random.PRNGKey(0), TINY), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3)) * 40.0
+    fp = np.asarray(forward(params, x, TINY, folded=True)["prob"])
+
+    _, sc_abs = prepare_int8(params, TINY, x)
+    qp, sc_pct = prepare_int8(params, TINY, x, percentile=99.9)
+    for k in sc_abs:
+        assert float(sc_pct[k]) <= float(sc_abs[k]) * (1 + 1e-6), k
+    e_abs = np.abs(np.asarray(forward_int8(qp, sc_abs, x, TINY)["prob"]) - fp).max()
+    e_pct = np.abs(np.asarray(forward_int8(qp, sc_pct, x, TINY)["prob"]) - fp).max()
+    assert e_pct < max(2.5 * e_abs, 0.15), (e_pct, e_abs)
+
+    # poisoned calibration: one insane pixel inflates every absmax scale
+    # downstream; the 99.9th percentile clips it away
+    x_cal = x.at[0, 0, 0, :].set(4000.0)
+    _, sc_out_abs = prepare_int8(params, TINY, x_cal)
+    _, sc_out_pct = prepare_int8(params, TINY, x_cal, percentile=99.9)
+    e_out_abs = np.abs(np.asarray(
+        forward_int8(qp, sc_out_abs, x, TINY)["prob"]) - fp).max()
+    e_out_pct = np.abs(np.asarray(
+        forward_int8(qp, sc_out_pct, x, TINY)["prob"]) - fp).max()
+    assert float(sc_out_pct["conv1"]) < float(sc_out_abs["conv1"]) / 10
+    assert e_out_pct < e_out_abs, (e_out_pct, e_out_abs)
+
+
 # ---- task-level accuracy of the serving transforms (round-3, VERDICT #5) --
 
 LENET_BN_DEPLOY = """
