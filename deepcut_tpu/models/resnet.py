@@ -131,9 +131,14 @@ def _block_names(cfg: DeeperCutConfig, stage: int) -> List[str]:
     return [f"{label}a"] + [f"{label}b{i}" for i in range(1, n)]
 
 
-def _skip_block(cfg: DeeperCutConfig) -> str:
-    """The stride-8 skip tap: last block of stage 3 (res3b7 in ResNet-152)."""
-    return _block_names(cfg, 1)[-1]
+def _skip_block(cfg: DeeperCutConfig) -> Optional[str]:
+    """The stride-8 skip tap: last block of stage 3 (res3b7 in ResNet-152).
+
+    None for truncated configs whose stage 3 is empty (profiling prefixes) —
+    run_trunk then returns no skip tap and compute_heads fails loudly.
+    """
+    names = _block_names(cfg, 1)
+    return names[-1] if names else None
 
 
 # --------------------------------------------------------------------------
@@ -326,10 +331,20 @@ def run_trunk(
             bn_key = "_conv1" if name == "conv1" else name[len("res"):]
             bn = params[f"bn{bn_key}"]
             sc = params[f"scale{bn_key}"]
+            # BN statistics are FROZEN constants under autodiff: the
+            # reference pins all three BatchNorm blobs at lr_mult 0 and
+            # trains with use_global_stats (ResNet-152.prototxt:30-34), so
+            # mean/var/scale_factor never receive gradients — and stopping
+            # them here lets XLA prune the 155 per-channel full-tensor
+            # reductions their cotangents would otherwise cost in split
+            # grad/update programs (PoseSolver). Scale's gamma/beta stay
+            # trainable (no param override in the prototxt).
+            sg = jax.lax.stop_gradient
+            sf = bn.get("scale_factor")
             # BN + Scale as one per-channel fused multiply-add (see
             # ops/norm.bn_scale_affine) — same math, one tensor pass
-            y = bn_scale_affine(y, bn["mean"], bn["var"],
-                                bn.get("scale_factor"), sc["gamma"],
+            y = bn_scale_affine(y, sg(bn["mean"]), sg(bn["var"]),
+                                None if sf is None else sg(sf), sc["gamma"],
                                 sc["beta"], eps=cfg.bn_eps)
         return relu(y) if act else y
 

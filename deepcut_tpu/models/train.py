@@ -51,3 +51,20 @@ def pose_loss(
 def loss_fn(params, batch, cfg: DeeperCutConfig):
     outputs = forward(params, batch["image"], cfg, folded=False)
     return pose_loss(outputs, batch, cfg)
+
+
+def bn_frozen_mults(params) -> Dict[str, Dict[str, float]]:
+    """Per-leaf lr/decay multipliers freezing the BatchNorm statistics.
+
+    The reference model pins all three BatchNorm blobs (mean/var/
+    scale_factor) at lr_mult 0 and runs use_global_stats
+    (ResNet-152.prototxt:30-34) — the stats are constants during
+    fine-tuning, immune to both the gradient step and weight decay
+    (sgd_solver.cpp Regularize/ComputeUpdateValue both scale by the local
+    rate). Scale layers' gamma/beta keep the default multiplier 1. The
+    native update paths (parallel.make_train_step, PoseSolver,
+    parallel/spatial.py) apply this by default; pass explicit
+    lr_mults/decay_mults to override.
+    """
+    return {name: {k: (0.0 if name.startswith("bn") else 1.0) for k in entry}
+            for name, entry in params.items()}

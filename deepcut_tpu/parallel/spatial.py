@@ -331,7 +331,13 @@ def make_spatial_train_step(
             # divide once, uniformly.
             grads = jax.tree_util.tree_map(
                 lambda g: lax.psum(g, ("data", "spatial")) / nsp, grads)
-            params2, state2 = update_rules.step(solver_cfg, params, grads, state)
+            # BN statistics are frozen (lr_mult/decay_mult 0 — see
+            # models/train.bn_frozen_mults)
+            from deepcut_tpu.models.train import bn_frozen_mults
+            mults = bn_frozen_mults(params)
+            params2, state2 = update_rules.step(solver_cfg, params, grads,
+                                                state, lr_mults=mults,
+                                                decay_mults=mults)
             metrics = dict(metrics)
             metrics["lr"] = update_rules.learning_rate(solver_cfg, state["iter"])
             return params2, state2, metrics

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepcut_tpu.models.resnet import DeeperCutConfig
-from deepcut_tpu.models.train import loss_fn
+from deepcut_tpu.models.train import bn_frozen_mults, loss_fn
 from deepcut_tpu.solver import update_rules
 from deepcut_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -72,7 +72,11 @@ def make_train_step(
         (total, metrics), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, model_cfg), has_aux=True
         )(params)
-        params2, state2 = update_rules.step(solver_cfg, params, grads, state)
+        # BN statistics are frozen (lr_mult/decay_mult 0, matching the
+        # prototxt's param overrides — see models/train.bn_frozen_mults)
+        mults = bn_frozen_mults(params)
+        params2, state2 = update_rules.step(solver_cfg, params, grads, state,
+                                            lr_mults=mults, decay_mults=mults)
         metrics = dict(metrics)
         metrics["lr"] = update_rules.learning_rate(solver_cfg, state["iter"])
         return params2, state2, metrics

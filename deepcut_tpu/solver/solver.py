@@ -722,7 +722,18 @@ class PoseSolver:
             vg = jax.value_and_grad(
                 lambda p, b: loss_fn(p, warp_batch(b), model_cfg),
                 has_aux=True)
-        upd = lambda p, g, s: update_rules.step(scfg, p, g, s, lr_mults=lr_mults)
+        # default: BN statistics frozen, like the prototxt's lr_mult-0
+        # param overrides (models/train.bn_frozen_mults); explicit lr_mults
+        # override the default wholesale
+        if lr_mults is None:
+            from deepcut_tpu.models.train import bn_frozen_mults
+            lr_mults = bn_frozen_mults(self.net_params)
+            decay_mults = lr_mults
+        else:
+            decay_mults = None
+        upd = lambda p, g, s: update_rules.step(scfg, p, g, s,
+                                                lr_mults=lr_mults,
+                                                decay_mults=decay_mults)
         nsp = 1
         if mesh is not None:
             from deepcut_tpu.parallel.spatial import spatial_axis_size

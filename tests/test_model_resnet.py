@@ -162,3 +162,29 @@ def test_mixed_train_grads_close_to_f32():
         a, b = np.asarray(gf[name]["w"]), np.asarray(gm[name]["w"])
         scale = np.abs(a).max() + 1e-12
         assert np.abs(a - b).max() < tol * scale, (name, np.abs(a - b).max() / scale)
+
+
+def test_truncated_prefix_configs_run():
+    """Profiling prefix configs (stage depths zeroed) must run through
+    run_trunk without a skip tap: _skip_block is None when stage 3 is empty
+    (benchmarks/train_backward_ladder.py builds stem/res2-only prefixes).
+    Regression: round-5 IndexError in _skip_block for depths=(0,0,0,0)."""
+    import dataclasses
+    import functools
+
+    from deepcut_tpu.models.resnet import prepare_input, run_trunk
+    from deepcut_tpu.ops.conv import conv2d
+    from deepcut_tpu.ops.pool import max_pool2d
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3)) * 30.0
+    for depths, want_skip in (((0, 0, 0, 0), False), ((1, 0, 0, 0), False),
+                              ((1, 1, 0, 0), True), ((1, 1, 1, 1), True)):
+        cfg = dataclasses.replace(TINY, depths=depths)
+        params = {k: v for k, v in init_params(jax.random.PRNGKey(0), cfg).items()
+                  if not (k.startswith("res5c_up_") or k.startswith("res3d_"))}
+        conv_fn = functools.partial(conv2d, compute_dtype=cfg.compute_dtype)
+        y, skip = run_trunk(params, prepare_input(x), cfg, conv_fn=conv_fn,
+                            pool_fn=lambda t: max_pool2d(t, kernel=3, stride=2),
+                            folded=False)
+        assert y.ndim == 4
+        assert (skip is not None) == want_skip, depths

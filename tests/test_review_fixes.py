@@ -880,3 +880,51 @@ def test_softmax_loss_out_of_range_labels_poison_to_nan():
     # an out-of-range IGNORED label stays legal (ignore_label=255 idiom)
     ign = softmax_with_loss(x, jnp.asarray([0.0, 1, 255, 1]), ignore_label=255)
     assert np.isfinite(float(ign))
+
+
+def test_native_bn_stats_frozen_under_training():
+    """Round-5: the NATIVE train paths must freeze BN statistics like the
+    graph path does — the reference pins all three BatchNorm blobs at
+    lr_mult 0 and runs use_global_stats (ResNet-152.prototxt:30-34), so
+    neither the gradient step nor weight decay may move mean/var/
+    scale_factor. Covers parallel.make_train_step and PoseSolver; Scale's
+    gamma/beta and the convs must still train."""
+    import dataclasses
+
+    from deepcut_tpu.models.resnet import DeeperCutConfig, init_params
+    from deepcut_tpu.parallel.train_step import make_train_step
+    from deepcut_tpu.solver.update_rules import SolverConfig, init_state
+
+    cfg = DeeperCutConfig(depths=(1, 1, 1, 1), stage_widths=(4, 4, 8, 8),
+                          num_joints=3, compute_dtype=jnp.float32,
+                          pairwise=False)
+    scfg = SolverConfig(solver_type="SGD", base_lr=0.05, momentum=0.9,
+                        weight_decay=0.01)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = init_state(scfg, params)
+    step = make_train_step(cfg, scfg, None, donate=False)
+
+    rng = np.random.RandomState(0)
+    gh = gw = 4
+    batch = {
+        "image": jnp.asarray(rng.randn(1, 32, 32, 3) * 20, jnp.float32),
+        "part_score_targets": jnp.asarray(
+            rng.rand(1, gh, gw, 3) > 0.7, jnp.float32),
+        "part_score_weights": jnp.ones((1, gh, gw, 3), jnp.float32),
+        "locref_targets": jnp.asarray(rng.randn(1, gh, gw, 6), jnp.float32),
+        "locref_weights": jnp.ones((1, gh, gw, 6), jnp.float32),
+    }
+    bn_before = {n: {k: np.asarray(v).copy() for k, v in e.items()}
+                 for n, e in params.items() if n.startswith("bn")}
+    sc_before = np.asarray(params["scale2a_branch2a"]["gamma"]).copy()
+    w_before = np.asarray(params["conv1"]["w"]).copy()
+    p, s = params, state
+    for _ in range(3):
+        p, s, _m = step(p, s, batch)
+    for n, e in bn_before.items():
+        for k, v in e.items():
+            np.testing.assert_array_equal(np.asarray(p[n][k]), v,
+                                          err_msg=f"{n}.{k} moved")
+    assert not np.allclose(np.asarray(p["conv1"]["w"]), w_before)
+    assert not np.allclose(np.asarray(p["scale2a_branch2a"]["gamma"]),
+                           sc_before)
