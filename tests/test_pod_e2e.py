@@ -92,7 +92,7 @@ def make_source():
 def make_solver(source):
     sp = SolverParams.from_prototxt(f'''
         base_lr: 0.004  momentum: 0.9  lr_policy: "fixed"
-        clip_gradients: 10.0  display: 0  max_iter: 480  snapshot: 0
+        clip_gradients: 10.0  display: 0  max_iter: 640  snapshot: 0
         snapshot_format: ORBAX
         snapshot_prefix: "{TMP}/pod"
     ''')
@@ -100,7 +100,11 @@ def make_solver(source):
                       handle_signals=False, log=lambda *_: None,
                       target_cfg=tcfg)
 
-MID, END = 280, 480
+# round 5: the BN-statistics freeze (models/train.bn_frozen_mults — the
+# prototxt's lr_mult-0 parity semantics) changed the trajectory; this seed
+# reached PCKh 0.875 at 480 iters where the pre-freeze run cleared 0.9.
+# The budget extends to 640 — the gate itself stays at 0.9.
+MID, END = 320, 640
 
 src_a = make_source()
 solver_a = make_solver(src_a)
